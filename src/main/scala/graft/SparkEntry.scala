@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  * Every operator family contributes (name → query) plus, where
+  * SQL-expressible, a DuckDB oracle over the same tables. */
 object SparkEntry {
+
+  val families: Seq[OpFamily] = Seq(
+    operators.EventSourcing,
+    operators.Windows,
+    operators.MetricsOps,
+    operators.Relational,
+    functions.TextAnalysis,
+    functions.Dedup,
+    functions.Similarity,
+    functions.Multimodal,
+    streaming.Streams)
+
+  private lazy val allOps: Seq[Op] = families.flatMap(_.ops)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q5_multijoin")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allOps.map(o => o.name -> o.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    allOps.flatMap(o => o.oracle.map(o.name -> _)).toMap
 }

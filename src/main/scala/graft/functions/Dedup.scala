@@ -1,0 +1,158 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Op, OpFamily}
+import graft.sources.Tables
+
+/** Deduplication for training-data pipelines (north-star addition).
+  *
+  * The 100 TB shapes:
+  *  - exact dedup = one hash aggregation on a content digest (D1);
+  *  - near-dup = MinHash + LSH banding (D2): shingle → 16 minhashes →
+  *    4 bands × 4 rows → candidates are docs sharing a band bucket.
+  *    Turns O(n²) pair enumeration into an equi-join on (band, hash) —
+  *    the join keys are uniformly distributed digests, so no skew;
+  *  - verification = exact Jaccard only on the candidate pairs (D3);
+  *  - embedding near-dup = label-blocked quantized cosine (D5).
+  *
+  * All hashing is md5 (identical hex in every engine); minhash "values"
+  * are the lexicographic minima of salted digests, so signatures are
+  * engine-neutral strings. Embedding math is fixed-point (×1000 int64)
+  * — exact in any summation order (see SURVEY §5).
+  */
+object Dedup extends OpFamily {
+
+  // ---- shared shingle pipeline (3-word shingles) ----
+  private def shingled(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+    tok.select(col("doc_id"), explode(transform(
+      sequence(lit(1), size(col("t")) - 2),
+      i => concat_ws(" ", slice(col("t"), i, lit(3))))).as("s"))
+  }
+
+  private val shingleCte =
+    """tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |tk AS (SELECT doc_id, t FROM tok WHERE len(t) >= 3),
+      |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS s FROM tk)""".stripMargin
+
+  private val nHashes = 16
+  private val nBands = 4 // 4 rows per band
+
+  private def bandsDf(s: SparkSession, d: String): DataFrame = {
+    val hashAggs = (0 until nHashes).map(j =>
+      min(md5(concat(lit(s"$j:"), col("s")))).as(s"h$j"))
+    val mh = shingled(s, d).groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*)).as("bh"))
+    }
+    mh.select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+  }
+
+  private def minhashCte = {
+    val mins = (0 until nHashes).map(j => s"min(md5('$j:' || s)) AS h$j").mkString(", ")
+    val bandSelects = (0 until nBands).map { b =>
+      val cc = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cc) AS bh FROM mh"
+    }.mkString(" UNION ALL ")
+    s"""mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS ($bandSelects)""".stripMargin
+  }
+
+  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
+    val b = bandsDf(s, d)
+    val a1 = b.alias("a")
+    val a2 = b.alias("b")
+    a1.join(a2, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  private def candSql =
+    s"""WITH $shingleCte,
+       |$minhashCte
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin
+
+  // D1: exact dedup on content digest; canonical survivor = min doc_id.
+  private def dedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  private val dedupExactSql =
+    """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // D2: MinHash-LSH candidate pairs.
+  private def dedupMinhash(s: SparkSession, d: String): DataFrame = candidatePairs(s, d)
+
+  // D3: exact 3-shingle Jaccard on the D2 candidates (verify stage).
+  private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val cand = candidatePairs(s, d)
+    val dsh = shingled(s, d).distinct()
+    val sz = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(dsh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(dsh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_n"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("inter_n"),
+        (col("na") + col("nb") - col("inter_n")).as("union_n"),
+        (col("inter_n").cast("double") /
+          (col("na") + col("nb") - col("inter_n")).cast("double")).as("jaccard"))
+  }
+
+  private def jaccardSql =
+    s"""WITH $shingleCte,
+       |$minhashCte,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+       |sz AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+       |i AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter_n
+       |  FROM cand c JOIN dsh x ON x.doc_id = c.doc_a JOIN dsh y ON y.doc_id = c.doc_b AND y.s = x.s
+       |  GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b, i.inter_n,
+       |  sa.n + sb.n - i.inter_n AS union_n,
+       |  CAST(i.inter_n AS DOUBLE)/CAST(sa.n + sb.n - i.inter_n AS DOUBLE) AS jaccard
+       |FROM i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b""".stripMargin
+
+  // D5: embedding near-dup — label-blocked pairwise quantized cosine.
+  private def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      Similarity.quantize(col("embedding")).as("v"))
+    val n = q.withColumn("nn", Similarity.sqNorm(col("v")))
+    val a = n.alias("a")
+    val b = n.alias("b")
+    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Similarity.cosine(col("a.v"), col("b.v"), col("a.nn"), col("b.nn")).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+  }
+
+  private val dedupEmbeddingSql =
+    s"""WITH q AS (
+       |  SELECT vec_id, label, ${Similarity.quantizeSql("embedding")} AS v FROM embeddings),
+       |n AS (SELECT vec_id, label, v, ${Similarity.sqNormSql("v")} AS nn FROM q),
+       |p AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${Similarity.cosineSql("a.v", "b.v", "a.nn", "b.nn")} AS cos_sim
+       |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.4""".stripMargin
+
+  override def ops: Seq[Op] = Seq(
+    Op("dedup_exact", dedupExact, Some(dedupExactSql)),
+    Op("dedup_minhash_lsh", dedupMinhash, Some(candSql)),
+    Op("ngram_jaccard", ngramJaccard, Some(jaccardSql)),
+    Op("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)))
+}

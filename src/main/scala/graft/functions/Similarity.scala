@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Op, OpFamily}
+import graft.sources.Tables
+
+/** Similarity search over embedding columns (north-star addition).
+  *
+  * All vector math is fixed-point: components are quantized to int64
+  * thousandths, so dot products and norms are exact integers — results
+  * are bit-identical across engines, summation orders, and partitioning
+  * (a deliberate choice for cross-engine verifiability; see SURVEY §5).
+  *
+  * S1 is the brute-force baseline (broadcast the small query set, scan
+  * the corpus once). S2 is the scale path: random-hyperplane LSH with
+  * integer-arithmetic planes derived from (plane, dim) index hashing —
+  * the corpus partitions by bucket and each probe touches one bucket.
+  */
+object Similarity extends OpFamily {
+
+  /** float embedding → int64 thousandths. */
+  def quantize(c: Column): Column =
+    transform(c, x => round(x.cast("double") * lit(1000), 0).cast("long"))
+
+  def quantizeSql(c: String): String =
+    s"list_transform($c, x -> CAST(round(CAST(x AS DOUBLE)*1000, 0) AS BIGINT))"
+
+  /** Σ v_i² (exact int64). */
+  def sqNorm(v: Column): Column =
+    aggregate(transform(v, x => x * x), lit(0L), (acc, x) => acc + x)
+
+  def sqNormSql(v: String): String =
+    s"CAST(list_sum(list_transform($v, x -> x * x)) AS BIGINT)"
+
+  /** cos(a,b) = dot/(√(na·nb)) with exact int64 dot and norms. */
+  def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      .cast("double") / sqrt((na * nb).cast("double"))
+
+  def cosineSql(a: String, b: String, na: String, nb: String): String =
+    s"CAST(list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i])) AS DOUBLE)" +
+      s"/sqrt(CAST($na * $nb AS DOUBLE))"
+
+  /** Random-hyperplane LSH bucket (8 planes ⇒ 256 buckets). Plane
+    * weights are small ints derived from the (plane, dim) index pair —
+    * deterministic, engine-neutral, exact. */
+  def lshBucket(v: Column): Column =
+    aggregate(sequence(lit(0L), lit(7L)), lit(0L), (acc, j) =>
+      acc + when(
+        aggregate(
+          zip_with(v, sequence(lit(1L), lit(64L)),
+            (x, dd) => x * ((j * lit(73856093L) + dd * lit(19349663L)) % 97 - 48)),
+          lit(0L), (a, x) => a + x) >= 0,
+        pow(lit(2.0), j).cast("long")).otherwise(lit(0L)))
+
+  def lshBucketSql(v: String): String =
+    s"CAST(list_sum(list_transform(range(0, 8), j -> " +
+      s"CASE WHEN list_sum(list_transform(range(1, 65), d -> " +
+      s"$v[d] * ((j*73856093 + d*19349663) % 97 - 48))) >= 0 " +
+      s"THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END)) AS BIGINT)"
+
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("nn", sqNorm(col("v")))
+
+  private val quantizedCte =
+    s"""q AS (SELECT vec_id, ${quantizeSql("embedding")} AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${sqNormSql("v")} AS nn FROM q)""".stripMargin
+
+  // S1: brute-force cosine top-10 — queries (vec_id < 5) broadcast
+  // against the corpus; one corpus scan, ranking window per query.
+  private def cosineTopK(s: SparkSession, d: String): DataFrame = {
+    val all = quantized(s, d)
+    val queries = broadcast(all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qnn")))
+    val corpus = all.filter(col("vec_id") >= 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    corpus.join(queries)
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("qv"), col("v"), col("qnn"), col("nn")).as("cos_sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+  }
+
+  private val cosineTopKSql =
+    s"""WITH $quantizedCte,
+       |x AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id,
+       |    ${cosineSql("q.v", "c.v", "q.nn", "c.nn")} AS cos_sim
+       |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id >= 5),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rn FROM x)
+       |SELECT q_id, vec_id, cos_sim, rn FROM r WHERE rn <= 10""".stripMargin
+
+  // S2: LSH-bucketed ANN — probe only the query's bucket, rank top-5.
+  private def annLsh(s: SparkSession, d: String): DataFrame = {
+    val all = quantized(s, d).withColumn("bucket", lshBucket(col("v")))
+    val queries = broadcast(all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qnn"),
+        col("bucket")))
+    val corpus = all.filter(col("vec_id") >= 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    corpus.join(queries, Seq("bucket"))
+      .select(col("q_id"), col("vec_id"), col("bucket"),
+        cosine(col("qv"), col("v"), col("qnn"), col("nn")).as("cos_sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+  }
+
+  private val annLshSql =
+    s"""WITH $quantizedCte,
+       |bk AS (SELECT vec_id, v, nn, ${lshBucketSql("v")} AS bucket FROM n),
+       |x AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id, q.bucket,
+       |    ${cosineSql("q.v", "c.v", "q.nn", "c.nn")} AS cos_sim
+       |  FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id < 5 AND c.vec_id >= 5),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rn FROM x)
+       |SELECT q_id, vec_id, bucket, cos_sim, rn FROM r WHERE rn <= 5""".stripMargin
+
+  override def ops: Seq[Op] = Seq(
+    Op("cosine_topk", cosineTopK, Some(cosineTopKSql)),
+    Op("ann_lsh", annLsh, Some(annLshSql)))
+}

@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Op, OpFamily}
+import graft.sources.Tables
+
+/** Text analysis for training-data pipelines (north-star addition):
+  * marker-based classification, quality scoring, token counting, and
+  * document fingerprinting — all pure `functions._` array/string
+  * expressions, fully codegen-compatible, no UDFs.
+  *
+  * The test corpus's `lang` labels are synthetic (identical vocabulary
+  * across labels), so T1 classifies by n-gram marker scoring into topic
+  * groups — the same argmax-over-marker-counts mechanism a language
+  * identifier uses, with a deterministic tie-break.
+  */
+object TextAnalysis extends OpFamily {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Occurrence count of any of `words` among the tokens (long). */
+  private def score(words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words))).cast("long")
+
+  private def scoreSql(words: Seq[String]): String =
+    s"CAST(len(list_filter(string_split(text, ' '), t -> list_contains([${words.map("'" + _ + "'").mkString(",")}], t))) AS BIGINT)"
+
+  private val groups: Seq[(String, Seq[String])] = Seq(
+    "g_agg" -> Seq("agg", "group", "window", "sum"),
+    "g_join" -> Seq("join", "merge", "hash", "key"),
+    "g_scan" -> Seq("scan", "table", "row", "filter"),
+    "g_sql" -> Seq("query", "sort", "order", "column"),
+    "g_stream" -> Seq("stream", "batch", "value", "data"))
+
+  // T1: argmax marker scoring (lang-ID mechanism). Ties break to the
+  // alphabetically-first group via the >=-chain evaluation order.
+  private def langId(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d).select(
+      col("doc_id") +: groups.map { case (g, ws) => score(ws).as(s"s_$g") }: _*)
+    val names = groups.map(_._1)
+    val pred = names.tail.foldLeft(when(
+      names.tail.map(o => col(s"s_${names.head}") >= col(s"s_$o")).reduce(_ && _),
+      names.head)) { (acc, g) =>
+      acc.when(names.filter(_ != g).map(o => col(s"s_$g") >= col(s"s_$o")).reduce(_ && _), g)
+    }
+    scored.withColumn("pred", pred)
+  }
+
+  private val langIdSql = {
+    val names = groups.map(_._1)
+    val scores = groups.map { case (g, ws) => s"  ${scoreSql(ws)} AS s_$g" }.mkString(",\n")
+    val cases = names.map { g =>
+      val conds = names.filter(_ != g).map(o => s"s_$g >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$g'"
+    }.mkString(" ")
+    s"""WITH sc AS (
+       |SELECT doc_id,
+       |$scores
+       |FROM documents)
+       |SELECT doc_id, s_g_agg, s_g_join, s_g_scan, s_g_sql, s_g_stream,
+       |  CASE $cases END AS pred
+       |FROM sc""".stripMargin
+  }
+
+  // T2: quality scoring — length / stopword ratio / mean word length.
+  private def quality(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        size(toks).cast("long").as("n_tok"), score(stop).as("n_stop"))
+      .select(col("doc_id"), col("n_tok"), col("n_stop"),
+        (col("n_stop").cast("double") / col("n_tok").cast("double")).as("stop_ratio"),
+        ((length(col("text")).cast("long") - col("n_tok") + lit(1L)).cast("double") /
+          col("n_tok").cast("double")).as("mean_wlen"))
+  }
+
+  private val qualitySql =
+    s"""WITH b AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    ${scoreSql(Seq("the", "a"))} AS n_stop
+       |  FROM documents)
+       |SELECT doc_id, n_tok, n_stop,
+       |  CAST(n_stop AS DOUBLE)/CAST(n_tok AS DOUBLE) AS stop_ratio,
+       |  CAST(CAST(length(text) AS BIGINT) - n_tok + 1 AS DOUBLE)/CAST(n_tok AS DOUBLE) AS mean_wlen
+       |FROM b""".stripMargin
+
+  // T3: token counting — whitespace tokens, regex (BPE-ish) tokens,
+  // distinct vocabulary size.
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_ws"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).cast("long").as("n_re"),
+      size(array_distinct(toks)).cast("long").as("n_vocab"))
+
+  private val tokensSql =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_re,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_vocab
+      |FROM documents""".stripMargin
+
+  // T4: document fingerprint — min-hash over character 5-grams with two
+  // salts (winnowing-lite). A stable content fingerprint for shard-local
+  // dedup indexes.
+  private def fingerprint(s: SparkSession, d: String): DataFrame = {
+    def fp(salt: String): Column = array_min(transform(
+      sequence(lit(1), length(col("text")) - 4),
+      i => md5(concat(lit(salt + ":"), col("text").substr(i, lit(5))))))
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"), fp("0").as("fp0"), fp("1").as("fp1"))
+  }
+
+  private val fingerprintSql =
+    """SELECT doc_id,
+      |  list_aggregate(list_transform(range(1, length(text)-3), i -> md5('0:' || substring(text, i, 5))), 'min') AS fp0,
+      |  list_aggregate(list_transform(range(1, length(text)-3), i -> md5('1:' || substring(text, i, 5))), 'min') AS fp1
+      |FROM documents WHERE length(text) >= 5""".stripMargin
+
+  override def ops: Seq[Op] = Seq(
+    Op("text_langid", langId, Some(langIdSql)),
+    Op("text_quality", quality, Some(qualitySql)),
+    Op("text_tokens", tokens, Some(tokensSql)),
+    Op("text_fingerprint", fingerprint, Some(fingerprintSql)))
+}

@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Op, OpFamily}
+import graft.sources.Tables
+import graft.sources.Tables.{cents, epochS}
+
+/** Event-sourcing / CQRS core, re-expressed Spark-first.
+  *
+  * Reference semantics (all in `/root/reference`):
+  *  - state = fold of the aggregate's ordered event log
+  *    (`modules/command-engine/core/src/main/scala/surge/internal/domain/AggregateProcessingModel.scala:21`
+  *    `applyAsync(ctx, state, events)`),
+  *  - latest-state-per-aggregate KTable
+  *    (`modules/common/src/main/scala/surge/kafka/streams/AggregateStateStoreKafkaStreams.scala`),
+  *  - command → validate-against-state → accept/reject + new events
+  *    (`AggregateProcessingModel.scala:18` `handle`, `SurgeContext.reject`).
+  *
+  * Spark mapping: the aggregate id is `events.user_id`; a fold whose
+  * components are order-insensitive (sums/counts/min/max over the log)
+  * becomes ONE hash aggregation — partial map-side combine, single
+  * shuffle, no sort. Order-sensitive folds go through
+  * [[graft.streaming.Streams.foldEvents]] (flatMapGroupsWithState). The
+  * fold modeled here: an account balance machine — purchases credit the
+  * balance, errors debit it, signups grant a 1000-cent bonus.
+  */
+object EventSourcing extends OpFamily {
+
+  private def signedCents = {
+    val c = cents(col("value"))
+    when(col("event_type") === "purchase", c)
+      .when(col("event_type") === "error", -c)
+      .when(col("event_type") === "signup", lit(1000L))
+      .otherwise(lit(0L))
+  }
+
+  private val signedCentsSql =
+    """CASE WHEN event_type = 'purchase' THEN CAST(round(value*100,0) AS BIGINT)
+      |     WHEN event_type = 'error' THEN -CAST(round(value*100,0) AS BIGINT)
+      |     WHEN event_type = 'signup' THEN 1000
+      |     ELSE 0 END""".stripMargin
+
+  // E1: KTable — latest state per aggregate. `max_by(struct, (ts,id))`
+  // keeps it a single hash-agg (no sort, no row_number shuffle+filter).
+  private def latestState(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        max_by(struct(col("event_type").as("t"), col("value").as("v")),
+          struct(col("ts"), col("event_id"))).as("last"),
+        max(col("ts")).as("mts"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), epochS(col("mts")).as("last_ts_s"),
+        col("last.t").as("last_type"), col("last.v").as("last_value"), col("n_events"))
+
+  private val latestStateSql =
+    """SELECT user_id, CAST(floor(epoch(mts)) AS BIGINT) AS last_ts_s,
+      |       last_type, last_value, n_events
+      |FROM (
+      |  SELECT user_id, event_type AS last_type, value AS last_value,
+      |    max(ts) OVER (PARTITION BY user_id) AS mts,
+      |    count(*) OVER (PARTITION BY user_id) AS n_events,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1""".stripMargin
+
+  // E2: event-sourced state fold (order-insensitive components ⇒ one
+  // hash-agg; exact integer arithmetic).
+  private def stateFold(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        sum(signedCents).as("balance_c"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        count(lit(1)).as("n_events"),
+        max(col("ts")).as("mts"))
+      .select(col("user_id"), col("balance_c"), col("n_purchases"), col("n_events"),
+        epochS(col("mts")).as("last_ts_s"))
+
+  private def foldSql(pred: String) =
+    s"""SELECT user_id,
+       |  CAST(sum($signedCentsSql) AS BIGINT) AS balance_c,
+       |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+       |  count(*) AS n_events,
+       |  CAST(floor(epoch(max(ts))) AS BIGINT) AS last_ts_s
+       |FROM events $pred
+       |GROUP BY user_id""".stripMargin
+
+  // E3: point-in-time replay — the fold over a time-bounded log; the
+  // ts predicate is pushed into the parquet scan.
+  private def replayAsof(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+      .groupBy("user_id")
+      .agg(
+        sum(signedCents).as("balance_c"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        count(lit(1)).as("n_events"),
+        max(col("ts")).as("mts"))
+      .select(col("user_id"), col("balance_c"), col("n_purchases"), col("n_events"),
+        epochS(col("mts")).as("last_ts_s"))
+
+  // E4: command batch validation — commands (purchases after the
+  // snapshot cutoff) join the state snapshot (fold before cutoff);
+  // accept iff the balance covers the cost (surge `handle` +
+  // `ctx.reject`). State side is the smaller aggregate → broadcast.
+  private def commandApply(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("2024-01-20 00:00:00").cast("timestamp")
+    val state = Tables.events(s, d)
+      .filter(col("ts") < cut)
+      .groupBy("user_id")
+      .agg(sum(signedCents).as("balance_c"))
+    val cmds = Tables.events(s, d)
+      .filter(col("ts") >= cut && col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), cents(col("value")).as("cost_c"))
+    cmds.join(broadcast(state), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("cost_c"),
+        coalesce(col("balance_c"), lit(0L)).as("balance_c"),
+        when(coalesce(col("balance_c"), lit(0L)) >= col("cost_c"), "accept")
+          .otherwise("reject").as("decision"))
+  }
+
+  private val commandApplySql =
+    s"""WITH state AS (
+       |  SELECT user_id, CAST(sum($signedCentsSql) AS BIGINT) AS balance_c
+       |  FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00' GROUP BY user_id),
+       |cmds AS (
+       |  SELECT event_id, user_id, CAST(round(value*100,0) AS BIGINT) AS cost_c
+       |  FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' AND event_type = 'purchase')
+       |SELECT c.event_id, c.user_id, c.cost_c,
+       |  COALESCE(s.balance_c, 0) AS balance_c,
+       |  CASE WHEN COALESCE(s.balance_c, 0) >= c.cost_c THEN 'accept' ELSE 'reject' END AS decision
+       |FROM cmds c LEFT JOIN state s ON c.user_id = s.user_id""".stripMargin
+
+  // E5: CQRS read-side projection — per-aggregate view with per-type
+  // counters (conditional aggregation ⇒ one pass, one shuffle).
+  private def projection(s: SparkSession, d: String): DataFrame = {
+    def n(t: String) = sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(n("click"), n("view"), n("purchase"), n("signup"), n("error"),
+        sum(cents(col("value"))).as("total_c"),
+        min(col("ts")).as("fts"), max(col("ts")).as("lts"))
+      .select(col("user_id"), col("n_click"), col("n_view"), col("n_purchase"),
+        col("n_signup"), col("n_error"), col("total_c"),
+        epochS(col("fts")).as("first_ts_s"), epochS(col("lts")).as("last_ts_s"))
+  }
+
+  private val projectionSql =
+    """SELECT user_id,
+      |  CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |  CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |  CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS total_c,
+      |  CAST(floor(epoch(min(ts))) AS BIGINT) AS first_ts_s,
+      |  CAST(floor(epoch(max(ts))) AS BIGINT) AS last_ts_s
+      |FROM events GROUP BY user_id""".stripMargin
+
+  // E6: per-aggregate sequence numbers (surge PersistentActor event
+  // sequencing) — ranking window within the aggregate's partition.
+  private def sequenceNumbers(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("seq_no", row_number().over(w).cast("long"))
+      .drop("ts")
+  }
+
+  private val sequenceSql =
+    """SELECT event_id, user_id,
+      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq_no
+      |FROM events""".stripMargin
+
+  // E9: event envelope serde — serialize each event to a JSON envelope
+  // (surge serialization module's read/write formatting) and parse it
+  // back; proves lossless round-trip including the nested props field.
+  private def outboxSerde(s: SparkSession, d: String): DataFrame = {
+    val env = Tables.events(s, d).select(
+      to_json(struct(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))).as("env"))
+    env
+      .select(from_json(col("env"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, k LONG")).as("e"))
+      .select("e.*")
+  }
+
+  private val outboxSql =
+    """SELECT event_id, user_id, event_type, value,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events""".stripMargin
+
+  override def ops: Seq[Op] = Seq(
+    Op("es_latest_state", latestState, Some(latestStateSql)),
+    Op("es_state_fold", stateFold, Some(foldSql(""))),
+    Op("es_replay_asof", replayAsof,
+      Some(foldSql("WHERE ts < TIMESTAMP '2024-01-15 00:00:00'"))),
+    Op("es_command_apply", commandApply, Some(commandApplySql)),
+    Op("es_projection", projection, Some(projectionSql)),
+    Op("es_sequence", sequenceNumbers, Some(sequenceSql)),
+    Op("es_outbox", outboxSerde, Some(outboxSql)))
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Op, OpFamily}
+import graft.sources.Tables
+import graft.sources.Tables.cents
+
+/** Streaming-metrics statistics as distributed aggregations.
+  *
+  * Reference: surge's metrics module —
+  * `modules/metrics/src/main/scala/surge/metrics/statistics/{Count,Min,Max,MostRecentValue}.scala`,
+  * `ExponentiallyWeightedMovingAverage.scala:14-28` (seed with first
+  * observation, then `ewma = ewma*w + v*(1-w)`),
+  * `Rate.scala` / `RateHistogram.scala` (per-second average over an
+  * expiry window), `TimeBucketHistogram.scala`.
+  *
+  * The sensor key is `event_type`; readings are (`value`, `ts`).
+  *
+  * EWMA is evaluated in closed form over each key's last 20 readings
+  * with weight w = 0.5: every term is value_cents · 2^-k, so scaling by
+  * 2^19 makes all arithmetic exact int64 — bit-identical across engines
+  * and summation orders (the reason w is dyadic).
+  */
+object MetricsOps extends OpFamily {
+
+  // M1: Count / Min / Max / MostRecentValue / mean per sensor, one pass.
+  private def stats(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("last_v"),
+        sum(cents(col("value"))).as("sum_c"))
+      .withColumn("avg_v",
+        col("sum_c").cast("double") / col("n").cast("double") / lit(100.0))
+
+  private val statsSql =
+    """WITH s AS (
+      |  SELECT event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v,
+      |    CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_c
+      |  FROM events GROUP BY 1),
+      |l AS (
+      |  SELECT event_type, value AS last_v FROM (
+      |    SELECT event_type, value,
+      |      row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) rn
+      |    FROM events) WHERE rn = 1)
+      |SELECT s.event_type, s.n, s.min_v, s.max_v, l.last_v, s.sum_c,
+      |  CAST(s.sum_c AS DOUBLE)/CAST(s.n AS DOUBLE)/100.0 AS avg_v
+      |FROM s JOIN l ON s.event_type = l.event_type""".stripMargin
+
+  // M2: EWMA per aggregate over its last 20 readings, w = 0.5.
+  // Surge semantics: oldest reading seeds the average (weight w^(n-1)),
+  // each later reading i (1-based, oldest=1) contributes (1-w)·w^(n-i).
+  private def ewma(s: SparkSession, d: String): DataFrame = {
+    val wDesc = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val base = Tables.events(s, d)
+      .select(col("user_id"), cents(col("value")).as("c"), col("ts"), col("event_id"))
+      .withColumn("rd", row_number().over(wDesc))
+      .filter(col("rd") <= 20)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+    // exponent of 0.5 for this term: rd (recency rank) except the oldest
+    // term which gets n-1 (the seed); scaled by 2^19 ⇒ exact int64.
+    val e = when(col("rd") === col("n"), col("n") - 1).otherwise(col("rd"))
+    base
+      .withColumn("term", (col("c") * pow(lit(2.0), lit(19) - e)).cast("long"))
+      .groupBy("user_id")
+      .agg(max(col("n")).cast("long").as("n_used"), sum(col("term")).as("ewma_scaled"))
+      .withColumn("ewma", col("ewma_scaled").cast("double") / lit(524288.0) / lit(100.0))
+  }
+
+  private val ewmaSql =
+    """WITH b AS (
+      |  SELECT user_id, CAST(round(value*100,0) AS BIGINT) AS c,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd
+      |  FROM events),
+      |f AS (SELECT * FROM b WHERE rd <= 20),
+      |g AS (SELECT *, count(*) OVER (PARTITION BY user_id) AS n FROM f)
+      |SELECT user_id, CAST(max(n) AS BIGINT) AS n_used,
+      |  CAST(sum(CAST(c * pow(2.0, 19 - (CASE WHEN rd = n THEN n - 1 ELSE rd END)) AS BIGINT)) AS BIGINT) AS ewma_scaled,
+      |  CAST(sum(CAST(c * pow(2.0, 19 - (CASE WHEN rd = n THEN n - 1 ELSE rd END)) AS BIGINT)) AS DOUBLE)/524288.0/100.0 AS ewma
+      |FROM g GROUP BY user_id""".stripMargin
+
+  // M3: per-second rate over 10-minute buckets (RateHistogram's
+  // per-second-average-over-window, bucketed instead of expiring).
+  private def rate(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"), window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), unix_timestamp(col("w.start")).as("bucket_s"), col("n"),
+        (col("n").cast("double") / lit(600.0)).as("rate_per_s"))
+
+  private val rateSql =
+    """SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT) // 600) * 600 AS bucket_s,
+      |  count(*) AS n, CAST(count(*) AS DOUBLE)/600.0 AS rate_per_s
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // M4: time-bucket histogram — hour-of-day occupancy per sensor.
+  private def histogram(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hour_of_day"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_c"))
+
+  private val histogramSql =
+    """SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+      |  count(*) AS n, CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_c
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  override def ops: Seq[Op] = Seq(
+    Op("metric_stats", stats, Some(statsSql)),
+    Op("metric_ewma", ewma, Some(ewmaSql)),
+    Op("metric_rate", rate, Some(rateSql)),
+    Op("metric_histogram", histogram, Some(histogramSql)))
+}

@@ -1,0 +1,264 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Op, OpFamily}
+import graft.sources.Tables
+import graft.sources.Tables.{cents, e4, e6, epochS}
+
+/** Relational read-side analytics — the queries a CQRS read side serves
+  * (reference: surge's KTable/queryable-store consumers). TPC-H-shaped
+  * headliners R1–R3 are the bench anchors.
+  *
+  * Scale notes: dims are explicitly `broadcast()`; the only shuffles are
+  * on the fact table keys. Money math is integer-cents (see
+  * [[graft.sources.Tables.cents]]) so aggregates are exact at any
+  * parallelism.
+  */
+object Relational extends OpFamily {
+
+  // R1: full-scan aggregation, TPC-H Q1 shape. One codegen'd hash-agg,
+  // partial aggregation map-side; filter pushed to the parquet scan.
+  private def q1Agg(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+        sum(e4(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_e4"),
+        sum(e6(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))))
+          .as("sum_charge_e6"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty",
+        col("sum_qty_c").cast("double") / col("count_order").cast("double") / lit(100.0))
+      .withColumn("avg_price",
+        col("sum_base_c").cast("double") / col("count_order").cast("double") / lit(100.0))
+  }
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+      |  CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sum_base_c,
+      |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000,0) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+      |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000,0) AS BIGINT)) AS BIGINT) AS sum_charge_e6,
+      |  count(*) AS count_order,
+      |  CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS DOUBLE)/CAST(count(*) AS DOUBLE)/100.0 AS avg_qty,
+      |  CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS DOUBLE)/CAST(count(*) AS DOUBLE)/100.0 AS avg_price
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // R2: dim-filter + fact-fact join + top-k, TPC-H Q3 shape. Customer is
+  // broadcast (filtered dim); orders⋈lineitem shuffles on orderkey only.
+  private def q3Join(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-06-30").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1998-06-30").cast("timestamp"))
+      .select(col("l_orderkey"),
+        e4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_e4"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(col("rev_e4")).as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  private val q3Sql =
+    """SELECT o_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000,0) AS BIGINT)) AS BIGINT) AS revenue_e4
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+      |  AND l_shipdate  > TIMESTAMP '1998-06-30 00:00:00'
+      |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue_e4 DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  // R3: 5-way star join, TPC-H Q5 shape. All dims broadcast; the fact
+  // (lineitem) shuffles once on l_orderkey.
+  private def q5MultiJoin(s: SparkSession, d: String): DataFrame = {
+    val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(s, d)
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+      e4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_e4"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(col("rev_e4")).as("revenue_e4"), count(lit(1)).as("n_items"))
+  }
+
+  private val q5Sql =
+    """SELECT n_name,
+      |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000,0) AS BIGINT)) AS BIGINT) AS revenue_e4,
+      |  count(*) AS n_items
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+      |  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name""".stripMargin
+
+  // R4: top-N per group via ranking window.
+  private def topkPerGroup(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_c"), col("rn").cast("long").as("rn"))
+  }
+
+  private val topkSql =
+    """SELECT c_mktsegment, o_orderkey, CAST(round(o_totalprice*100,0) AS BIGINT) AS price_c,
+      |       CAST(rn AS BIGINT) AS rn
+      |FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) rn
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |WHERE rn <= 3""".stripMargin
+
+  // R5/R6: EXISTS / NOT EXISTS as broadcast semi/anti joins.
+  private def semiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+
+  private val semiSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  private def antiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  private val antiSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  // R7: hierarchical totals via ROLLUP (region → nation → grand total).
+  private def rollupAgg(s: SparkSession, d: String): DataFrame = {
+    // Spark 4.1's DetectAmbiguousSelfJoin false-positives on
+    // rollup-after-join (the rollup duplicates grouping attributes and
+    // trips the dataset-id metadata check even with zero shared
+    // lineage). The plan is unambiguous — disable the heuristic check.
+    s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
+    val sup = Tables.supplier(s, d).as("sp")
+    val nat = broadcast(Tables.nation(s, d)).as("nt")
+    val reg = broadcast(Tables.region(s, d)).as("rg")
+    sup.join(nat, col("sp.s_nationkey") === col("nt.n_nationkey"))
+      .join(reg, col("nt.n_regionkey") === col("rg.r_regionkey"))
+      .select(col("rg.r_name").as("r_name"), col("nt.n_name").as("n_name"),
+        cents(col("sp.s_acctbal")).as("bal_c"))
+      .rollup("r_name", "n_name")
+      .agg(sum(col("bal_c")).as("sum_bal_c"), count(lit(1)).as("n_sup"))
+  }
+
+  private val rollupSql =
+    """SELECT r_name, n_name,
+      |  CAST(sum(CAST(round(s_acctbal*100,0) AS BIGINT)) AS BIGINT) AS sum_bal_c, count(*) AS n_sup
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
+
+  // R8: pivot event types across day-of-week (values pinned ⇒ single
+  // pass, no extra distinct-values job).
+  private def pivotDow(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), (dayofweek(col("ts")) - 1).as("dow"))
+    val p = ev.groupBy("event_type").pivot("dow", 0 to 6).agg(count(lit(1)))
+    p.select(col("event_type") +: (0 to 6).map(i =>
+      coalesce(col(i.toString), lit(0L)).as(s"d$i")): _*)
+  }
+
+  private val pivotSql =
+    """SELECT event_type,
+      |  count(*) FILTER (WHERE dayofweek(ts) = 0) AS d0,
+      |  count(*) FILTER (WHERE dayofweek(ts) = 1) AS d1,
+      |  count(*) FILTER (WHERE dayofweek(ts) = 2) AS d2,
+      |  count(*) FILTER (WHERE dayofweek(ts) = 3) AS d3,
+      |  count(*) FILTER (WHERE dayofweek(ts) = 4) AS d4,
+      |  count(*) FILTER (WHERE dayofweek(ts) = 5) AS d5,
+      |  count(*) FILTER (WHERE dayofweek(ts) = 6) AS d6
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // R9: exact distinct (partial-agg friendly).
+  private def distinctExact(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+
+  private val distinctSql =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // R10: HLL sketch distinct — the 100 TB path (no exact-distinct
+  // shuffle explosion). Approximate ⇒ rows-only driver check; the
+  // ScalaTest spec bounds its error vs R9.
+  private def distinctApprox(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
+
+  // R11: as-of join — each purchase sees the user's latest prior signup
+  // (surge KTable-lookup semantics). Spark-first: single sort within the
+  // user partition + last(ignoreNulls) running value; no cross product,
+  // no range explosion.
+  private def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "signup"))
+      .select("event_id", "user_id", "event_type", "ts", "value")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val sig = when(col("event_type") === "signup",
+      struct(col("ts").as("sts"), col("value").as("sval")))
+    ev.withColumn("last_sig", last(sig, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), epochS(col("ts")).as("ts_s"),
+        epochS(col("last_sig.sts")).as("signup_ts_s"),
+        col("last_sig.sval").as("signup_value"))
+  }
+
+  private val asofSql =
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |     g AS (SELECT user_id, ts, value FROM events WHERE event_type = 'signup')
+      |SELECT p.event_id, p.user_id,
+      |  CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_s,
+      |  CAST(floor(epoch(g.ts)) AS BIGINT) AS signup_ts_s,
+      |  g.value AS signup_value
+      |FROM p ASOF LEFT JOIN g ON p.user_id = g.user_id AND p.ts >= g.ts""".stripMargin
+
+  override def ops: Seq[Op] = Seq(
+    Op("q1_agg", q1Agg, Some(q1Sql)),
+    Op("q3_join", q3Join, Some(q3Sql)),
+    Op("q5_multijoin", q5MultiJoin, Some(q5Sql)),
+    Op("topk_per_group", topkPerGroup, Some(topkSql)),
+    Op("semi_join", semiJoin, Some(semiSql)),
+    Op("anti_join", antiJoin, Some(antiSql)),
+    Op("rollup", rollupAgg, Some(rollupSql)),
+    Op("pivot", pivotDow, Some(pivotSql)),
+    Op("distinct_exact", distinctExact, Some(distinctSql)),
+    Op("distinct_approx", distinctApprox, None),
+    Op("asof_join", asofJoin, Some(asofSql)))
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Op, OpFamily}
+import graft.sources.Tables
+import graft.sources.Tables.cents
+
+/** Event-time windowing + threshold signals.
+  *
+  * Reference: surge's health-signal windowing
+  * (`modules/common/src/main/scala/surge/health/windows/Window.scala`
+  * and `surge/internal/health/windows` — sliding/tumbling windows over
+  * a signal stream) and its frequency pattern matchers
+  * (`surge/health/config/SignalPatternMatcherConfig.scala`) that fire a
+  * signal when an event repeats ≥ k times inside a window.
+  *
+  * Spark-first: built-in `window()` / `session_window()` grouping —
+  * codegen'd, partial-agg, watermark-compatible (the streaming twins
+  * live in [[graft.streaming.Streams]]). Window starts are emitted as
+  * epoch seconds (engine-neutral, exact).
+  */
+object Windows extends OpFamily {
+
+  // W1: tumbling 1h windows per event type.
+  private def tumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_c"))
+      .select(unix_timestamp(col("w.start")).as("bucket_s"), col("event_type"),
+        col("n"), col("sum_c"))
+
+  private val tumblingSql =
+    """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_s, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_c
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // W2: sliding 2h windows advancing 1h (each event lands in 2 windows).
+  private def sliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_c"))
+      .select(unix_timestamp(col("w.start")).as("bucket_s"), col("event_type"),
+        col("n"), col("sum_c"))
+
+  private val slidingSql =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value*100,0) AS BIGINT) AS c,
+      |    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS h
+      |  FROM events),
+      |x AS (SELECT event_type, c, unnest([h - 3600, h]) AS bucket_s FROM e)
+      |SELECT bucket_s, event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS sum_c
+      |FROM x GROUP BY 1, 2""".stripMargin
+
+  // W3: session windows, 30-minute inactivity gap, per aggregate.
+  // Spark-native `session_window`; the oracle rebuilds sessions with the
+  // classic gaps-and-islands break/cumsum construction.
+  private def session(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("sess_n"), sum(cents(col("value"))).as("sum_c"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("sess_start_s"),
+        col("sess_n"), col("sum_c"))
+
+  private val sessionSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, CAST(round(value*100,0) AS BIGINT) AS c
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, us, c,
+      |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+      |         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id, us, c,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM f)
+      |SELECT user_id, CAST(min(us) // 1000000 AS BIGINT) AS sess_start_s,
+      |  count(*) AS sess_n, CAST(sum(c) AS BIGINT) AS sum_c
+      |FROM g GROUP BY user_id, sid""".stripMargin
+
+  // W4: frequency signal — ≥2 error events from one aggregate inside a
+  // 1h window fires a signal row (surge SignalPatternMatcher).
+  private def signalThreshold(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type") === "error")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("bucket_s"), col("n"))
+
+  private val signalSql =
+    """SELECT user_id, (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_s,
+      |  count(*) AS n
+      |FROM events WHERE event_type = 'error'
+      |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
+  override def ops: Seq[Op] = Seq(
+    Op("win_tumbling", tumbling, Some(tumblingSql)),
+    Op("win_sliding", sliding, Some(slidingSql)),
+    Op("win_session", session, Some(sessionSql)),
+    Op("signal_threshold", signalThreshold, Some(signalSql)))
+}

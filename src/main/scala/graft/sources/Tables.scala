@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+/** Schema-checked loaders for the driver-generated test tables.
+  *
+  * Every operator in graft reads through here so column pruning and
+  * filter pushdown land on the parquet scan (verify with
+  * `.explain("formatted")` → `ReadSchema` / `PushedFilters`).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps,
+    * which Spark has no native type for — read them as int64 nanos and
+    * convert with exact integer division (micros = nanos div 1000,
+    * matching DuckDB's nanos→micros truncation). Never divide these in
+    * doubles: 1.7e18 ns exceeds 2^53. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Money/value columns carry 2 decimals; all cross-engine-verified
+    * arithmetic is done in integer cents so sums are exact (int64) and
+    * independent of summation order — bit-identical at any parallelism
+    * and in any engine. */
+  def cents(c: Column): Column = round(c * lit(100), 0).cast("long")
+
+  /** Fixed-point e4 / e6 scalings for multi-factor money expressions
+    * (price*(1-disc) has 4 decimals, *(1+tax) has 6). */
+  def e4(c: Column): Column = round(c * lit(10000), 0).cast("long")
+  def e6(c: Column): Column = round(c * lit(1000000), 0).cast("long")
+
+  /** Epoch seconds (UTC session) — the cross-engine-stable time key. */
+  def epochS(c: Column): Column = unix_timestamp(c)
+}

@@ -1,0 +1,179 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.{Op, OpFamily}
+import graft.sources.Tables
+import graft.sources.Tables.cents
+
+/** An event-log record (the Kafka-record analog). */
+final case class Ev(
+    event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Aggregate state for the account fold — surge's `State` in
+  * `SurgeProcessingModel[State, Msg, Event]`. */
+final case class AccountState(
+    user_id: Long, balance_c: Long, n_purchases: Long, n_events: Long,
+    last_ts_s: Long)
+
+/** Structured-Streaming re-expression of surge's core loop.
+  *
+  * Reference: surge keeps one `PersistentActor` per aggregate, routed by
+  * `hash(aggregateId) % partitions`
+  * (`modules/common/src/main/scala/surge/kafka/KafkaPartitionShardRouterActor.scala`),
+  * folding events into state and materializing the latest state to a
+  * compacted topic/KTable. Here the per-aggregate "actor" is the
+  * per-key state slot of `flatMapGroupsWithState`, sharded by the same
+  * hash partitioning but elastic across executors — at 1000 executors
+  * each holds `keys/1000` state entries in the state store, checkpointed
+  * incrementally (RocksDB-backed in production configs).
+  *
+  * The batch twins of these live in [[graft.operators.EventSourcing]];
+  * identical semantics, verified against the same DuckDB oracles.
+  */
+object Streams extends OpFamily {
+
+  private def centsL(v: Double): Long = math.round(v * 100)
+
+  /** Surge `applyAsync`: fold this batch of events (ordered by ts,
+    * event_id) into the aggregate's state. */
+  def applyEvents(uid: Long, prior: Option[AccountState], evs: Seq[Ev]): AccountState = {
+    val st = prior.getOrElse(AccountState(uid, 0L, 0L, 0L, Long.MinValue))
+    evs.sortBy(e => (e.ts.getTime, e.event_id)).foldLeft(st) { (acc, e) =>
+      val delta = e.event_type match {
+        case "purchase" => centsL(e.value)
+        case "error"    => -centsL(e.value)
+        case "signup"   => 1000L
+        case _          => 0L
+      }
+      AccountState(uid, acc.balance_c + delta,
+        acc.n_purchases + (if (e.event_type == "purchase") 1 else 0),
+        acc.n_events + 1,
+        math.max(acc.last_ts_s, math.floorDiv(e.ts.getTime, 1000L)))
+    }
+  }
+
+  /** E7: stateful streaming fold (one state slot per aggregate). */
+  def foldEvents(ds: Dataset[Ev]): Dataset[AccountState] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AccountState, AccountState](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[AccountState]) =>
+          val next = applyEvents(uid, state.getOption, it.toSeq)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** Streaming source over the driver's events table (file source —
+    * stands in for the Kafka source, which carries the same
+    * key/value/timestamp shape). */
+  def eventStream(s: SparkSession, d: String): Dataset[Ev] = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val stream = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val conv =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else stream
+    conv.select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+  }
+
+  /** Run a streaming DF to completion into a memory sink, return the
+    * materialized table. */
+  def runToTable(s: SparkSession, df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+
+  // E7 as a driver-verifiable query: fold the whole log through the
+  // streaming path; oracle identical to the batch fold (es_state_fold).
+  private def streamFold(s: SparkSession, d: String): DataFrame = {
+    val folded = foldEvents(eventStream(s, d)).toDF()
+    val t = runToTable(s, folded, "graft_stream_fold", "update")
+    // one batch ⇒ one update per key; keep the last state defensively
+    t.groupBy("user_id")
+      .agg(max_by(struct(col("balance_c"), col("n_purchases"), col("n_events"),
+        col("last_ts_s")), col("n_events")).as("st"))
+      .select(col("user_id"), col("st.balance_c"), col("st.n_purchases"),
+        col("st.n_events"), col("st.last_ts_s"))
+  }
+
+  // E8: streaming KTable — latest-state store maintained as a streaming
+  // aggregation (complete mode = the compacted-topic snapshot).
+  private def streamLatest(s: SparkSession, d: String): DataFrame = {
+    val ev = eventStream(s, d)
+    val agg = ev.toDF().groupBy("user_id")
+      .agg(
+        max_by(struct(col("event_type").as("t"), col("value").as("v")),
+          struct(col("ts"), col("event_id"))).as("last"),
+        max(col("ts")).as("mts"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_timestamp(col("mts")).as("last_ts_s"),
+        col("last.t").as("last_type"), col("last.v").as("last_value"), col("n_events"))
+    runToTable(s, agg, "graft_stream_latest", "complete")
+  }
+
+  // W5: streaming tumbling-window aggregation.
+  private def streamWindow(s: SparkSession, d: String): DataFrame = {
+    val agg = eventStream(s, d).toDF()
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_c"))
+      .select(unix_timestamp(col("w.start")).as("bucket_s"), col("event_type"),
+        col("n"), col("sum_c"))
+    runToTable(s, agg, "graft_stream_window", "complete")
+  }
+
+  // W6: streaming dedup on event id with watermarked state expiry.
+  private def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val deduped = eventStream(s, d).toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id", "ts")
+    runToTable(s, deduped, "graft_stream_dedup", "append")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+  }
+
+  private val streamFoldSql =
+    """SELECT user_id,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value*100,0) AS BIGINT)
+      |     WHEN event_type = 'error' THEN -CAST(round(value*100,0) AS BIGINT)
+      |     WHEN event_type = 'signup' THEN 1000
+      |     ELSE 0 END) AS BIGINT) AS balance_c,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+      |  count(*) AS n_events,
+      |  CAST(floor(epoch(max(ts))) AS BIGINT) AS last_ts_s
+      |FROM events GROUP BY user_id""".stripMargin
+
+  private val streamLatestSql =
+    """SELECT user_id, CAST(floor(epoch(mts)) AS BIGINT) AS last_ts_s,
+      |       last_type, last_value, n_events
+      |FROM (
+      |  SELECT user_id, event_type AS last_type, value AS last_value,
+      |    max(ts) OVER (PARTITION BY user_id) AS mts,
+      |    count(*) OVER (PARTITION BY user_id) AS n_events,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1""".stripMargin
+
+  private val streamWindowSql =
+    """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_s, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_c
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  private val streamDedupSql =
+    """SELECT event_type, count(DISTINCT event_id) AS n FROM events GROUP BY 1""".stripMargin
+
+  override def ops: Seq[Op] = Seq(
+    Op("stream_fold", streamFold, Some(streamFoldSql)),
+    Op("stream_latest", streamLatest, Some(streamLatestSql)),
+    Op("stream_window", streamWindow, Some(streamWindowSql)),
+    Op("stream_dedup", streamDedup, Some(streamDedupSql)))
+}
