@@ -1,0 +1,23 @@
+package graft
+
+/** Every declared operator runs and produces a sane result shape. */
+class OperatorSmokeSpec extends SparkSpec {
+  private val mayBeEmpty = Set("anti_join") // every sf0.001 customer has orders
+
+  SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+    test(s"$name runs and returns rows") {
+      val df = run(name)
+      val n = df.count()
+      assert(df.columns.nonEmpty)
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every oracle name matches a query name") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
