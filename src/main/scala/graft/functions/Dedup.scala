@@ -64,7 +64,8 @@ object Dedup extends OpFamily {
   }
 
   private def candidatePairs(s: SparkSession, d: String): DataFrame = {
-    val b = bandsDf(s, d)
+    // self-join: materialize the (small) band table once, not per side
+    val b = bandsDf(s, d).cache()
     val a1 = b.alias("a")
     val a2 = b.alias("b")
     a1.join(a2, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -93,9 +94,13 @@ object Dedup extends OpFamily {
   private def dedupMinhash(s: SparkSession, d: String): DataFrame = candidatePairs(s, d)
 
   // D3: exact 3-shingle Jaccard on the D2 candidates (verify stage).
+  // The distinct shingle set feeds three consumers (candidate mining via
+  // bands, the intersection join twice) — materialize it once instead of
+  // re-deriving parquet→split→explode per consumer. Same move a 100 TB
+  // run makes by checkpointing the shingle table before the verify join.
   private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val cand = candidatePairs(s, d)
-    val dsh = shingled(s, d).distinct()
+    val cand = candidatePairs(s, d).cache()
+    val dsh = shingled(s, d).distinct().cache()
     val sz = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(dsh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
