@@ -12,8 +12,10 @@ object SparkEntry {
     operators.Windows,
     operators.MetricsOps,
     operators.Relational,
+    operators.RangeJoin,
     functions.TextAnalysis,
     functions.Dedup,
+    functions.SimHash,
     functions.Similarity,
     functions.Multimodal,
     streaming.Streams)

@@ -36,6 +36,39 @@ object Multimodal extends OpFamily {
       |  CAST(octet_length(encode(text)) AS BIGINT) % 7 + 1 AS n_frames
       |FROM documents""".stripMargin
 
+  // X2: frame/chunk sampling — the "decode every Nth video frame"
+  // access pattern over an opaque payload, kept fully distributed: the
+  // frame plan (offsets/lengths) is computed relationally with
+  // posexplode, and only sampled byte ranges are touched. The chunk
+  // checksum stands in for the decoded frame (no media libs here); a
+  // real decoder drops into the same per-chunk slot via mapPartitions.
+  private def frameSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("len"))
+      .withColumn("n_frames", expr("(len - 1) div 1000 + 1"))
+      .select(col("doc_id"), col("text"), col("len"),
+        posexplode(expr("sequence(0, cast(n_frames - 1 as int))")))
+      .filter(col("pos") % 3 === 0)
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("frame_id"),
+        (col("pos") * 1000L).as("offset"),
+        least(lit(1000L), col("len") - col("pos") * 1000L).as("frame_len"),
+        md5(expr("substr(text, pos * 1000 + 1, least(16, len - pos * 1000))")).as("chk"))
+
+  private val frameSampleSql =
+    """WITH b AS (
+      |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+      |    (CAST(length(text) AS BIGINT) - 1) // 1000 + 1 AS n_frames
+      |  FROM documents),
+      |f AS (SELECT doc_id, text, len, unnest(range(0, n_frames)) AS pos FROM b)
+      |SELECT doc_id, CAST(pos AS BIGINT) AS frame_id, pos * 1000 AS offset,
+      |  least(1000, len - pos * 1000) AS frame_len,
+      |  md5(substring(text, CAST(pos * 1000 + 1 AS INT), CAST(least(16, len - pos * 1000) AS INT))) AS chk
+      |FROM f WHERE pos % 3 = 0""".stripMargin
+
   override def ops: Seq[Op] = Seq(
-    Op("mm_binary_meta", binaryMeta, Some(binaryMetaSql)))
+    Op("mm_binary_meta", binaryMeta, Some(binaryMetaSql)),
+    Op("mm_frame_sample", frameSample, Some(frameSampleSql)))
 }

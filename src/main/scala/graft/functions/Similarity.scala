@@ -26,17 +26,25 @@ object Similarity extends OpFamily {
   def quantizeSql(c: String): String =
     s"list_transform($c, x -> CAST(round(CAST(x AS DOUBLE)*1000, 0) AS BIGINT))"
 
+  /** Exact int64 dot product — a custom codegen'd Catalyst expression
+    * ([[graft.functions.expressions.LongDotProduct]]); the
+    * `aggregate(zip_with(...))` composition is semantically identical
+    * but interpreted and codegen-breaking. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(expressions.LongDotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** Σ v_i² (exact int64). */
-  def sqNorm(v: Column): Column =
-    aggregate(transform(v, x => x * x), lit(0L), (acc, x) => acc + x)
+  def sqNorm(v: Column): Column = dot(v, v)
 
   def sqNormSql(v: String): String =
     s"CAST(list_sum(list_transform($v, x -> x * x)) AS BIGINT)"
 
   /** cos(a,b) = dot/(√(na·nb)) with exact int64 dot and norms. */
   def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-      .cast("double") / sqrt((na * nb).cast("double"))
+    dot(a, b).cast("double") / sqrt((na * nb).cast("double"))
 
   def cosineSql(a: String, b: String, na: String, nb: String): String =
     s"CAST(list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i])) AS DOUBLE)" +
@@ -120,7 +128,55 @@ object Similarity extends OpFamily {
        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rn FROM x)
        |SELECT q_id, vec_id, bucket, cos_sim, rn FROM r WHERE rn <= 5""".stripMargin
 
+  // S3: IVF — partition the corpus into k=16 Voronoi cells around
+  // deterministic centroids (the first 16 vectors); a probe searches
+  // only its own cell (1/k of the corpus at scale). All cell-assignment
+  // arithmetic is exact int64: dist²(v,c) = |v|² + |c|² − 2·v·c.
+  private def annIvf(s: SparkSession, d: String): DataFrame = {
+    val all = quantized(s, d)
+    val cent = broadcast(all.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nn").as("cnn")))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("dist2"), col("cid"))
+    val assigned = all.join(cent)
+      .select(col("vec_id"), col("v"), col("nn"), col("cid"),
+        (col("nn") + col("cnn") - lit(2L) * dot(col("v"), col("cv"))).as("dist2"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nn"), col("cid").as("cell"))
+    val queries = broadcast(assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qnn"),
+        col("cell")))
+    val corpus = assigned.filter(col("vec_id") >= 5)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    corpus.join(queries, Seq("cell"))
+      .select(col("q_id"), col("vec_id"), col("cell"),
+        cosine(col("qv"), col("v"), col("qnn"), col("nn")).as("cos_sim"))
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .filter(col("rn") <= 5)
+  }
+
+  private val annIvfSql =
+    s"""WITH $quantizedCte,
+       |cent AS (SELECT vec_id AS cid, v AS cv, nn AS cnn FROM n WHERE vec_id < 16),
+       |ad AS (
+       |  SELECT vec_id, v, nn, cid,
+       |    nn + cnn - 2 * CAST(list_sum(list_transform(range(1, len(v)+1), i -> v[i] * cv[i])) AS BIGINT) AS dist2
+       |  FROM n, cent),
+       |cellof AS (
+       |  SELECT vec_id, v, nn, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM ad)
+       |  WHERE rn = 1),
+       |x AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id, q.cell,
+       |    ${cosineSql("q.v", "c.v", "q.nn", "c.nn")} AS cos_sim
+       |  FROM cellof q JOIN cellof c ON q.cell = c.cell AND q.vec_id < 5 AND c.vec_id >= 5),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rn FROM x)
+       |SELECT q_id, vec_id, cell, cos_sim, rn FROM r WHERE rn <= 5""".stripMargin
+
   override def ops: Seq[Op] = Seq(
     Op("cosine_topk", cosineTopK, Some(cosineTopKSql)),
-    Op("ann_lsh", annLsh, Some(annLshSql)))
+    Op("ann_lsh", annLsh, Some(annLshSql)),
+    Op("ann_ivf", annIvf, Some(annIvfSql)))
 }

@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge.
+  *
+  * Spark 4 moved Column onto ColumnNode and made the converters
+  * `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`).
+  * Custom Catalyst expressions still need to surface as `Column`s, so
+  * this shim lives inside the sql package tree — the established
+  * pattern for Spark extension libraries. Nothing else in graft
+  * reaches into Spark internals.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
