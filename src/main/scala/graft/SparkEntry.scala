@@ -18,7 +18,8 @@ object SparkEntry {
     functions.SimHash,
     functions.Similarity,
     functions.Multimodal,
-    streaming.Streams)
+    streaming.Streams,
+    api.AccountOps)
 
   private lazy val allOps: Seq[Op] = families.flatMap(_.ops)
 
