@@ -194,7 +194,33 @@ object EventSourcing extends OpFamily {
       |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |FROM events""".stripMargin
 
+  // A4: skew-safe fold — identical semantics to E2, but aggregated in
+  // two phases: first on (user_id, salt) — spreading a hot aggregate
+  // key over 16 partitions — then merged on user_id. At 100 TB a
+  // single celebrity key can stall the E2 shuffle; this is the
+  // standard mitigation, and its oracle is E2's, proving the salted
+  // path bit-exact. (Spark's partial aggregation already combines
+  // map-side; explicit salting additionally splits the REDUCE side.)
+  private def stateFoldSalted(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy("user_id", "salt")
+      .agg(
+        sum(signedCents).as("p_bal"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p_pur"),
+        count(lit(1)).as("p_n"),
+        max(col("ts")).as("p_mts"))
+      .groupBy("user_id")
+      .agg(
+        sum(col("p_bal")).as("balance_c"),
+        sum(col("p_pur")).as("n_purchases"),
+        sum(col("p_n")).as("n_events"),
+        max(col("p_mts")).as("mts"))
+      .select(col("user_id"), col("balance_c"), col("n_purchases"), col("n_events"),
+        epochS(col("mts")).as("last_ts_s"))
+
   override def ops: Seq[Op] = Seq(
+    Op("es_fold_salted", stateFoldSalted, Some(foldSql(""))),
     Op("es_latest_state", latestState, Some(latestStateSql)),
     Op("es_state_fold", stateFold, Some(foldSql(""))),
     Op("es_replay_asof", replayAsof,
