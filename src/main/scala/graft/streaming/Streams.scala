@@ -140,6 +140,52 @@ object Streams extends OpFamily {
       .groupBy("event_type").agg(count(lit(1)).as("n"))
   }
 
+  /** Surge actors passivate after idling (PersistentActor stop-on-idle)
+    * — the streaming analog expires per-aggregate state via event-time
+    * timeout: once the watermark passes last_event + gap, the final
+    * state is emitted and the slot freed. Bounded state at any key
+    * cardinality. */
+  def foldWithPassivation(ds: Dataset[Ev], gapMinutes: Int): Dataset[AccountState] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AccountState, AccountState](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[AccountState]) =>
+          if (state.hasTimedOut) {
+            val finalState = state.get
+            state.remove()
+            Iterator.single(finalState)
+          } else {
+            val next = applyEvents(uid, state.getOption, it.toSeq)
+            state.update(next)
+            state.setTimeoutTimestamp(next.last_ts_s * 1000L + gapMinutes * 60000L)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Streaming session windows — surge's advance-on-silence window
+    * semantics natively in Structured Streaming. */
+  def sessionCounts(df: DataFrame, gap: String): DataFrame =
+    df.withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("sess_n"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("sess_start_s"),
+        col("sess_n"))
+
+  /** Micro-batch transactional sink: each batch lands atomically as
+    * one parquet directory keyed by batch id (the foreachBatch
+    * exactly-once-per-batch pattern used for non-idempotent stores). */
+  def foreachBatchSink(df: DataFrame, outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_$id")
+        ()
+      }
+      .outputMode("update")
+      .start()
+
   private val streamFoldSql =
     """SELECT user_id,
       |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value*100,0) AS BIGINT)
