@@ -219,7 +219,28 @@ object EventSourcing extends OpFamily {
       .select(col("user_id"), col("balance_c"), col("n_purchases"), col("n_events"),
         epochS(col("mts")).as("last_ts_s"))
 
+  // E11: running state after EVERY event — the audit-trail view of the
+  // fold (state history, not just the latest snapshot). One shuffle on
+  // the aggregate id, ordered frame sum within the partition.
+  private def runningState(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("seq_no", row_number().over(w).cast("long"))
+      .withColumn("bal_running",
+        sum(signedCents).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select("event_id", "user_id", "seq_no", "bal_running")
+  }
+
+  private val runningStateSql =
+    s"""SELECT event_id, user_id,
+       |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq_no,
+       |  CAST(sum($signedCentsSql) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS bal_running
+       |FROM events""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("es_running_state", runningState, Some(runningStateSql)),
     Op("es_fold_salted", stateFoldSalted, Some(foldSql(""))),
     Op("es_latest_state", latestState, Some(latestStateSql)),
     Op("es_state_fold", stateFold, Some(foldSql(""))),

@@ -249,7 +249,70 @@ object Relational extends OpFamily {
       |  g.value AS signup_value
       |FROM p ASOF LEFT JOIN g ON p.user_id = g.user_id AND p.ts >= g.ts""".stripMargin
 
+  // R13: CUBE over two dimensions (all four grouping levels).
+  private def cubeAgg(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.analyzer.failAmbiguousSelfJoin", "false")
+    val cust = broadcast(Tables.customer(s, d).select("c_custkey", "c_mktsegment")).as("c")
+    Tables.orders(s, d).as("o")
+      .join(cust, col("o.o_custkey") === col("c.c_custkey"))
+      .select(col("c.c_mktsegment").as("c_mktsegment"),
+        col("o.o_orderstatus").as("o_orderstatus"),
+        cents(col("o.o_totalprice")).as("price_c"))
+      .cube("c_mktsegment", "o_orderstatus")
+      .agg(sum(col("price_c")).as("sum_price_c"), count(lit(1)).as("n"))
+  }
+
+  private val cubeSql =
+    """SELECT c_mktsegment, o_orderstatus,
+      |  CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS sum_price_c,
+      |  count(*) AS n
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY CUBE (c_mktsegment, o_orderstatus)""".stripMargin
+
+  // R14/R15: set operations over key sets (EXCEPT / INTERSECT).
+  private def custYear(s: SparkSession, d: String, y: Int) =
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+      .select("o_custkey").distinct()
+
+  private def exceptOp(s: SparkSession, d: String): DataFrame =
+    custYear(s, d, 1996).except(custYear(s, d, 1997))
+
+  private def exceptSql =
+    """SELECT DISTINCT o_custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |EXCEPT
+      |SELECT DISTINCT o_custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin
+
+  private def intersectOp(s: SparkSession, d: String): DataFrame =
+    custYear(s, d, 1996).intersect(custYear(s, d, 1997))
+
+  private def intersectSql =
+    """SELECT DISTINCT o_custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |INTERSECT
+      |SELECT DISTINCT o_custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin
+
+  // R16: calendar-month aggregation (date_trunc windows).
+  private def monthlyAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(cents(col("o_totalprice"))).as("sum_price_c"), count(lit(1)).as("n"))
+
+  private val monthlySql =
+    """SELECT date_trunc('month', o_orderdate) AS month,
+      |  CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS sum_price_c,
+      |  count(*) AS n
+      |FROM orders GROUP BY 1""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("cube", cubeAgg, Some(cubeSql)),
+    Op("set_except", exceptOp, Some(exceptSql)),
+    Op("set_intersect", intersectOp, Some(intersectSql)),
+    Op("monthly_agg", monthlyAgg, Some(monthlySql)),
     Op("q1_agg", q1Agg, Some(q1Sql)),
     Op("q3_join", q3Join, Some(q3Sql)),
     Op("q5_multijoin", q5MultiJoin, Some(q5Sql)),
