@@ -68,7 +68,63 @@ object Multimodal extends OpFamily {
       |  md5(substring(text, CAST(pos * 1000 + 1 AS INT), CAST(least(16, len - pos * 1000) AS INT))) AS chk
       |FROM f WHERE pos % 3 = 0""".stripMargin
 
+  // X3: feature extraction stub — payload → fixed-width feature vector
+  // (the "embed every image" step). The real encoder is STUBBED with a
+  // deterministic hash-derived projection (8 dims from salted content
+  // digests, scaled to [-1, 1)); schema, determinism, and the one-pass
+  // distributed shape are the real thing. Features are emitted as
+  // scalar columns f0..f7 (engine-neutral comparison).
+  private def featureExtract(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), sha2(col("text").cast("binary"), 256).as("sha"))
+    val feats = (0 until 8).map { k =>
+      (expr(s"cast(conv(substr(md5(concat('$k:', sha)), 1, 8), 16, 10) as bigint) % 2000 - 1000")
+        .cast("double") / lit(1000.0)).as(s"f$k")
+    }
+    base.select(col("doc_id") +: feats: _*)
+  }
+
+  // hex→int without conv(): Σ nibble_i · 16^(8-i) over the first 8 hex
+  // chars (same value conv() parses)
+  private def hexSql(e: String): String =
+    s"CAST(list_sum(list_transform(range(1, 9), i -> " +
+      s"(strpos('0123456789abcdef', substr($e, CAST(i AS INT), 1)) - 1) * CAST(pow(16, 8 - i) AS BIGINT))) AS BIGINT)"
+
+  private val featureExtractSql = {
+    val feats = (0 until 8).map { k =>
+      s"  CAST(${hexSql(s"md5('$k:' || sha)")} % 2000 - 1000 AS DOUBLE)/1000.0 AS f$k"
+    }.mkString(",\n")
+    s"""WITH b AS (SELECT doc_id, sha256(text) AS sha FROM documents)
+       |SELECT doc_id,
+       |$feats
+       |FROM b""".stripMargin
+  }
+
   override def ops: Seq[Op] = Seq(
     Op("mm_binary_meta", binaryMeta, Some(binaryMetaSql)),
-    Op("mm_frame_sample", frameSample, Some(frameSampleSql)))
+    Op("mm_frame_sample", frameSample, Some(frameSampleSql)),
+    Op("mm_feature_extract", featureExtract, Some(featureExtractSql)))
+
+  /** The decoder slot: batch media decode over binary payloads via
+    * `mapPartitions` — one decoder instance per partition (the pattern
+    * for model/codec reuse), deterministic stub in place of the codec.
+    * At scale the stub body is the only thing that changes. */
+  final case class DecodedFrame(doc_id: Long, width: Int, height: Int, checksum: String)
+
+  def decodePartitions(s: SparkSession, d: String): org.apache.spark.sql.Dataset[DecodedFrame] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition "codec" init happens here, once
+        val codecSeed = 0x5eed
+        it.map { case (id, bytes) =>
+          DecodedFrame(id, 64 + (bytes.length ^ codecSeed) % 577,
+            64 + bytes.length % 577,
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(bytes).map("%02x".format(_)).mkString)
+        }
+      }
+  }
 }
