@@ -308,7 +308,26 @@ object Relational extends OpFamily {
       |  count(*) AS n
       |FROM orders GROUP BY 1""".stripMargin
 
+  // R17: FULL OUTER join — per-customer order rollup keeping both
+  // order-less customers and (synthetically possible) orphan orders.
+  private def outerJoin(s: SparkSession, d: String): DataFrame = {
+    val ordAgg = Tables.orders(s, d).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("sum_price_c"))
+    Tables.customer(s, d).select("c_custkey", "c_name")
+      .join(ordAgg, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(col("c_custkey"), col("c_name"), col("o_custkey"),
+        col("n_orders"), col("sum_price_c"))
+  }
+
+  private val outerJoinSql =
+    """SELECT c_custkey, c_name, o_custkey, n_orders, sum_price_c
+      |FROM customer FULL OUTER JOIN (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |    CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS sum_price_c
+      |  FROM orders GROUP BY 1) o ON c_custkey = o.o_custkey""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("outer_join", outerJoin, Some(outerJoinSql)),
     Op("cube", cubeAgg, Some(cubeSql)),
     Op("set_except", exceptOp, Some(exceptSql)),
     Op("set_intersect", intersectOp, Some(intersectSql)),
