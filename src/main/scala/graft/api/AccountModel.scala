@@ -113,7 +113,23 @@ object AccountOps extends OpFamily {
        |  FROM walk w JOIN cmds c ON c.user_id = w.user_id AND c.rn = w.rn + 1)
        |SELECT event_id, user_id, accepted FROM walk""".stripMargin
 
+  // the engine's CONTINUOUS path over the same log: streamingState
+  // through a real streaming query must converge to batch replay —
+  // checked against the identical oracle.
+  private def apiStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val folded = engine(s).streamingState(graft.streaming.Streams.eventStream(s, d))
+      .map(k => (k.aggregateId, k.state.balance_c, k.state.n_purchases, k.state.n_events))
+      .toDF("user_id", "balance_c", "n_purchases", "n_events")
+    val t = graft.streaming.Streams.runToTable(s, folded, "graft_api_stream", "update")
+    t.groupBy("user_id")
+      .agg(max_by(struct(col("balance_c"), col("n_purchases"), col("n_events")),
+        col("n_events")).as("st"))
+      .select(col("user_id"), col("st.balance_c"), col("st.n_purchases"), col("st.n_events"))
+  }
+
   override def ops: Seq[Op] = Seq(
     Op("api_replay", apiReplay, Some(apiReplaySql)),
-    Op("api_commands", apiCommands, Some(apiCommandsSql)))
+    Op("api_commands", apiCommands, Some(apiCommandsSql)),
+    Op("api_stream", apiStream, Some(apiReplaySql)))
 }
