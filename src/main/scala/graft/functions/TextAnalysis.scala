@@ -120,7 +120,31 @@ object TextAnalysis extends OpFamily {
       |  list_aggregate(list_transform(range(1, length(text)-3), i -> md5('1:' || substring(text, i, 5))), 'min') AS fp1
       |FROM documents WHERE length(text) >= 5""".stripMargin
 
+  // T5: deterministic stratified sampling — per-stratum rates keyed on
+  // a content hash, so the sample is stable across runs, engines, and
+  // partitionings (the reproducible-training-subset requirement).
+  // en is downsampled to 40%, everything else kept at 80%.
+  private def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val bucket = expr("cast(conv(substr(md5(text), 1, 8), 16, 10) as bigint) % 10")
+    val rate = when(col("lang") === "en", lit(4L)).otherwise(lit(8L))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .filter(col("bucket") < rate)
+      .select("doc_id", "lang", "bucket")
+  }
+
+  private val sampleStratifiedSql =
+    """WITH b AS (
+      |  SELECT doc_id, lang,
+      |    CAST(list_sum(list_transform(range(1, 9), i ->
+      |      (strpos('0123456789abcdef', substr(md5(text), CAST(i AS INT), 1)) - 1)
+      |        * CAST(pow(16, 8 - i) AS BIGINT))) AS BIGINT) % 10 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, lang, bucket FROM b
+      |WHERE bucket < CASE WHEN lang = 'en' THEN 4 ELSE 8 END""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     Op("text_langid", langId, Some(langIdSql)),
     Op("text_quality", quality, Some(qualitySql)),
     Op("text_tokens", tokens, Some(tokensSql)),
