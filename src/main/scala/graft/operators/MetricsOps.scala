@@ -109,7 +109,27 @@ object MetricsOps extends OpFamily {
       |  count(*) AS n, CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_c
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // M5: exact interpolated percentiles per sensor. Engines interpolate
+  // with differently-ordered arithmetic (last-ulp drift), but on
+  // integer cents every true percentile is a multiple of 0.1, so
+  // round(·,4) is exact on both sides.
+  private def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(cast(round(value*100,0) as bigint), 0.5)"), 4).as("p50_c"),
+        round(expr("percentile(cast(round(value*100,0) as bigint), 0.9)"), 4).as("p90_c"),
+        count(lit(1)).as("n"))
+
+  private val percentilesSql =
+    """SELECT event_type,
+      |  round(quantile_cont(CAST(round(value*100,0) AS BIGINT), 0.5), 4) AS p50_c,
+      |  round(quantile_cont(CAST(round(value*100,0) AS BIGINT), 0.9), 4) AS p90_c,
+      |  count(*) AS n
+      |FROM events GROUP BY 1""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("metric_percentile", percentiles, Some(percentilesSql)),
     Op("metric_stats", stats, Some(statsSql)),
     Op("metric_ewma", ewma, Some(ewmaSql)),
     Op("metric_rate", rate, Some(rateSql)),
