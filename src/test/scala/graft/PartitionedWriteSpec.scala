@@ -27,6 +27,30 @@ class PartitionedWriteSpec extends SparkSpec {
       Tables.events(spark, sf).filter(col("event_type") === "purchase").count())
   }
 
+  test("bucketed tables join with zero exchanges (co-located join)") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("b_orders")
+    Tables.customer(spark, sf).select("c_custkey", "c_name")
+      .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("b_customer")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"), col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // both sides already hash-bucketed by the join key ⇒ sort-merge
+      // join with NO shuffle exchange — at 100 TB this removes the
+      // dominant cost of every fact⋈fact join on the bucket key
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
+      assert(joined.count() == Tables.orders(spark, sf).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("LongDotProduct equals the compositional aggregate(zip_with) form") {
     val df = Tables.embeddings(spark, sf)
       .select(Similarity.quantize(col("embedding")).as("v"))
