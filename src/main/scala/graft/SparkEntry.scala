@@ -13,6 +13,7 @@ object SparkEntry {
     operators.MetricsOps,
     operators.Relational,
     operators.RangeJoin,
+    operators.Behavioral,
     functions.TextAnalysis,
     functions.Dedup,
     functions.SimHash,
