@@ -30,6 +30,16 @@ class PartitionedWriteSpec extends SparkSpec {
   test("bucketed tables join with zero exchanges (co-located join)") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
+    // the in-memory catalog forgets tables between JVMs but the
+    // warehouse directories survive — clear them or CTAS refuses
+    Seq("b_orders", "b_customer").foreach { t =>
+      val p = java.nio.file.Paths.get(s"/tmp/graft_warehouse/$t")
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
     Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
       .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
       .saveAsTable("b_orders")
