@@ -41,25 +41,41 @@ object Dedup extends OpFamily {
   private val nHashes = 16
   private val nBands = 4 // 4 rows per band
 
+  // One md5 per shingle; the 16 minhash functions are derived by
+  // Kirsch–Mitzenmacher double hashing g_j = a + j·b over two 32-bit
+  // halves of the digest — the standard constant-cost way to get a
+  // hash family for LSH (16× fewer digest computations at any scale).
+  // a,b < 2^32 and j ≤ 15, so every g_j is exact int64 in any engine.
   private def bandsDf(s: SparkSession, d: String): DataFrame = {
+    val ab = shingled(s, d).select(col("doc_id"), md5(col("s")).as("h"))
+      .select(col("doc_id"),
+        expr("cast(conv(substr(h, 1, 8), 16, 10) as bigint)").as("a"),
+        expr("cast(conv(substr(h, 9, 8), 16, 10) as bigint)").as("b"))
     val hashAggs = (0 until nHashes).map(j =>
-      min(md5(concat(lit(s"$j:"), col("s")))).as(s"h$j"))
-    val mh = shingled(s, d).groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
+      min(col("a") + lit(j.toLong) * col("b")).as(s"h$j"))
+    val mh = ab.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat_ws("|", (0 until 4).map(r => col(s"h${b * 4 + r}")): _*)).as("bh"))
+        md5(concat_ws("|", (0 until 4).map(r => col(s"h${b * 4 + r}").cast("string")): _*)).as("bh"))
     }
     mh.select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
   }
 
+  // hex→int64 for the oracle (DuckDB cannot conv()): Σ nibble·16^k
+  private def hexCol(start: Int): String =
+    s"CAST(list_sum(list_transform(range(0, 8), i -> " +
+      s"(strpos('0123456789abcdef', substr(h, $start + CAST(i AS INT), 1)) - 1) * CAST(pow(16, 7 - i) AS BIGINT))) AS BIGINT)"
+
   private def minhashCte = {
-    val mins = (0 until nHashes).map(j => s"min(md5('$j:' || s)) AS h$j").mkString(", ")
+    val mins = (0 until nHashes).map(j => s"CAST(min(a + $j * b) AS BIGINT) AS h$j").mkString(", ")
     val bandSelects = (0 until nBands).map { b =>
-      val cc = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
+      val cc = (0 until 4).map(r => s"CAST(h${b * 4 + r} AS VARCHAR)").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($cc) AS bh FROM mh"
     }.mkString(" UNION ALL ")
-    s"""mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+    s"""ab AS (SELECT doc_id, ${hexCol(1)} AS a, ${hexCol(9)} AS b
+       |       FROM (SELECT doc_id, md5(s) AS h FROM sh)),
+       |mh AS (SELECT doc_id, $mins FROM ab GROUP BY doc_id),
        |bands AS ($bandSelects)""".stripMargin
   }
 
