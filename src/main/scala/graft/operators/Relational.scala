@@ -326,7 +326,27 @@ object Relational extends OpFamily {
       |    CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS sum_price_c
       |  FROM orders GROUP BY 1) o ON c_custkey = o.o_custkey""".stripMargin
 
+  // R18: same result as R4 but through graft's custom physical
+  // operator (bounded per-key heaps, no sort) — the oracle proves the
+  // operator agrees with the window-function semantics exactly.
+  private def topkCustom(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    val joined = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
+    graft.plans.TopK.topKPerKey(joined, 3, "c_mktsegment", "price_c", "o_orderkey")
+  }
+
+  private val topkCustomSql =
+    """SELECT c_mktsegment, o_orderkey, CAST(round(o_totalprice*100,0) AS BIGINT) AS price_c
+      |FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) rn
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |WHERE rn <= 3""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("topk_custom", topkCustom, Some(topkCustomSql)),
     Op("outer_join", outerJoin, Some(outerJoinSql)),
     Op("cube", cubeAgg, Some(cubeSql)),
     Op("set_except", exceptOp, Some(exceptSql)),
