@@ -144,6 +144,9 @@ object Similarity extends OpFamily {
       .withColumn("rn", row_number().over(wCell))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("nn"), col("cid").as("cell"))
+      // consumed by both the probe and corpus sides — materialize the
+      // assignment once (at scale: a persisted/bucketed index table)
+      .cache()
     val queries = broadcast(assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qnn"),
         col("cell")))
