@@ -17,6 +17,7 @@ object SparkEntry {
     functions.TextAnalysis,
     functions.Dedup,
     functions.SimHash,
+    functions.Clusters,
     functions.Similarity,
     functions.Multimodal,
     streaming.Streams,

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Op, OpFamily}
+import graft.sources.Tables
+
+/** Dup-cluster resolution — the step that turns candidate PAIRS into a
+  * shippable training corpus.
+  *
+  * D1–D5 find near-duplicate pairs; a pipeline must still decide which
+  * documents to KEEP. That is connected components over the pair graph
+  * (near-dup-ness is not transitive, but a training-dedup pipeline
+  * treats it as such: one survivor per component), with the
+  * deterministic min-doc_id as each cluster's canonical label.
+  *
+  * Spark-first CC: iterative min-label propagation over the symmetric
+  * edge list — each round is one equi-join + one hash-agg (pure
+  * DataFrame ops, no RDDs), followed by a pointer-jumping round
+  * (label := label-of-label) that halves the remaining label depth, so
+  * convergence is O(log diameter) rounds rather than O(diameter).
+  * Near-dup components are near-cliques (every member collides with the
+  * seed in some band), so in practice 2–3 rounds close at any scale; a
+  * 100 TB run would checkpoint the label table per round to truncate
+  * lineage, exactly where the `.cache()` calls sit below.
+  *
+  * Reference analog: this is the read-side compaction a
+  * surge-style engine performs when collapsing an event log to one
+  * canonical row per aggregate — here the "aggregate" is the duplicate
+  * cluster discovered from content, not a declared key.
+  */
+object Clusters extends OpFamily {
+
+  /** Connected components over an undirected edge list (doc_a, doc_b):
+    * returns (node, lab) where lab = min doc_id reachable.
+    *
+    * Each round's result is `localCheckpoint`ed (a 100 TB run uses a
+    * reliable `checkpoint` dir instead): without lineage truncation an
+    * iterative self-join doubles the logical plan every round —
+    * exponential planning cost kills the DRIVER long before the
+    * executors see data. */
+  private[functions] def components(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("lab", col("node")).localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 32) {
+      // neighbor-min: lab(n) := min(lab(n), min over edges (n,m) of lab(m))
+      val viaEdges = sym
+        .join(labels.select(col("node").as("dst"), col("lab")), "dst")
+        .select(col("src").as("node"), col("lab"))
+      val folded = labels.union(viaEdges)
+        .groupBy("node").agg(min(col("lab")).as("lab"))
+      // pointer jump: lab(n) := lab(lab(n)) — labels are themselves
+      // nodes, so one more join halves remaining chain depth
+      val jumped = folded
+        .join(folded.select(col("node").as("lab"), col("lab").as("lab2")), "lab")
+        .select(col("node"), col("lab2").as("lab"))
+        .localCheckpoint(true)
+      val changed = jumped
+        .join(labels.withColumnRenamed("lab", "old"), "node")
+        .filter(col("lab") < col("old")).limit(1).count()
+      labels = jumped
+      converged = changed == 0L
+      rounds += 1
+    }
+    labels
+  }
+
+  // dedup_clusters: components over the D2 (MinHash-LSH) ∪ D4 (SimHash)
+  // pair graph, joined back onto the full corpus — every document gets
+  // a cluster_id (its own id if it duplicates nothing) and a keep flag
+  // (true iff it is the cluster's canonical min-doc_id survivor).
+  private def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val edges = Dedup.candidatePairs(s, d).select("doc_a", "doc_b")
+      .union(SimHash.simhashPairs(s, d).select("doc_a", "doc_b"))
+      .distinct()
+    val labels = components(edges).withColumnRenamed("node", "doc_id")
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lab"), col("doc_id")).as("cluster_id"),
+        (coalesce(col("lab"), col("doc_id")) === col("doc_id")).as("keep"))
+  }
+
+  // Oracle: transitive closure via recursive CTE — min label reachable
+  // from each node over the same D2 ∪ D4 edge set.
+  private def dedupClustersSql =
+    s"""WITH RECURSIVE ${Dedup.candCtes},
+       |${SimHash.pairsCtes},
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  UNION SELECT doc_a, doc_b FROM spairs),
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM edges
+       |  UNION SELECT doc_b, doc_a FROM edges),
+       |reach(node, lab) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT s.src, r.lab FROM sym s JOIN reach r ON r.node = s.dst),
+       |cl AS (SELECT node, CAST(min(lab) AS BIGINT) AS cid FROM reach GROUP BY node)
+       |SELECT d.doc_id,
+       |  COALESCE(c.cid, d.doc_id) AS cluster_id,
+       |  COALESCE(c.cid, d.doc_id) = d.doc_id AS keep
+       |FROM documents d LEFT JOIN cl c ON c.node = d.doc_id""".stripMargin
+
+  override def ops: Seq[Op] = Seq(
+    Op("dedup_clusters", dedupClusters, Some(dedupClustersSql)))
+}

@@ -79,7 +79,7 @@ object Dedup extends OpFamily {
        |bands AS ($bandSelects)""".stripMargin
   }
 
-  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
+  private[functions] def candidatePairs(s: SparkSession, d: String): DataFrame = {
     // self-join: materialize the (small) band table once, not per side
     val b = bandsDf(s, d).cache()
     val a1 = b.alias("a")
@@ -90,11 +90,18 @@ object Dedup extends OpFamily {
       .distinct()
   }
 
+  /** CTE bundle ending in `cand(doc_a, doc_b)` — the D2 candidate pairs;
+    * shared with the cluster-resolution oracle ([[Clusters]]). */
+  private[functions] def candCtes: String =
+    s"""$shingleCte,
+       |$minhashCte,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+
   private def candSql =
-    s"""WITH $shingleCte,
-       |$minhashCte
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin
+    s"""WITH $candCtes
+       |SELECT doc_a, doc_b FROM cand""".stripMargin
 
   // D1: exact dedup on content digest; canonical survivor = min doc_id.
   private def dedupExact(s: SparkSession, d: String): DataFrame =
@@ -116,7 +123,14 @@ object Dedup extends OpFamily {
   // run makes by checkpointing the shingle table before the verify join.
   private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     val cand = candidatePairs(s, d).cache()
-    val dsh = shingled(s, d).distinct().cache()
+    // semi-join the shingle table down to docs that appear in some
+    // candidate pair BEFORE the two intersection probes — at scale the
+    // candidate docs are a tiny fraction of the corpus, so this shrinks
+    // both probe sides from |corpus shingles| to |candidate shingles|.
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val dsh = shingled(s, d).distinct()
+      .join(candDocs, Seq("doc_id"), "left_semi").cache()
     val sz = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(dsh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
@@ -132,11 +146,7 @@ object Dedup extends OpFamily {
   }
 
   private def jaccardSql =
-    s"""WITH $shingleCte,
-       |$minhashCte,
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    s"""WITH $candCtes,
        |dsh AS (SELECT DISTINCT doc_id, s FROM sh),
        |sz AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
        |i AS (
@@ -148,14 +158,22 @@ object Dedup extends OpFamily {
        |  CAST(i.inter_n AS DOUBLE)/CAST(sa.n + sb.n - i.inter_n AS DOUBLE) AS jaccard
        |FROM i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b""".stripMargin
 
-  // D5: embedding near-dup — label-blocked pairwise quantized cosine.
+  // D5: embedding near-dup — pairwise quantized cosine, blocked on the
+  // 256-way hyperplane-LSH bucket (Similarity.lshBucket). Bucket sizes
+  // are ~n/256 regardless of how labels are distributed, so the
+  // self-join stays bounded at any corpus size; a label-blocked join
+  // would be quadratic in the biggest label population (with a handful
+  // of labels at 100 TB that is effectively all-pairs). True near-dups
+  // (cos→1) collide on all 8 hyperplane signs, so recall at the 0.4+
+  // band is concentrated exactly where a dedup pipeline needs it.
   private def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
-    val q = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+    val q = Tables.embeddings(s, d).select(col("vec_id"),
       Similarity.quantize(col("embedding")).as("v"))
     val n = q.withColumn("nn", Similarity.sqNorm(col("v")))
+      .withColumn("bucket", Similarity.lshBucket(col("v")))
     val a = n.alias("a")
     val b = n.alias("b")
-    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         Similarity.cosine(col("a.v"), col("b.v"), col("a.nn"), col("b.nn")).as("cos_sim"))
       .filter(col("cos_sim") >= 0.4)
@@ -163,12 +181,13 @@ object Dedup extends OpFamily {
 
   private val dedupEmbeddingSql =
     s"""WITH q AS (
-       |  SELECT vec_id, label, ${Similarity.quantizeSql("embedding")} AS v FROM embeddings),
-       |n AS (SELECT vec_id, label, v, ${Similarity.sqNormSql("v")} AS nn FROM q),
+       |  SELECT vec_id, ${Similarity.quantizeSql("embedding")} AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${Similarity.sqNormSql("v")} AS nn,
+       |        ${Similarity.lshBucketSql("v")} AS bucket FROM q),
        |p AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |    ${Similarity.cosineSql("a.v", "b.v", "a.nn", "b.nn")} AS cos_sim
-       |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.4""".stripMargin
 
   override def ops: Seq[Op] = Seq(

@@ -37,21 +37,23 @@ object SimHash extends OpFamily {
     votes.select(col("doc_id"), shBits.reduce(_ + _).as("sh"))
   }
 
-  private val simhashCte =
-    """tok AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
-      |votes AS (
+  // CTE names are prefixed s* so this bundle composes with Dedup's
+  // shingle/band CTEs inside one WITH (the Clusters oracle needs both).
+  private[functions] val simhashCte =
+    """stok AS (SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents),
+      |svotes AS (
       |  SELECT doc_id, j,
       |    CASE WHEN (strpos('0123456789abcdef', substr(h, 1 + CAST(j // 4 AS INT), 1)) - 1)
       |      // CAST(pow(2, 3 - j % 4) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END AS v
-      |  FROM tok, range(0, 60) r(j)),
-      |bits AS (
+      |  FROM stok, range(0, 60) r(j)),
+      |sbits AS (
       |  SELECT doc_id, CASE WHEN CAST(sum(v) AS BIGINT) > 0
       |    THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END AS b
-      |  FROM votes GROUP BY doc_id, j),
-      |sig AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS sh FROM bits GROUP BY doc_id)""".stripMargin
+      |  FROM svotes GROUP BY doc_id, j),
+      |sig AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS sh FROM sbits GROUP BY doc_id)""".stripMargin
 
   // candidate pairs via 4 × 15-bit bands, verified by Hamming ≤ 8
-  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+  private[functions] def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val sig = simhashDf(s, d).cache()
     val bands = sig.select(col("doc_id"), col("sh"),
         posexplode(expr("transform(sequence(0, 3), k -> (sh div cast(pow(2, 15*k) as bigint)) % 32768)")))
@@ -66,17 +68,24 @@ object SimHash extends OpFamily {
       .filter(col("hamming") <= 8)
   }
 
-  private val simhashPairsSql =
-    s"""WITH $simhashCte,
-       |bands AS (
+  /** CTE bundle ending in `spairs(doc_a, doc_b)` — the Hamming-verified
+    * D4 pairs; shared with the cluster-resolution oracle ([[Clusters]]). */
+  private[functions] def pairsCtes: String =
+    s"""$simhashCte,
+       |sbands AS (
        |  SELECT doc_id, sh, k AS band,
        |    (sh // CAST(pow(2, 15*k) AS BIGINT)) % 32768 AS bv
-       |  FROM sig, range(0, 4) r(k))
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
-       |FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.sh, b.sh)) <= 8""".stripMargin
+       |  FROM sig, range(0, 4) r(k)),
+       |spairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       |  FROM sbands a JOIN sbands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sh, b.sh)) <= 8)""".stripMargin
+
+  private val simhashPairsSql =
+    s"""WITH $pairsCtes
+       |SELECT doc_a, doc_b, hamming FROM spairs""".stripMargin
 
   override def ops: Seq[Op] = Seq(
     Op("dedup_simhash", simhashPairs, Some(simhashPairsSql)))
