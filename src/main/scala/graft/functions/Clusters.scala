@@ -39,7 +39,7 @@ object Clusters extends OpFamily {
     * iterative self-join doubles the logical plan every round —
     * exponential planning cost kills the DRIVER long before the
     * executors see data. */
-  private[functions] def components(edges: DataFrame): DataFrame = {
+  private[graft] def components(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().localCheckpoint(true)

@@ -128,37 +128,52 @@ object Similarity extends OpFamily {
        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rn FROM x)
        |SELECT q_id, vec_id, bucket, cos_sim, rn FROM r WHERE rn <= 5""".stripMargin
 
-  // S3: IVF — partition the corpus into k=16 Voronoi cells around
-  // deterministic centroids (the first 16 vectors); a probe searches
-  // only its own cell (1/k of the corpus at scale). All cell-assignment
-  // arithmetic is exact int64: dist²(v,c) = |v|² + |c|² − 2·v·c.
-  private def annIvf(s: SparkSession, d: String): DataFrame = {
+  // S3: IVF — partition the corpus into k Voronoi cells around
+  // deterministic centroids (the first k vectors); a probe searches
+  // its `probes` nearest cells (probes/k of the corpus at scale). All
+  // cell-assignment arithmetic is exact int64:
+  // dist²(v,c) = |v|² + |c|² − 2·v·c.
+  //
+  // Corpus cell assignment is ONE `min_by` hash aggregation — no
+  // ranking window, no sort: a row_number over corpus×k would
+  // shuffle+sort k× the corpus just to pick each row's argmin. The
+  // query side (5 rows, broadcast) can afford its ranking window for
+  // multi-probe cell selection.
+  private[graft] def ivf(s: SparkSession, d: String, k: Int, probes: Int): DataFrame = {
     val all = quantized(s, d)
-    val cent = broadcast(all.filter(col("vec_id") < 16)
+    val cent = broadcast(all.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nn").as("cnn")))
-    val wCell = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("dist2"), col("cid"))
     val assigned = all.join(cent)
       .select(col("vec_id"), col("v"), col("nn"), col("cid"),
         (col("nn") + col("cnn") - lit(2L) * dot(col("v"), col("cv"))).as("dist2"))
-      .withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("nn"), col("cid").as("cell"))
+      .groupBy("vec_id")
+      .agg(min_by(
+        struct(col("v").as("v"), col("nn").as("nn"), col("cid").as("cell")),
+        struct(col("dist2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"), col("m.nn").as("nn"), col("m.cell").as("cell"))
       // consumed by both the probe and corpus sides — materialize the
       // assignment once (at scale: a persisted/bucketed index table)
       .cache()
-    val queries = broadcast(assigned.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qnn"),
-        col("cell")))
+    val qcells = all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qnn"))
+      .join(cent)
+      .select(col("q_id"), col("qv"), col("qnn"), col("cid"),
+        (col("qnn") + col("cnn") - lit(2L) * dot(col("qv"), col("cv"))).as("dist2"))
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("dist2"), col("cid"))))
+      .filter(col("rn") <= probes)
+      .select(col("q_id"), col("qv"), col("qnn"), col("cid").as("cell"))
     val corpus = assigned.filter(col("vec_id") >= 5)
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
-    corpus.join(queries, Seq("cell"))
+    corpus.join(broadcast(qcells), Seq("cell"))
       .select(col("q_id"), col("vec_id"), col("cell"),
         cosine(col("qv"), col("v"), col("qnn"), col("nn")).as("cos_sim"))
       .withColumn("rn", row_number().over(wRank).cast("long"))
       .filter(col("rn") <= 5)
   }
+
+  private def annIvf(s: SparkSession, d: String): DataFrame = ivf(s, d, 16, 1)
 
   private val annIvfSql =
     s"""WITH $quantizedCte,

@@ -75,26 +75,37 @@ object Behavioral extends OpFamily {
        |FROM weeks w JOIN cohort c ON w.user_id = c.user_id
        |GROUP BY 1, 2""".stripMargin
 
-  // B3: funnel detection — the ordered event-type sequence per
-  // (user, hour) and whether it contains view → click → purchase.
-  // Deterministic sequence via sorted struct collection.
-  private def funnel(s: SparkSession, d: String): DataFrame =
+  // B3: funnel detection — did (user, hour) produce view → click →
+  // purchase in order? Staged running-flag windows: an event's frame
+  // sees whether a view happened strictly before it, a click qualifies
+  // only after a view, a purchase only after a qualified click. Every
+  // row carries O(1) state — no collected per-key sequence array, so a
+  // hot key at 100× volume cannot inflate a single reducer row (the
+  // sorted-collect formulation materializes the whole (user,hour)
+  // sequence on one row). The oracle still builds the ordered string
+  // and regex-matches it — same semantics, exhaustively cross-checked.
+  private def funnel(s: SparkSession, d: String): DataFrame = {
+    val prev = Window.partitionBy("user_id", "bucket_s")
+      .orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
     Tables.events(s, d)
       .select(col("user_id"),
         expr("(cast(floor(unix_timestamp(ts)) as bigint) div 3600) * 3600").as("bucket_s"),
         col("ts"), col("event_id"), col("event_type"))
+      .withColumn("sv",
+        coalesce(max(when(col("event_type") === "view", 1).otherwise(0)).over(prev), lit(0)))
+      .withColumn("ck",
+        when(col("event_type") === "click" && col("sv") === 1, 1).otherwise(0))
+      .withColumn("sck", coalesce(max(col("ck")).over(prev), lit(0)))
+      .withColumn("pp",
+        when(col("event_type") === "purchase" && col("sck") === 1, 1).otherwise(0))
       .groupBy("user_id", "bucket_s")
-      .agg(
-        array_join(
-          transform(array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
-            x => x.getField("event_type")), ">").as("seq"),
-        count(lit(1)).as("n"))
-      .withColumn("has_funnel", col("seq").rlike("view.*click.*purchase"))
+      .agg(count(lit(1)).as("n"), (max(col("pp")) === 1).as("has_funnel"))
+  }
 
   private val funnelSql =
     """SELECT user_id,
       |  (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_s,
-      |  string_agg(event_type, '>' ORDER BY ts, event_id) AS seq,
       |  count(*) AS n,
       |  regexp_matches(string_agg(event_type, '>' ORDER BY ts, event_id), 'view.*click.*purchase') AS has_funnel
       |FROM events GROUP BY 1, 2""".stripMargin

@@ -219,6 +219,66 @@ object EventSourcing extends OpFamily {
       .select(col("user_id"), col("balance_c"), col("n_purchases"), col("n_events"),
         epochS(col("mts")).as("last_ts_s"))
 
+  // E12 `es_state_lookup`: the queryable state store — get ONE
+  // aggregate's state by id, surge's whole read side:
+  // `modules/common/src/main/scala/surge/kafka/streams/SurgeAggregateStore.scala:31`
+  // (`getAggregateBytes(aggregateId)`) /
+  // `modules/command-engine/scaladsl/src/main/scala/surge/scaladsl/command/AggregateRef.scala:16`
+  // (`getState`). The KTable snapshot is persisted PARTITIONED BY a
+  // key-derived shard — surge's `hash(aggregateId) % partitions`
+  // routing as a storage layout — so a point read prunes to one shard
+  // directory (1/16 of files opened; at 100 TB, one bucket of a
+  // bucketed snapshot) and pushes the key filter into that scan.
+  private val lookupKey = 7L // present at every scale factor (ids are 0..N)
+  private val nShards = 16
+
+  private def stateLookup(s: SparkSession, d: String): DataFrame = {
+    val snapDir = s"/tmp/graft_ktable_${math.abs(d.hashCode)}"
+    latestState(s, d)
+      .withColumn("shard", pmod(col("user_id"), lit(nShards)))
+      .write.mode("overwrite").partitionBy("shard").parquet(snapDir)
+    s.read.parquet(snapDir)
+      .filter(col("shard") === lit(lookupKey % nShards) &&
+        col("user_id") === lit(lookupKey))
+      .select("user_id", "last_ts_s", "last_type", "last_value", "n_events")
+  }
+
+  private val stateLookupSql =
+    s"""SELECT user_id, last_ts_s, last_type, last_value, n_events
+       |FROM ($latestStateSql) WHERE user_id = $lookupKey""".stripMargin
+
+  // E13 `es_incremental`: snapshot + delta fold — the recovery path.
+  // Surge never replays from offset zero: it restores the persisted
+  // KTable snapshot and applies only events past the restore point
+  // (`modules/command-engine/core/src/main/scala/surge/internal/persistence/KTablePersistenceSupport.scala`,
+  // `KTableInitializationSupport.scala`). Because the fold state is a
+  // commutative monoid (sums/counts/max over exact integers), merge =
+  // union + one more hash-agg; the oracle is E2's FULL fold, proving
+  // the incremental path bit-exact — same trick as the salted fold A4.
+  private def incrementalFold(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("2024-01-20 00:00:00").cast("timestamp")
+    val snapDir = s"/tmp/graft_snapfold_${math.abs(d.hashCode)}"
+    def partialFold(df: DataFrame): DataFrame =
+      df.groupBy("user_id")
+        .agg(
+          sum(signedCents).as("balance_c"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+          count(lit(1)).as("n_events"),
+          epochS(max(col("ts"))).as("last_ts_s"))
+    // snapshot(T): persisted once at checkpoint time…
+    partialFold(Tables.events(s, d).filter(col("ts") < cut))
+      .write.mode("overwrite").parquet(snapDir)
+    // …recovery folds ONLY the delta and merges (monoid append)
+    val delta = partialFold(Tables.events(s, d).filter(col("ts") >= cut))
+    s.read.parquet(snapDir).union(delta)
+      .groupBy("user_id")
+      .agg(
+        sum(col("balance_c")).as("balance_c"),
+        sum(col("n_purchases")).as("n_purchases"),
+        sum(col("n_events")).as("n_events"),
+        max(col("last_ts_s")).as("last_ts_s"))
+  }
+
   // E11: running state after EVERY event — the audit-trail view of the
   // fold (state history, not just the latest snapshot). One shuffle on
   // the aggregate id, ordered frame sum within the partition.
@@ -249,5 +309,7 @@ object EventSourcing extends OpFamily {
     Op("es_command_apply", commandApply, Some(commandApplySql)),
     Op("es_projection", projection, Some(projectionSql)),
     Op("es_sequence", sequenceNumbers, Some(sequenceSql)),
-    Op("es_outbox", outboxSerde, Some(outboxSql)))
+    Op("es_outbox", outboxSerde, Some(outboxSql)),
+    Op("es_state_lookup", stateLookup, Some(stateLookupSql)),
+    Op("es_incremental", incrementalFold, Some(foldSql(""))))
 }

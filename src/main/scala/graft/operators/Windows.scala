@@ -97,9 +97,66 @@ object Windows extends OpFamily {
       |FROM events WHERE event_type = 'error'
       |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
 
+  // W9: the reference's full matcher kit — surge ships THREE signal
+  // pattern matcher kinds
+  // (`modules/common/src/main/scala/surge/health/matchers/SignalPatternMatcherDefinition.scala:22-24`):
+  // `nameEquals(name)`, regex `pattern(regex)`, `repeating(times)`; a
+  // fired matcher emits a Signal (the `SideEffect` emission,
+  // `SignalPatternMatcher.scala`). One windowed hash-agg computes all
+  // three matchers' counts; the matcher dimension unpivots via
+  // explode(array(struct…)) — no per-matcher rescan of the log.
+  /** Per-(window, aggregate) matcher counts — streaming-compatible
+    * (the same window agg runs under a watermark; see the streaming
+    * spec). Input needs (ts, user_id, event_type). */
+  private[graft] def matcherCounts(df: DataFrame): DataFrame =
+    df.groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_name"),
+        sum(when(col("event_type").rlike("^si"), 1L).otherwise(0L)).as("n_regex"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_rep"))
+      .select(unix_timestamp(col("w.start")).as("bucket_s"), col("user_id"),
+        col("n_name"), col("n_regex"), col("n_rep"))
+
+  /** Unpivot the matcher counts into fired signal rows with the
+    * side-effect emission column. */
+  private[graft] def matcherSignals(base: DataFrame): DataFrame =
+    base.select(col("bucket_s"), col("user_id"), explode(array(
+        struct(lit("nameEquals:error").as("matcher"), col("n_name").as("n"),
+          (col("n_name") >= 1).as("fired")),
+        struct(lit("pattern:^si").as("matcher"), col("n_regex").as("n"),
+          (col("n_regex") >= 1).as("fired")),
+        struct(lit("repeating:3:click").as("matcher"), col("n_rep").as("n"),
+          (col("n_rep") >= 3).as("fired")))).as("m"))
+      .filter(col("m.fired"))
+      .select(col("bucket_s"), col("user_id"),
+        col("m.matcher").as("matcher"), col("m.n").as("n"),
+        concat(lit("signal:"), col("m.matcher"), lit("@"),
+          col("bucket_s").cast("string")).as("side_effect"))
+
+  private def signalPattern(s: SparkSession, d: String): DataFrame =
+    matcherSignals(matcherCounts(Tables.events(s, d)))
+
+  private val signalPatternSql =
+    """WITH b AS (
+      |  SELECT user_id, (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_s,
+      |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_name,
+      |    CAST(sum(CASE WHEN regexp_matches(event_type, '^si') THEN 1 ELSE 0 END) AS BIGINT) AS n_regex,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_rep
+      |  FROM events GROUP BY 1, 2),
+      |u AS (
+      |  SELECT bucket_s, user_id, 'nameEquals:error' AS matcher, n_name AS n, n_name >= 1 AS fired FROM b
+      |  UNION ALL
+      |  SELECT bucket_s, user_id, 'pattern:^si', n_regex, n_regex >= 1 FROM b
+      |  UNION ALL
+      |  SELECT bucket_s, user_id, 'repeating:3:click', n_rep, n_rep >= 3 FROM b)
+      |SELECT bucket_s, user_id, matcher, n,
+      |  'signal:' || matcher || '@' || CAST(bucket_s AS VARCHAR) AS side_effect
+      |FROM u WHERE fired""".stripMargin
+
   override def ops: Seq[Op] = Seq(
     Op("win_tumbling", tumbling, Some(tumblingSql)),
     Op("win_sliding", sliding, Some(slidingSql)),
     Op("win_session", session, Some(sessionSql)),
-    Op("signal_threshold", signalThreshold, Some(signalSql)))
+    Op("signal_threshold", signalThreshold, Some(signalSql)),
+    Op("signal_pattern", signalPattern, Some(signalPatternSql)))
 }

@@ -18,6 +18,15 @@ final case class AccountState(
     user_id: Long, balance_c: Long, n_purchases: Long, n_events: Long,
     last_ts_s: Long)
 
+/** One sensor reading held in streaming-EWMA state. */
+final case class Reading(ts_ms: Long, event_id: Long, c: Long)
+
+/** Streaming-EWMA state: the key's 20 most recent readings. */
+final case class EwmaState(buf: Seq[Reading])
+
+/** Streaming-EWMA emission — schema-identical to the batch M2 metric. */
+final case class EwmaOut(user_id: Long, n_used: Long, ewma_scaled: Long, ewma: Double)
+
 /** Structured-Streaming re-expression of surge's core loop.
   *
   * Reference: surge keeps one `PersistentActor` per aggregate, routed by
@@ -140,6 +149,73 @@ object Streams extends OpFamily {
       .groupBy("event_type").agg(count(lit(1)).as("n"))
   }
 
+  /** M2's dyadic EWMA over a key's last-20 readings, evaluated from the
+    * bounded state buffer — exact int64, identical to the batch closed
+    * form (rd = recency rank, the oldest reading is the seed with
+    * exponent n−1; every term is c·2^(19−e)). */
+  def ewmaOf(uid: Long, buf: Seq[Reading]): EwmaOut = {
+    val n = buf.size
+    var scaled = 0L
+    var i = 0
+    while (i < n) {
+      val rd = i + 1
+      val e = if (rd == n) n - 1 else rd
+      scaled += buf(i).c * (1L << (19 - e))
+      i += 1
+    }
+    EwmaOut(uid, n.toLong, scaled, scaled.toDouble / 524288.0 / 100.0)
+  }
+
+  /** Streaming twin of the M2 sensor: surge's metrics are continuously
+    * updated per-sensor statistics
+    * (`modules/metrics/src/main/scala/surge/metrics/Sensor.scala`
+    * `record(value)` → `Metric.update`); here each key's
+    * `flatMapGroupsWithState` slot holds the 20 most recent readings
+    * (bounded state — same expiry discipline as
+    * `ExponentiallyWeightedMovingAverage`'s decay) and every
+    * micro-batch emits the refreshed EWMA. */
+  def ewmaStream(ds: Dataset[Ev]): Dataset[EwmaOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[EwmaState]) =>
+          val prior = state.getOption.map(_.buf).getOrElse(Seq.empty)
+          val incoming = it.map(e =>
+            Reading(e.ts.getTime, e.event_id, centsL(e.value))).toSeq
+          // most-recent-first by (ts, event_id), truncated to 20 —
+          // bounded per-key state at any stream length
+          val buf = (prior ++ incoming)
+            .sortBy(r => (-r.ts_ms, -r.event_id)).take(20)
+          state.update(EwmaState(buf))
+          Iterator.single(ewmaOf(uid, buf))
+      }
+  }
+
+  // M2 twin as a driver-verifiable query; oracle = the batch metric_ewma
+  // oracle, proving streaming/batch metric parity.
+  private def streamEwma(s: SparkSession, d: String): DataFrame = {
+    val out = ewmaStream(eventStream(s, d)).toDF()
+    val t = runToTable(s, out, "graft_stream_ewma", "update")
+    // one batch ⇒ one emission per key; keep the freshest defensively
+    t.groupBy("user_id")
+      .agg(max_by(struct(col("n_used"), col("ewma_scaled"), col("ewma")),
+        col("n_used")).as("st"))
+      .select(col("user_id"), col("st.n_used"), col("st.ewma_scaled"), col("st.ewma"))
+  }
+
+  private val streamEwmaSql =
+    """WITH b AS (
+      |  SELECT user_id, CAST(round(value*100,0) AS BIGINT) AS c,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd
+      |  FROM events),
+      |f AS (SELECT * FROM b WHERE rd <= 20),
+      |g AS (SELECT *, count(*) OVER (PARTITION BY user_id) AS n FROM f)
+      |SELECT user_id, CAST(max(n) AS BIGINT) AS n_used,
+      |  CAST(sum(CAST(c * pow(2.0, 19 - (CASE WHEN rd = n THEN n - 1 ELSE rd END)) AS BIGINT)) AS BIGINT) AS ewma_scaled,
+      |  CAST(sum(CAST(c * pow(2.0, 19 - (CASE WHEN rd = n THEN n - 1 ELSE rd END)) AS BIGINT)) AS DOUBLE)/524288.0/100.0 AS ewma
+      |FROM g GROUP BY user_id""".stripMargin
+
   /** Surge actors passivate after idling (PersistentActor stop-on-idle)
     * — the streaming analog expires per-aggregate state via event-time
     * timeout: once the watermark passes last_event + gap, the final
@@ -221,5 +297,6 @@ object Streams extends OpFamily {
     Op("stream_fold", streamFold, Some(streamFoldSql)),
     Op("stream_latest", streamLatest, Some(streamLatestSql)),
     Op("stream_window", streamWindow, Some(streamWindowSql)),
-    Op("stream_dedup", streamDedup, Some(streamDedupSql)))
+    Op("stream_dedup", streamDedup, Some(streamDedupSql)),
+    Op("stream_ewma", streamEwma, Some(streamEwmaSql)))
 }

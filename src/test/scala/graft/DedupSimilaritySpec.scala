@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.functions.Similarity
 import graft.sources.Tables
 
 /** LSH recall, Jaccard sanity, and similarity-search invariants. */
@@ -62,11 +63,15 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
-  test("dedup_embedding pairs are label-blocked and above threshold") {
-    val labels = Tables.embeddings(spark, sf).select("vec_id", "label").collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    run("dedup_embedding").collect().foreach { r =>
-      assert(labels(r.getAs[Long]("vec_a")) == labels(r.getAs[Long]("vec_b")))
+  test("dedup_embedding pairs are LSH-bucket-blocked and above threshold") {
+    val buckets = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        Similarity.lshBucket(Similarity.quantize(col("embedding"))).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = run("dedup_embedding").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(buckets(r.getAs[Long]("vec_a")) == buckets(r.getAs[Long]("vec_b")))
       assert(r.getAs[Double]("cos_sim") >= 0.4)
     }
   }

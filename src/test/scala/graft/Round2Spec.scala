@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.functions.{Clusters, Similarity}
+import graft.operators.Windows
+import graft.streaming.{Ev, Streams}
+
+/** Round-2 additions: dup-cluster resolution, queryable state store,
+  * incremental fold, IVF multi-probe, signal matchers (batch +
+  * streaming), streaming EWMA. */
+class Round2Spec extends SparkSpec {
+
+  private def ts(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+
+  test("connected components: min-label over chains and islands") {
+    import spark.implicits._
+    // chain 1-2-3, island 7-8, singleton edge 5-5 never appears
+    val edges = Seq((2L, 1L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val labels = Clusters.components(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("connected components: pointer jumping closes a long path quickly") {
+    import spark.implicits._
+    // path graph 0-1-2-…-40: worst case for plain propagation
+    val edges = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Clusters.components(edges).collect()
+    assert(labels.length == 41 && labels.forall(_.getLong(1) == 0L))
+  }
+
+  test("dedup_clusters: keep set is consistent with the pair graph") {
+    val out = run("dedup_clusters").cache()
+    val docs = out.count()
+    val kept = out.filter(col("keep")).count()
+    assert(kept > 0 && kept <= docs)
+    // every cluster_id is itself a kept doc, and cluster_id <= doc_id
+    assert(out.filter(col("cluster_id") > col("doc_id")).count() == 0)
+    val clusterIds = out.select(col("cluster_id").as("doc_id")).distinct()
+    val keptIds = out.filter(col("keep")).select("doc_id")
+    assert(clusterIds.except(keptIds).count() == 0)
+  }
+
+  test("es_state_lookup: point read prunes the snapshot scan to one shard") {
+    val df = run("es_state_lookup")
+    assert(df.count() <= 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "snapshot scan should be partition-pruned")
+    assert(plan.contains("shard"), "pruning should be on the shard column")
+  }
+
+  test("es_incremental merge equals the full fold bit-for-bit") {
+    val full = run("es_state_fold")
+    val inc = run("es_incremental")
+    assert(inc.select(full.columns.map(col): _*).except(full).count() == 0)
+    assert(full.except(inc.select(full.columns.map(col): _*)).count() == 0)
+  }
+
+  test("ann_ivf multi-probe: 2 cells probed, recall not below 1-cell") {
+    def recall(probes: Int): Double = {
+      val truth = run("cosine_topk").filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id"))
+      val got = Similarity.ivf(spark, sf, 16, probes)
+        .select(col("q_id"), col("vec_id"))
+      got.join(truth, Seq("q_id", "vec_id")).count().toDouble / truth.count()
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    assert(r2 >= r1, s"2-probe recall $r2 below 1-probe $r1")
+    val cellsPerQuery = Similarity.ivf(spark, sf, 16, 2)
+      .groupBy("q_id").agg(countDistinct("cell").as("nc"))
+      .agg(max("nc")).collect()(0).getLong(0)
+    assert(cellsPerQuery <= 2)
+  }
+
+  test("signal matchers fire on a live stream (nameEquals + repeating)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = Windows.matcherCounts(
+      input.toDS().toDF().withWatermark("ts", "1 hour"))
+    val q = agg.writeStream.format("memory").queryName("signal_stream")
+      .outputMode("complete").start()
+    input.addData(
+      Ev(1, ts(0), 9, "click", 1.0), Ev(2, ts(5), 9, "click", 1.0),
+      Ev(3, ts(10), 9, "click", 1.0), Ev(4, ts(20), 9, "error", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val fired = Windows.matcherSignals(spark.table("signal_stream"))
+      .collect().map(_.getAs[String]("matcher")).toSet
+    assert(fired == Set("nameEquals:error", "repeating:3:click"))
+  }
+
+  test("streaming EWMA state is bounded at 20 readings and matches the closed form") {
+    // 25 readings, all value 1.00 (c=100): every term is 100·2^(19-e),
+    // Σ over rd=1..19 of 2^(19-rd) plus seed 2^0 ⇒ scaled = 100·2^19
+    val buf = (0 until 20).map(i => graft.streaming.Reading(1000L - i, 0L, 100L))
+    val out = Streams.ewmaOf(1L, buf)
+    assert(out.n_used == 20L)
+    assert(out.ewma_scaled == 100L * 524288L)
+    assert(out.ewma == 1.0)
+  }
+}
