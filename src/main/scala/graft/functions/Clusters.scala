@@ -48,24 +48,33 @@ object Clusters extends OpFamily {
     var converged = false
     var rounds = 0
     while (!converged && rounds < 32) {
-      // neighbor-min: lab(n) := min(lab(n), min over edges (n,m) of lab(m))
+      // neighbor-min: lab(n) := min(lab(n), min over edges (n,m) of
+      // lab(m)). The previous label rides along as max(old_tag) (each
+      // node appears exactly once in `labels`), so convergence is read
+      // off the checkpointed result without an extra join+job.
       val viaEdges = sym
         .join(labels.select(col("node").as("dst"), col("lab")), "dst")
-        .select(col("src").as("node"), col("lab"))
-      val folded = labels.union(viaEdges)
-        .groupBy("node").agg(min(col("lab")).as("lab"))
+        .select(col("src").as("node"), col("lab"),
+          lit(null).cast("long").as("old_tag"))
+      val folded = labels.select(col("node"), col("lab"), col("lab").as("old_tag"))
+        .union(viaEdges)
+        .groupBy("node").agg(min(col("lab")).as("lab"), max(col("old_tag")).as("old"))
       // pointer jump: lab(n) := lab(lab(n)) — labels are themselves
       // nodes, so one more join halves remaining chain depth
+      // lazy checkpoint: the convergence count below is the action
+      // that materializes this round — one job per round, not two.
+      // (A full count, not limit(1): every partition must be computed
+      // for the checkpoint to fully materialize before lineage is cut.)
       val jumped = folded
         .join(folded.select(col("node").as("lab"), col("lab").as("lab2")), "lab")
-        .select(col("node"), col("lab2").as("lab"))
-        .localCheckpoint(true)
-      val changed = jumped
-        .join(labels.withColumnRenamed("lab", "old"), "node")
-        .filter(col("lab") < col("old")).limit(1).count()
-      labels = jumped
+        .select(col("node"), col("lab2").as("lab"), col("old"))
+        .localCheckpoint(false)
+      val changed = jumped.filter(col("lab") < col("old")).count()
+      labels = jumped.select(col("node"), col("lab"))
       converged = changed == 0L
       rounds += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc-round] $rounds changed=$changed")
     }
     labels
   }
@@ -75,9 +84,9 @@ object Clusters extends OpFamily {
   // a cluster_id (its own id if it duplicates nothing) and a keep flag
   // (true iff it is the cluster's canonical min-doc_id survivor).
   private def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    // no distinct here: components() symmetrizes + distincts anyway
     val edges = Dedup.candidatePairs(s, d).select("doc_a", "doc_b")
       .union(SimHash.simhashPairs(s, d).select("doc_a", "doc_b"))
-      .distinct()
     val labels = components(edges).withColumnRenamed("node", "doc_id")
     Tables.documents(s, d).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")

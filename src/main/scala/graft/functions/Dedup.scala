@@ -79,7 +79,7 @@ object Dedup extends OpFamily {
        |bands AS ($bandSelects)""".stripMargin
   }
 
-  private[functions] def candidatePairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def candidatePairs(s: SparkSession, d: String): DataFrame = {
     // self-join: materialize the (small) band table once, not per side
     val b = bandsDf(s, d).cache()
     val a1 = b.alias("a")

@@ -53,7 +53,7 @@ object SimHash extends OpFamily {
       |sig AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS sh FROM sbits GROUP BY doc_id)""".stripMargin
 
   // candidate pairs via 4 × 15-bit bands, verified by Hamming ≤ 8
-  private[functions] def simhashPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val sig = simhashDf(s, d).cache()
     val bands = sig.select(col("doc_id"), col("sh"),
         posexplode(expr("transform(sequence(0, 3), k -> (sh div cast(pow(2, 15*k) as bigint)) % 32768)")))
