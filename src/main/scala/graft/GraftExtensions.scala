@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Expression, ExpressionInfo, Multiply, Sqrt, UnresolvedNamedLambdaVariable}
 import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
 import org.apache.spark.sql.types.DoubleType
-import graft.functions.expressions.LongDotProduct
+import graft.functions.expressions.{LongDotProduct, LshBucket}
 import graft.plans.TopKStrategy
 
 /** SQL-surface registration for graft's custom operators.
@@ -64,19 +64,11 @@ object GraftExtensions {
   private val quantizeSql =
     "transform(__arg0, x -> cast(round(cast(x as double) * 1000, 0) as bigint))"
 
-  private val lshBucketSql =
-    """aggregate(sequence(0L, 7L), 0L, (acc, j) -> acc +
-      |  (CASE WHEN aggregate(
-      |     zip_with(__arg0, sequence(1L, 64L),
-      |       (x, d) -> x * ((j * 73856093L + d * 19349663L) % 97 - 48)),
-      |     0L, (a, x) -> a + x) >= 0
-      |   THEN cast(pow(2.0, j) as bigint) ELSE 0L END))""".stripMargin
-
   private val all = Seq(
     fn("graft_dot", exprs => LongDotProduct(exprs.head, exprs(1))),
     fn("graft_sqnorm", exprs => LongDotProduct(exprs.head, exprs.head)),
     fn("graft_quantize", exprs => template(quantizeSql, exprs)),
-    fn("graft_lsh_bucket", exprs => template(lshBucketSql, exprs)),
+    fn("graft_lsh_bucket", exprs => LshBucket(exprs.head)),
     fn("graft_cosine", exprs => {
       val dot = LongDotProduct(exprs.head, exprs(1))
       val na = LongDotProduct(exprs.head, exprs.head)

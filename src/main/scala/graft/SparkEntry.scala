@@ -18,6 +18,7 @@ object SparkEntry {
     functions.Dedup,
     functions.SimHash,
     functions.Clusters,
+    functions.Pipeline,
     functions.Similarity,
     functions.Multimodal,
     streaming.Streams,

@@ -79,26 +79,31 @@ object Clusters extends OpFamily {
     labels
   }
 
+  /** (doc_id, lab) cluster labels over the D2 ∪ D4 pair graph — only
+    * docs that appear in some pair; shared with [[Pipeline]]. */
+  private[functions] def pairLabels(s: SparkSession, d: String): DataFrame = {
+    // no distinct here: components() symmetrizes + distincts anyway
+    val edges = Dedup.candidatePairs(s, d).select("doc_a", "doc_b")
+      .union(SimHash.simhashPairs(s, d).select("doc_a", "doc_b"))
+    components(edges).withColumnRenamed("node", "doc_id")
+  }
+
   // dedup_clusters: components over the D2 (MinHash-LSH) ∪ D4 (SimHash)
   // pair graph, joined back onto the full corpus — every document gets
   // a cluster_id (its own id if it duplicates nothing) and a keep flag
   // (true iff it is the cluster's canonical min-doc_id survivor).
-  private def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    // no distinct here: components() symmetrizes + distincts anyway
-    val edges = Dedup.candidatePairs(s, d).select("doc_a", "doc_b")
-      .union(SimHash.simhashPairs(s, d).select("doc_a", "doc_b"))
-    val labels = components(edges).withColumnRenamed("node", "doc_id")
+  private def dedupClusters(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
+      .join(pairLabels(s, d), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("lab"), col("doc_id")).as("cluster_id"),
         (coalesce(col("lab"), col("doc_id")) === col("doc_id")).as("keep"))
-  }
 
-  // Oracle: transitive closure via recursive CTE — min label reachable
-  // from each node over the same D2 ∪ D4 edge set.
-  private def dedupClustersSql =
-    s"""WITH RECURSIVE ${Dedup.candCtes},
+  /** CTE bundle ending in `cl(node, cid)` — the transitive-closure
+    * cluster labels; must follow a `WITH RECURSIVE`. Shared with the
+    * [[Pipeline]] oracle. */
+  private[functions] def closureCtes: String =
+    s"""${Dedup.candCtes},
        |${SimHash.pairsCtes},
        |edges AS (
        |  SELECT doc_a, doc_b FROM cand
@@ -110,7 +115,12 @@ object Clusters extends OpFamily {
        |  SELECT src, src FROM sym
        |  UNION
        |  SELECT s.src, r.lab FROM sym s JOIN reach r ON r.node = s.dst),
-       |cl AS (SELECT node, CAST(min(lab) AS BIGINT) AS cid FROM reach GROUP BY node)
+       |cl AS (SELECT node, CAST(min(lab) AS BIGINT) AS cid FROM reach GROUP BY node)""".stripMargin
+
+  // Oracle: transitive closure via recursive CTE — min label reachable
+  // from each node over the same D2 ∪ D4 edge set.
+  private def dedupClustersSql =
+    s"""WITH RECURSIVE $closureCtes
        |SELECT d.doc_id,
        |  COALESCE(c.cid, d.doc_id) AS cluster_id,
        |  COALESCE(c.cid, d.doc_id) = d.doc_id AS keep

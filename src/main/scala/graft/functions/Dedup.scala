@@ -24,7 +24,7 @@ import graft.sources.Tables
 object Dedup extends OpFamily {
 
   // ---- shared shingle pipeline (3-word shingles) ----
-  private def shingled(s: SparkSession, d: String): DataFrame = {
+  private[functions] def shingled(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
@@ -33,7 +33,7 @@ object Dedup extends OpFamily {
       i => concat_ws(" ", slice(col("t"), i, lit(3))))).as("s"))
   }
 
-  private val shingleCte =
+  private[functions] val shingleCte =
     """tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |tk AS (SELECT doc_id, t FROM tok WHERE len(t) >= 3),
       |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS s FROM tk)""".stripMargin

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Op, OpFamily}
+import graft.sources.Tables
+
+/** End-to-end training-data pipeline steps on top of the dedup /
+  * quality / cluster building blocks — the operators that turn
+  * "analysis over documents" into "a corpus you can ship to training".
+  *
+  *  - P1 `decontaminate`: flag training docs whose 3-gram shingles
+  *    overlap an evaluation/benchmark set (here: doc_id < 20 stands in
+  *    for the benchmark corpus). At 100 TB the benchmark shingle set is
+  *    tiny relative to the corpus, so the overlap probe is a BROADCAST
+  *    join against the full corpus scan — one pass, no shuffle of the
+  *    big side.
+  *  - P2 `corpus_export`: the deliverable — the training corpus after
+  *    (a) near-dup cluster resolution keeps one doc per cluster,
+  *    (b) decontamination drops benchmark-overlapping docs,
+  *    (c) a minimum-length gate. One query, every stage verified
+  *    against the same DuckDB oracle as its standalone operator.
+  */
+object Pipeline extends OpFamily {
+
+  private val benchMax = 20L  // doc_id < 20 = the stand-in benchmark set
+  private val contamMin = 5L  // ≥ 5 shared shingles ⇒ contaminated
+  private val minTokens = 10L // corpus-export length gate
+
+  /** (doc_id ≥ benchMax, n_shared, contaminated) for every corpus doc. */
+  private def contamination(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.shingled(s, d)
+    val bench = sh.filter(col("doc_id") < benchMax).select("s").distinct()
+    val corp = sh.filter(col("doc_id") >= benchMax).distinct()
+    val hits = corp.join(broadcast(bench), "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    Tables.documents(s, d).filter(col("doc_id") >= benchMax).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= contamMin).as("contaminated"))
+  }
+
+  private val contaminationCtes =
+    s"""${Dedup.shingleCte},
+       |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id < $benchMax),
+       |csh AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id >= $benchMax),
+       |hits AS (SELECT doc_id, count(*) AS n_shared FROM csh JOIN bsh USING (s) GROUP BY 1)""".stripMargin
+
+  private def decontaminateSql =
+    s"""WITH $contaminationCtes
+       |SELECT d.doc_id, COALESCE(h.n_shared, 0) AS n_shared,
+       |  COALESCE(h.n_shared, 0) >= $contamMin AS contaminated
+       |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+       |WHERE d.doc_id >= $benchMax""".stripMargin
+
+  // P2: docs ≥ benchMax that survive dedup (cluster min), are clean of
+  // benchmark overlap, and pass the length gate.
+  private def corpusExport(s: SparkSession, d: String): DataFrame = {
+    val labels = Clusters.pairLabels(s, d)
+    val contam = contamination(s, d)
+    Tables.documents(s, d)
+      .filter(col("doc_id") >= benchMax)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("lab"), col("doc_id")))
+      .filter(col("cluster_id") === col("doc_id")) // keep = cluster min
+      .join(contam.select(col("doc_id"), col("contaminated")), Seq("doc_id"))
+      .filter(!col("contaminated") && col("n_tok") >= minTokens)
+      .select("doc_id", "cluster_id", "n_tok")
+  }
+
+  // The closure CTEs already define tok/tk/sh, so the contamination
+  // CTEs past the shingle stage are appended without re-deriving them.
+  private def corpusExportSql =
+    s"""WITH RECURSIVE ${Clusters.closureCtes},
+       |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id < $benchMax),
+       |csh AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id >= $benchMax),
+       |hits AS (SELECT doc_id, count(*) AS n_shared FROM csh JOIN bsh USING (s) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(c.cid, d.doc_id) AS cluster_id,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+       |FROM documents d
+       |LEFT JOIN cl c ON c.node = d.doc_id
+       |LEFT JOIN hits h ON h.doc_id = d.doc_id
+       |WHERE d.doc_id >= $benchMax
+       |  AND COALESCE(c.cid, d.doc_id) = d.doc_id
+       |  AND COALESCE(h.n_shared, 0) < $contamMin
+       |  AND len(string_split(d.text, ' ')) >= $minTokens""".stripMargin
+
+  override def ops: Seq[Op] = Seq(
+    Op("decontaminate", contamination, Some(decontaminateSql)),
+    Op("corpus_export", corpusExport, Some(corpusExportSql)))
+}

@@ -52,8 +52,18 @@ object Similarity extends OpFamily {
 
   /** Random-hyperplane LSH bucket (8 planes ⇒ 256 buckets). Plane
     * weights are small ints derived from the (plane, dim) index pair —
-    * deterministic, engine-neutral, exact. */
-  def lshBucket(v: Column): Column =
+    * deterministic, engine-neutral, exact. Backed by the codegen'd
+    * [[graft.functions.expressions.LshBucket]] kernel (one fused
+    * integer loop; the compositional `aggregate(zip_with(...))` form is
+    * interpreted and allocates per plane per row). */
+  def lshBucket(v: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(expressions.LshBucket(ColumnBridge.expression(v)))
+  }
+
+  /** The compositional formula the kernel replaces — kept for the
+    * equivalence spec. */
+  private[graft] def lshBucketComposed(v: Column): Column =
     aggregate(sequence(lit(0L), lit(7L)), lit(0L), (acc, j) =>
       acc + when(
         aggregate(
@@ -134,23 +144,30 @@ object Similarity extends OpFamily {
   // cell-assignment arithmetic is exact int64:
   // dist²(v,c) = |v|² + |c|² − 2·v·c.
   //
-  // Corpus cell assignment is ONE `min_by` hash aggregation — no
-  // ranking window, no sort: a row_number over corpus×k would
-  // shuffle+sort k× the corpus just to pick each row's argmin. The
-  // query side (5 rows, broadcast) can afford its ranking window for
-  // multi-probe cell selection.
+  // Corpus cell assignment is ONE TRUE hash aggregation: the
+  // (dist2, cid) ordering packs into a single int64 (dist2·1024 + cid,
+  // exact — dist2 ≤ 64·2000² ≈ 2.6e8 so the product stays far inside
+  // int64), so the argmin is a plain `min` over a long — map-side
+  // partial combine, fixed-width buffer, NO sort. (A `min_by` over a
+  // struct LOOKS like the right call but its struct aggregation buffer
+  // forces SortAggregate — a full sort of corpus×k; a row_number window
+  // does the same. Verified via ExplainAudit.) The vector payload
+  // re-attaches with a shuffled-hash join on vec_id — hash all the way
+  // down.
+  private val cellEnc = 1024L // packing base; supports k up to 1024
   private[graft] def ivf(s: SparkSession, d: String, k: Int, probes: Int): DataFrame = {
+    require(k <= cellEnc, s"k=$k exceeds packing base $cellEnc")
     val all = quantized(s, d)
     val cent = broadcast(all.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nn").as("cnn")))
-    val assigned = all.join(cent)
-      .select(col("vec_id"), col("v"), col("nn"), col("cid"),
-        (col("nn") + col("cnn") - lit(2L) * dot(col("v"), col("cv"))).as("dist2"))
-      .groupBy("vec_id")
-      .agg(min_by(
-        struct(col("v").as("v"), col("nn").as("nn"), col("cid").as("cell")),
-        struct(col("dist2"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.v").as("v"), col("m.nn").as("nn"), col("m.cell").as("cell"))
+    val cellOf = all.join(cent)
+      .select(col("vec_id"),
+        ((col("nn") + col("cnn") - lit(2L) * dot(col("v"), col("cv"))) * lit(cellEnc)
+          + col("cid")).as("pk"))
+      .groupBy("vec_id").agg(min(col("pk")).as("pk"))
+      .select(col("vec_id"), (col("pk") % lit(cellEnc)).as("cell"))
+    val assigned = all.join(cellOf.hint("shuffle_hash"), Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("nn"), col("cell"))
       // consumed by both the probe and corpus sides — materialize the
       // assignment once (at scale: a persisted/bucketed index table)
       .cache()

@@ -143,10 +143,67 @@ object TextAnalysis extends OpFamily {
       |SELECT doc_id, lang, bucket FROM b
       |WHERE bucket < CASE WHEN lang = 'en' THEN 4 ELSE 8 END""".stripMargin
 
+  // T6: intra-document repetition — the duplicate-3-gram fraction per
+  // doc (the Gopher-style "rep" quality rule: boilerplate and generated
+  // spam repeat themselves). One explode + one hash-agg per doc.
+  private def repetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - 2),
+        i => concat_ws(" ", slice(col("t"), i, lit(3))))).as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_total"), countDistinct(col("s")).as("n_distinct"))
+      .withColumn("dup_ratio",
+        (col("n_total") - col("n_distinct")).cast("double") / col("n_total").cast("double"))
+
+  private val repetitionSql =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |tk AS (SELECT doc_id, t FROM tok WHERE len(t) >= 3),
+      |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS s FROM tk)
+      |SELECT doc_id, count(*) AS n_total, count(DISTINCT s) AS n_distinct,
+      |  CAST(count(*) - count(DISTINCT s) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS dup_ratio
+      |FROM sh GROUP BY 1""".stripMargin
+
+  // T7: vocabulary building — the top-10 most frequent tokens per
+  // first-letter shard, executed by the custom sort-free top-k-per-key
+  // physical operator ([[graft.plans.TopKPerKey]]): bounded per-key
+  // heaps after one hash shuffle, zero sort — the plan a 100 TB vocab
+  // induction pass needs (token frequency tables are huge; only the
+  // head survives). Tie-break by an md5-derived token id, so ranking is
+  // deterministic and engine-neutral.
+  private def vocabTopK(s: SparkSession, d: String): DataFrame = {
+    val freq = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .withColumn("letter", substring(col("token"), 1, 1))
+      .withColumn("tid", expr("cast(conv(substr(md5(token), 1, 15), 16, 10) as bigint)"))
+    graft.plans.TopK.topKPerKey(freq, 10, "letter", "freq", "tid")
+      .select("letter", "token", "freq")
+  }
+
+  private val vocabTopKSql =
+    """WITH f AS (
+      |  SELECT token, count(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token <> '' GROUP BY 1),
+      |g AS (
+      |  SELECT substr(token, 1, 1) AS letter, token, freq,
+      |    CAST(list_sum(list_transform(range(0, 15), i ->
+      |      (strpos('0123456789abcdef', substr(md5(token), 1 + CAST(i AS INT), 1)) - 1)
+      |        * CAST(pow(16, 14 - i) AS BIGINT))) AS BIGINT) AS tid
+      |  FROM f),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY letter ORDER BY freq DESC, tid) AS rn FROM g)
+      |SELECT letter, token, freq FROM r WHERE rn <= 10""".stripMargin
+
   override def ops: Seq[Op] = Seq(
     Op("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     Op("text_langid", langId, Some(langIdSql)),
     Op("text_quality", quality, Some(qualitySql)),
     Op("text_tokens", tokens, Some(tokensSql)),
-    Op("text_fingerprint", fingerprint, Some(fingerprintSql)))
+    Op("text_fingerprint", fingerprint, Some(fingerprintSql)),
+    Op("text_repetition", repetition, Some(repetitionSql)),
+    Op("vocab_topk", vocabTopK, Some(vocabTopKSql)))
 }
