@@ -136,7 +136,7 @@ object Windows extends OpFamily {
   private def signalPattern(s: SparkSession, d: String): DataFrame =
     matcherSignals(matcherCounts(Tables.events(s, d)))
 
-  private val signalPatternSql =
+  private[graft] val signalPatternSql =
     """WITH b AS (
       |  SELECT user_id, (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_s,
       |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_name,

@@ -293,10 +293,21 @@ object Streams extends OpFamily {
   private val streamDedupSql =
     """SELECT event_type, count(DISTINCT event_id) AS n FROM events GROUP BY 1""".stripMargin
 
+  // W9's streaming twin: the matcher-count window agg runs on the
+  // STREAMING engine (complete mode = surge's continuously-updated
+  // signal state), the unpivot/side-effect stage is the same code as
+  // batch; oracle = the batch signal_pattern oracle.
+  private def streamSignal(s: SparkSession, d: String): DataFrame = {
+    val agg = graft.operators.Windows.matcherCounts(eventStream(s, d).toDF())
+    val t = runToTable(s, agg, "graft_stream_signal", "complete")
+    graft.operators.Windows.matcherSignals(t)
+  }
+
   override def ops: Seq[Op] = Seq(
     Op("stream_fold", streamFold, Some(streamFoldSql)),
     Op("stream_latest", streamLatest, Some(streamLatestSql)),
     Op("stream_window", streamWindow, Some(streamWindowSql)),
     Op("stream_dedup", streamDedup, Some(streamDedupSql)),
-    Op("stream_ewma", streamEwma, Some(streamEwmaSql)))
+    Op("stream_ewma", streamEwma, Some(streamEwmaSql)),
+    Op("stream_signal", streamSignal, Some(graft.operators.Windows.signalPatternSql)))
 }
