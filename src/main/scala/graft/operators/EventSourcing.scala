@@ -279,6 +279,29 @@ object EventSourcing extends OpFamily {
         max(col("last_ts_s")).as("last_ts_s"))
   }
 
+  // E14 `es_shard_routing`: partition-assignment accounting — surge
+  // routes every aggregate to `hash(aggregateId) % partitions`
+  // (`modules/common/src/main/scala/surge/kafka/KafkaPartitioner.scala`,
+  // `PartitionAssignments.scala`, `KafkaPartitionShardRouterActor.scala`)
+  // and tracks per-partition load for rebalance decisions. The
+  // read-side view of that bookkeeping: per-shard occupancy (how many
+  // aggregates, how many events, how much value), the table an
+  // operator reads to spot hot shards. One hash-agg.
+  private def shardRouting(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(pmod(col("user_id"), lit(nShards)).as("shard"))
+      .agg(
+        countDistinct(col("user_id")).as("n_aggregates"),
+        count(lit(1)).as("n_events"),
+        sum(cents(col("value"))).as("sum_value_c"))
+
+  private val shardRoutingSql =
+    s"""SELECT user_id % $nShards AS shard,
+       |  count(DISTINCT user_id) AS n_aggregates,
+       |  count(*) AS n_events,
+       |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_value_c
+       |FROM events GROUP BY 1""".stripMargin
+
   // E11: running state after EVERY event — the audit-trail view of the
   // fold (state history, not just the latest snapshot). One shuffle on
   // the aggregate id, ordered frame sum within the partition.
@@ -311,5 +334,6 @@ object EventSourcing extends OpFamily {
     Op("es_sequence", sequenceNumbers, Some(sequenceSql)),
     Op("es_outbox", outboxSerde, Some(outboxSql)),
     Op("es_state_lookup", stateLookup, Some(stateLookupSql)),
-    Op("es_incremental", incrementalFold, Some(foldSql(""))))
+    Op("es_incremental", incrementalFold, Some(foldSql(""))),
+    Op("es_shard_routing", shardRouting, Some(shardRoutingSql)))
 }

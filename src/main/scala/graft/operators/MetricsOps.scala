@@ -128,7 +128,45 @@ object MetricsOps extends OpFamily {
       |  count(*) AS n
       |FROM events GROUP BY 1""".stripMargin
 
+  // M7: Timer — duration statistics per sensor
+  // (`modules/metrics/src/main/scala/surge/metrics/Timer.scala`: a
+  // Timer records elapsed times and exposes rate + percentiles). The
+  // event log carries no explicit durations, so the timed quantity is
+  // the inter-arrival gap per sensor — lag diff in exact epoch
+  // seconds, then the same exact-percentile treatment as M5.
+  private def timer(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("event_type"), col("ts"), Tables.epochS(col("ts")).as("ts_s"),
+        col("event_id"))
+      .withColumn("gap_s", col("ts_s") - lag(col("ts_s"), 1).over(w))
+      .filter(col("gap_s").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("sum_gap_s"),
+        round(expr("percentile(gap_s, 0.5)"), 4).as("p50_gap"),
+        round(expr("percentile(gap_s, 0.9)"), 4).as("p90_gap"))
+      .withColumn("mean_gap",
+        col("sum_gap_s").cast("double") / col("n_gaps").cast("double"))
+  }
+
+  private val timerSql =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT)
+      |      - lag(CAST(floor(epoch(ts)) AS BIGINT))
+      |        OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_s
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_gaps,
+      |  CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
+      |  round(quantile_cont(gap_s, 0.5), 4) AS p50_gap,
+      |  round(quantile_cont(gap_s, 0.9), 4) AS p90_gap,
+      |  CAST(sum(gap_s) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS mean_gap
+      |FROM g WHERE gap_s IS NOT NULL GROUP BY 1""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("metric_timer", timer, Some(timerSql)),
     Op("metric_percentile", percentiles, Some(percentilesSql)),
     Op("metric_stats", stats, Some(statsSql)),
     Op("metric_ewma", ewma, Some(ewmaSql)),
