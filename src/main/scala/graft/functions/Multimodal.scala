@@ -100,10 +100,37 @@ object Multimodal extends OpFamily {
        |FROM b""".stripMargin
   }
 
+  // X5: payload → embedding → ANN index row. Composes the X3 feature
+  // stub with the similarity kernels: quantize to exact int64, exact
+  // norm (LongDotProduct), hyperplane-LSH bucket (LshBucket codegen
+  // kernel — 8-dim vectors use the first 8 plane weights on both
+  // engines). The output IS a multimodal ANN index: partition/bucket
+  // by `bucket` and S2-style probes search 1/256 of the media corpus.
+  private def embedAnn(s: SparkSession, d: String): DataFrame = {
+    val fv = array((0 until 8).map(k => col(s"f$k")): _*)
+    featureExtract(s, d)
+      .select(col("doc_id"), Similarity.quantize(fv).as("v"))
+      .select(col("doc_id"),
+        Similarity.sqNorm(col("v")).as("nn"),
+        Similarity.lshBucket(col("v")).as("bucket"))
+  }
+
+  private val embedAnnSql = {
+    val fv = (0 until 8).map(k =>
+      s"CAST(${hexSql(s"md5('$k:' || sha)")} % 2000 - 1000 AS DOUBLE)/1000.0").mkString("[", ", ", "]")
+    s"""WITH b AS (SELECT doc_id, sha256(text) AS sha FROM documents),
+       |f AS (SELECT doc_id, $fv AS fv FROM b),
+       |q AS (SELECT doc_id, ${Similarity.quantizeSql("fv")} AS v FROM f)
+       |SELECT doc_id, ${Similarity.sqNormSql("v")} AS nn,
+       |  ${Similarity.lshBucketSql("v")} AS bucket
+       |FROM q""".stripMargin
+  }
+
   override def ops: Seq[Op] = Seq(
     Op("mm_binary_meta", binaryMeta, Some(binaryMetaSql)),
     Op("mm_frame_sample", frameSample, Some(frameSampleSql)),
-    Op("mm_feature_extract", featureExtract, Some(featureExtractSql)))
+    Op("mm_feature_extract", featureExtract, Some(featureExtractSql)),
+    Op("mm_embed_ann", embedAnn, Some(embedAnnSql)))
 
   /** The decoder slot: batch media decode over binary payloads via
     * `mapPartitions` — one decoder instance per partition (the pattern
