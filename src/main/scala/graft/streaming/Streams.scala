@@ -93,13 +93,36 @@ object Streams extends OpFamily {
     conv.select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
   }
 
-  /** Run a streaming DF to completion into a memory sink, return the
-    * materialized table. */
+  /** Run a streaming DF to completion through a `foreachBatch` parquet
+    * sink — the PRODUCTION sink shape (each micro-batch lands
+    * atomically as one directory keyed by batch id; nothing
+    * accumulates in driver memory, so the same harness works at any
+    * result size) — and read the landed result back.
+    *
+    * complete mode: each batch is the full result ⇒ read the last
+    * batch. update/append: batches are deltas ⇒ read their union
+    * (exactly the contents a memory sink would have accumulated). */
   def runToTable(s: SparkSession, df: DataFrame, name: String, mode: String): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    val dir = new java.io.File(s"/tmp/graft_sink_$name")
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete(); ()
+    }
+    deleteRec(dir)
+    val q = df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$dir/b_$id")
+        ()
+      }
+      .outputMode(mode)
+      .start()
     q.processAllAvailable()
     q.stop()
-    s.table(name)
+    val batches = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("b_")).sortBy(_.getName.stripPrefix("b_").toLong)
+    require(batches.nonEmpty, s"streaming query $name produced no batches")
+    if (mode == "complete") s.read.parquet(batches.last.getPath)
+    else s.read.parquet(batches.map(_.getPath): _*)
   }
 
   // E7 as a driver-verifiable query: fold the whole log through the
