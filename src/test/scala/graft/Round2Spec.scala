@@ -31,6 +31,32 @@ class Round2Spec extends SparkSpec {
     assert(labels.length == 41 && labels.forall(_.getLong(1) == 0L))
   }
 
+  test("connected components match a local union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(900 + 7) // fixed seed
+    (1 to 5).foreach { _ =>
+      val n = 30
+      val edges = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // min doc_id per component over nodes that appear in edges
+      val nodes = edges.flatMap(t => Seq(t._1, t._2)).distinct
+      val minOf = nodes.groupBy(x => find(x.toInt)).flatMap { case (_, members) =>
+        val m = members.min
+        members.map(_ -> m)
+      }
+      val got = Clusters.components(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == minOf, s"mismatch on edges $edges")
+    }
+  }
+
   test("dedup_clusters: keep set is consistent with the pair graph") {
     val out = run("dedup_clusters").cache()
     val docs = out.count()
