@@ -79,14 +79,24 @@ object Clusters extends OpFamily {
     labels
   }
 
+  // The label table is an INDEX: built once per (session, dataset) and
+  // reused by every consumer (dedup_clusters, corpus_export) — the
+  // CacheManager can't dedupe the iterative loop's checkpointed
+  // lineage the way it dedupes declarative plans, so memoize
+  // explicitly. The table itself is tiny (one row per doc that has a
+  // near-dup pair).
+  private val labelCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   /** (doc_id, lab) cluster labels over the D2 ∪ D4 pair graph — only
     * docs that appear in some pair; shared with [[Pipeline]]. */
-  private[functions] def pairLabels(s: SparkSession, d: String): DataFrame = {
-    // no distinct here: components() symmetrizes + distincts anyway
-    val edges = Dedup.candidatePairs(s, d).select("doc_a", "doc_b")
-      .union(SimHash.simhashPairs(s, d).select("doc_a", "doc_b"))
-    components(edges).withColumnRenamed("node", "doc_id")
-  }
+  private[functions] def pairLabels(s: SparkSession, d: String): DataFrame =
+    labelCache.getOrElseUpdate(s.sparkContext.applicationId + "@" + d, {
+      // no distinct here: components() symmetrizes + distincts anyway
+      val edges = Dedup.candidatePairs(s, d).select("doc_a", "doc_b")
+        .union(SimHash.simhashPairs(s, d).select("doc_a", "doc_b"))
+      components(edges).withColumnRenamed("node", "doc_id")
+    })
 
   // dedup_clusters: components over the D2 (MinHash-LSH) ∪ D4 (SimHash)
   // pair graph, joined back onto the full corpus — every document gets
