@@ -198,7 +198,74 @@ object TextAnalysis extends OpFamily {
       |r AS (SELECT *, row_number() OVER (PARTITION BY letter ORDER BY freq DESC, tid) AS rn FROM g)
       |SELECT letter, token, freq FROM r WHERE rn <= 10""".stripMargin
 
+  // T8: rare-bigram ratio — the LM-lite quality filter: a document
+  // whose bigrams rarely occur elsewhere in the corpus is likely
+  // gibberish/garbled (the same signal a KenLM perplexity filter
+  // captures, without FP-hazardous log-prob sums: counts and one final
+  // ratio only). The corpus bigram table is the classic n-gram-count
+  // join shape — at 100 TB the frequency table shuffles once and the
+  // doc-side probe is a plain equi-join on the bigram.
+  private def rarity(s: SparkSession, d: String): DataFrame = {
+    // feeds the frequency build AND the probe — materialize once
+    val bi = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => concat_ws(" ", slice(col("t"), i, lit(2))))).as("s"))
+      .cache()
+    val freq = bi.groupBy("s").agg(count(lit(1)).as("cf"))
+    bi.join(freq, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bi"),
+        sum(when(col("cf") < 3, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_ratio",
+        col("n_rare").cast("double") / col("n_bi").cast("double"))
+  }
+
+  private val raritySql =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |tk AS (SELECT doc_id, t FROM tok WHERE len(t) >= 2),
+      |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))) AS s FROM tk),
+      |freq AS (SELECT s, count(*) AS cf FROM bi GROUP BY 1)
+      |SELECT b.doc_id, count(*) AS n_bi,
+      |  CAST(sum(CASE WHEN f.cf < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+      |  CAST(sum(CASE WHEN f.cf < 3 THEN 1 ELSE 0 END) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS rare_ratio
+      |FROM bi b JOIN freq f ON b.s = f.s
+      |GROUP BY 1""".stripMargin
+
+  // T9: corpus-level report per language stratum — the summary a
+  // pipeline run emits alongside its export (docs, tokens, chars,
+  // vocabulary size per lang). One grouped agg + one distinct-count.
+  private def corpusStats(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("lang"), col("text"),
+      size(toks).cast("long").as("n_tok"),
+      length(col("text")).cast("long").as("n_chars"))
+    val vocab = Tables.documents(s, d)
+      .select(col("lang"), explode(toks).as("tk"))
+      .groupBy("lang").agg(countDistinct(col("tk")).as("n_vocab"))
+    base.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"))
+      .join(vocab, "lang")
+  }
+
+  private val corpusStatsSql =
+    """WITH v AS (
+      |  SELECT lang, count(DISTINCT tk) AS n_vocab FROM (
+      |    SELECT lang, unnest(string_split(text, ' ')) AS tk FROM documents)
+      |  GROUP BY 1),
+      |b AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |    CAST(sum(length(text)) AS BIGINT) AS sum_chars
+      |  FROM documents GROUP BY 1)
+      |SELECT b.lang, b.n_docs, b.n_tokens, b.sum_chars, v.n_vocab
+      |FROM b JOIN v ON b.lang = v.lang""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("text_rarity", rarity, Some(raritySql)),
+    Op("corpus_stats", corpusStats, Some(corpusStatsSql)),
     Op("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     Op("text_langid", langId, Some(langIdSql)),
     Op("text_quality", quality, Some(qualitySql)),
