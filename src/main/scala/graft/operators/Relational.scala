@@ -81,6 +81,37 @@ object Relational extends OpFamily {
       |ORDER BY revenue_e4 DESC, o_orderkey
       |LIMIT 10""".stripMargin
 
+  // R19 `q3_salted`: the skew-safe twin of R2 — the join analog of the
+  // salted fold A4. At 100 TB a single hot orderkey can stall one
+  // reducer of the orders⋈lineitem shuffle; the standard mitigation
+  // salts the BIG side's key (hot key's rows spread over 8 reducers)
+  // and replicates the other side across all 8 salt values. The oracle
+  // is R2's — proving the salted plan bit-exact is only possible
+  // because the aggregate is integer fixed-point.
+  private val nSalts = 8
+
+  private def q3Salted(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-06-30").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      // replicate the (small) probe side across every salt value
+      .withColumn("salt", explode(sequence(lit(0), lit(nSalts - 1))))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1998-06-30").cast("timestamp"))
+      .select(col("l_orderkey"),
+        e4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_e4"))
+      // salt the BIG side from a value that varies WITHIN a key
+      .withColumn("salt", pmod(col("rev_e4"), lit(nSalts)).cast("int"))
+    ord.join(li, col("l_orderkey") === col("o_orderkey") && ord("salt") === li("salt"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(col("rev_e4")).as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
   // R3: 5-way star join, TPC-H Q5 shape. All dims broadcast; the fact
   // (lineitem) shuffles once on l_orderkey.
   private def q5MultiJoin(s: SparkSession, d: String): DataFrame = {
@@ -354,6 +385,7 @@ object Relational extends OpFamily {
     Op("monthly_agg", monthlyAgg, Some(monthlySql)),
     Op("q1_agg", q1Agg, Some(q1Sql)),
     Op("q3_join", q3Join, Some(q3Sql)),
+    Op("q3_salted", q3Salted, Some(q3Sql)),
     Op("q5_multijoin", q5MultiJoin, Some(q5Sql)),
     Op("topk_per_group", topkPerGroup, Some(topkSql)),
     Op("semi_join", semiJoin, Some(semiSql)),
