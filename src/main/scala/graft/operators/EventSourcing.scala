@@ -302,6 +302,29 @@ object EventSourcing extends OpFamily {
        |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_value_c
        |FROM events GROUP BY 1""".stripMargin
 
+  // E15 `es_latest_n`: the recent-events read — the last 5 events per
+  // aggregate (the event-log tail a CQRS debugger/UI fetches next to
+  // the state). Served by the custom sort-free TopKPerKey operator:
+  // bounded 5-entry heaps per aggregate after one hash shuffle — at
+  // 100 TB the window form would SORT every aggregate's full history
+  // to keep 5 rows.
+  private def latestN(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        epochS(col("ts")).as("ts_s"))
+    graft.plans.TopK.topKPerKey(ev, 5, "user_id", "ts_s", "event_id")
+      .select("user_id", "event_id", "event_type", "ts_s")
+  }
+
+  private val latestNSql =
+    """SELECT user_id, event_id, event_type, ts_s FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC, event_id) AS rn
+      |  FROM events)
+      |WHERE rn <= 5""".stripMargin
+
   // E11: running state after EVERY event — the audit-trail view of the
   // fold (state history, not just the latest snapshot). One shuffle on
   // the aggregate id, ordered frame sum within the partition.
@@ -335,5 +358,6 @@ object EventSourcing extends OpFamily {
     Op("es_outbox", outboxSerde, Some(outboxSql)),
     Op("es_state_lookup", stateLookup, Some(stateLookupSql)),
     Op("es_incremental", incrementalFold, Some(foldSql(""))),
-    Op("es_shard_routing", shardRouting, Some(shardRoutingSql)))
+    Op("es_shard_routing", shardRouting, Some(shardRoutingSql)),
+    Op("es_latest_n", latestN, Some(latestNSql)))
 }
