@@ -76,6 +76,10 @@ object Clusters extends OpFamily {
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"[cc-round] $rounds changed=$changed")
     }
+    // with pointer jumping 32 rounds covers any realistic diameter
+    // (2^32 chain depth) — failing hard beats silently returning
+    // non-minimal labels that would diverge from the oracle closure
+    require(converged, s"connected components did not converge in $rounds rounds")
     labels
   }
 

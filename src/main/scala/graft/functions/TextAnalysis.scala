@@ -202,9 +202,11 @@ object TextAnalysis extends OpFamily {
   // whose bigrams rarely occur elsewhere in the corpus is likely
   // gibberish/garbled (the same signal a KenLM perplexity filter
   // captures, without FP-hazardous log-prob sums: counts and one final
-  // ratio only). The corpus bigram table is the classic n-gram-count
-  // join shape — at 100 TB the frequency table shuffles once and the
-  // doc-side probe is a plain equi-join on the bigram.
+  // ratio only). Bigram frequencies are Zipfian, so the probe join is
+  // pre-aggregated to one row per DISTINCT (doc, bigram) carrying its
+  // multiplicity: the hottest bigram's reducer sees at most one row
+  // per document instead of every occurrence, and the frequency build
+  // and probe share the same shrunken table.
   private def rarity(s: SparkSession, d: String): DataFrame = {
     // feeds the frequency build AND the probe — materialize once
     val bi = Tables.documents(s, d)
@@ -213,12 +215,13 @@ object TextAnalysis extends OpFamily {
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("t")) - 1),
         i => concat_ws(" ", slice(col("t"), i, lit(2))))).as("s"))
+      .groupBy("doc_id", "s").agg(count(lit(1)).as("m"))
       .cache()
-    val freq = bi.groupBy("s").agg(count(lit(1)).as("cf"))
+    val freq = bi.groupBy("s").agg(sum(col("m")).as("cf"))
     bi.join(freq, "s")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bi"),
-        sum(when(col("cf") < 3, 1L).otherwise(0L)).as("n_rare"))
+      .agg(sum(col("m")).as("n_bi"),
+        sum(when(col("cf") < 3, col("m")).otherwise(0L)).as("n_rare"))
       .withColumn("rare_ratio",
         col("n_rare").cast("double") / col("n_bi").cast("double"))
   }

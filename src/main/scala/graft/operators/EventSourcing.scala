@@ -42,18 +42,38 @@ object EventSourcing extends OpFamily {
       |     WHEN event_type = 'signup' THEN 1000
       |     ELSE 0 END""".stripMargin
 
-  // E1: KTable — latest state per aggregate. `max_by(struct, (ts,id))`
-  // keeps it a single hash-agg (no sort, no row_number shuffle+filter).
+  // The five event types, in a fixed code order for payload packing.
+  private[graft] val evTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** event_type → 0..4 (data carries exactly these five types). */
+  private[graft] def typeCode: org.apache.spark.sql.Column =
+    evTypes.zipWithIndex.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (t, i)) => acc.when(col("event_type") === t, lit(i.toLong))
+    }.otherwise(lit(9L))
+
+  /** 0..4 → event_type (out-of-range decodes to null). */
+  private[graft] def typeName(code: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(array(evTypes.map(lit): _*), code.cast("int") + 1)
+
+  // E1: KTable — latest state per aggregate, as ONE HashAggregate: the
+  // (ts, event_id) ordering and the (cents, type) payload pack into a
+  // single decimal(38,0) `max` (see [[Packed]] — the max_by(struct,…)
+  // form planned as SortAggregate, a full per-partition sort of the
+  // log). value decodes exactly: data is 2-decimal, so
+  // cents/100.0 reproduces the stored double bit-for-bit.
   private def latestState(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy("user_id")
       .agg(
-        max_by(struct(col("event_type").as("t"), col("value").as("v")),
-          struct(col("ts"), col("event_id"))).as("last"),
+        max(Packed.latest(col("ts"), col("event_id"),
+          cents(col("value")) * lit(10L) + typeCode)).as("pk"),
         max(col("ts")).as("mts"),
         count(lit(1)).as("n_events"))
+      .withColumn("pay", Packed.payload(col("pk")))
       .select(col("user_id"), epochS(col("mts")).as("last_ts_s"),
-        col("last.t").as("last_type"), col("last.v").as("last_value"), col("n_events"))
+        typeName(pmod(col("pay"), lit(10L))).as("last_type"),
+        (expr("pay div 10").cast("double") / lit(100.0)).as("last_value"),
+        col("n_events"))
 
   private val latestStateSql =
     """SELECT user_id, CAST(floor(epoch(mts)) AS BIGINT) AS last_ts_s,
@@ -233,7 +253,7 @@ object EventSourcing extends OpFamily {
   private val nShards = 16
 
   private def stateLookup(s: SparkSession, d: String): DataFrame = {
-    val snapDir = s"/tmp/graft_ktable_${math.abs(d.hashCode)}"
+    val snapDir = s"${Tables.workDir(s)}/ktable_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
     latestState(s, d)
       .withColumn("shard", pmod(col("user_id"), lit(nShards)))
       .write.mode("overwrite").partitionBy("shard").parquet(snapDir)
@@ -257,7 +277,7 @@ object EventSourcing extends OpFamily {
   // the incremental path bit-exact — same trick as the salted fold A4.
   private def incrementalFold(s: SparkSession, d: String): DataFrame = {
     val cut = lit("2024-01-20 00:00:00").cast("timestamp")
-    val snapDir = s"/tmp/graft_snapfold_${math.abs(d.hashCode)}"
+    val snapDir = s"${Tables.workDir(s)}/snapfold_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
     def partialFold(df: DataFrame): DataFrame =
       df.groupBy("user_id")
         .agg(

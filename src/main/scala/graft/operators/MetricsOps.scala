@@ -26,6 +26,10 @@ import graft.sources.Tables.cents
 object MetricsOps extends OpFamily {
 
   // M1: Count / Min / Max / MostRecentValue / mean per sensor, one pass.
+  // MostRecentValue is a packed-decimal `max` ([[Packed]]) — the
+  // max_by(value, struct(ts,event_id)) form forces SortAggregate (a
+  // struct aggregation buffer is not hash-aggregable); packing keeps
+  // the whole statistic block a single HashAggregate.
   private def stats(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy("event_type")
@@ -33,10 +37,12 @@ object MetricsOps extends OpFamily {
         count(lit(1)).as("n"),
         min(col("value")).as("min_v"),
         max(col("value")).as("max_v"),
-        max_by(col("value"), struct(col("ts"), col("event_id"))).as("last_v"),
+        max(Packed.latest(col("ts"), col("event_id"), cents(col("value")))).as("pk"),
         sum(cents(col("value"))).as("sum_c"))
+      .withColumn("last_v", Packed.payload(col("pk")).cast("double") / lit(100.0))
       .withColumn("avg_v",
         col("sum_c").cast("double") / col("n").cast("double") / lit(100.0))
+      .drop("pk")
 
   private val statsSql =
     """WITH s AS (

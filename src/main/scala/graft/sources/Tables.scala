@@ -54,4 +54,13 @@ object Tables {
 
   /** Epoch seconds (UTC session) — the cross-engine-stable time key. */
   def epochS(c: Column): Column = unix_timestamp(c)
+
+  /** Session-scoped scratch root for snapshots/sinks. Keyed by the
+    * Spark applicationId (overridable via `graft.workdir`) so two
+    * concurrent sessions on one host (e.g. `sbt test` beside
+    * `graft.Verify`) never race overwrite-against-read on a shared
+    * path. */
+  def workDir(s: SparkSession): String =
+    s.conf.getOption("graft.workdir")
+      .getOrElse(s"/tmp/graft_${s.sparkContext.applicationId}")
 }

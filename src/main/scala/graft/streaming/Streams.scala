@@ -18,8 +18,11 @@ final case class AccountState(
     user_id: Long, balance_c: Long, n_purchases: Long, n_events: Long,
     last_ts_s: Long)
 
-/** One sensor reading held in streaming-EWMA state. */
-final case class Reading(ts_ms: Long, event_id: Long, c: Long)
+/** One sensor reading held in streaming-EWMA state. The timestamp is
+  * kept at FULL microsecond precision — the batch/oracle recency rank
+  * orders by full-precision ts, and a millisecond-truncated key would
+  * pick a different top-20 on any same-millisecond collision. */
+final case class Reading(ts_us: Long, event_id: Long, c: Long)
 
 /** Streaming-EWMA state: the key's 20 most recent readings. */
 final case class EwmaState(buf: Seq[Reading])
@@ -103,7 +106,7 @@ object Streams extends OpFamily {
     * batch. update/append: batches are deltas ⇒ read their union
     * (exactly the contents a memory sink would have accumulated). */
   def runToTable(s: SparkSession, df: DataFrame, name: String, mode: String): DataFrame = {
-    val dir = new java.io.File(s"/tmp/graft_sink_$name")
+    val dir = new java.io.File(s"${graft.sources.Tables.workDir(s)}/sink_$name")
     def deleteRec(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(deleteRec))
       f.delete(); ()
@@ -122,7 +125,13 @@ object Streams extends OpFamily {
       .filter(_.getName.startsWith("b_")).sortBy(_.getName.stripPrefix("b_").toLong)
     require(batches.nonEmpty, s"streaming query $name produced no batches")
     if (mode == "complete") s.read.parquet(batches.last.getPath)
-    else s.read.parquet(batches.map(_.getPath): _*)
+    else
+      // union of delta batches, each row tagged with its batch id so
+      // multi-batch runs can keep each key's LAST emission (n-based
+      // max_by ties across batches once a key's state stops changing)
+      s.read.parquet(batches.map(_.getPath): _*)
+        .withColumn("_batch_id",
+          regexp_extract(input_file_name(), "/b_(\\d+)/", 1).cast("long"))
   }
 
   // E7 as a driver-verifiable query: fold the whole log through the
@@ -130,28 +139,40 @@ object Streams extends OpFamily {
   private def streamFold(s: SparkSession, d: String): DataFrame = {
     val folded = foldEvents(eventStream(s, d)).toDF()
     val t = runToTable(s, folded, "graft_stream_fold", "update")
-    // one batch ⇒ one update per key; keep the last state defensively
+    // update mode emits one row per key per batch — keep the row from
+    // each key's LAST batch (batch ids are unique, so the argmax is
+    // well-defined at any batch count; tiny one-row-per-key harness
+    // table, max_by(struct) is fine here)
     t.groupBy("user_id")
       .agg(max_by(struct(col("balance_c"), col("n_purchases"), col("n_events"),
-        col("last_ts_s")), col("n_events")).as("st"))
+        col("last_ts_s")), col("_batch_id")).as("st"))
       .select(col("user_id"), col("st.balance_c"), col("st.n_purchases"),
         col("st.n_events"), col("st.last_ts_s"))
   }
 
   // E8: streaming KTable — latest-state store maintained as a streaming
-  // aggregation (complete mode = the compacted-topic snapshot).
-  private def streamLatest(s: SparkSession, d: String): DataFrame = {
-    val ev = eventStream(s, d)
-    val agg = ev.toDF().groupBy("user_id")
+  // aggregation (complete mode = the compacted-topic snapshot). Same
+  // packed-decimal argmax as the batch E1 ([[graft.operators.Packed]]):
+  // the stateful streaming agg keeps a fixed-width buffer per key
+  // instead of the SortAggregate the max_by(struct,…) form plans.
+  private[graft] def latestStateAgg(df: DataFrame): DataFrame = {
+    import graft.operators.{EventSourcing, Packed}
+    df.groupBy("user_id")
       .agg(
-        max_by(struct(col("event_type").as("t"), col("value").as("v")),
-          struct(col("ts"), col("event_id"))).as("last"),
+        max(Packed.latest(col("ts"), col("event_id"),
+          cents(col("value")) * lit(10L) + EventSourcing.typeCode)).as("pk"),
         max(col("ts")).as("mts"),
         count(lit(1)).as("n_events"))
+      .withColumn("pay", Packed.payload(col("pk")))
       .select(col("user_id"), unix_timestamp(col("mts")).as("last_ts_s"),
-        col("last.t").as("last_type"), col("last.v").as("last_value"), col("n_events"))
-    runToTable(s, agg, "graft_stream_latest", "complete")
+        EventSourcing.typeName(pmod(col("pay"), lit(10L))).as("last_type"),
+        (expr("pay div 10").cast("double") / lit(100.0)).as("last_value"),
+        col("n_events"))
   }
+
+  private def streamLatest(s: SparkSession, d: String): DataFrame =
+    runToTable(s, latestStateAgg(eventStream(s, d).toDF()),
+      "graft_stream_latest", "complete")
 
   // W5: streaming tumbling-window aggregation.
   private def streamWindow(s: SparkSession, d: String): DataFrame = {
@@ -204,12 +225,15 @@ object Streams extends OpFamily {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[Ev], state: GroupState[EwmaState]) =>
           val prior = state.getOption.map(_.buf).getOrElse(Seq.empty)
-          val incoming = it.map(e =>
-            Reading(e.ts.getTime, e.event_id, centsL(e.value))).toSeq
-          // most-recent-first by (ts, event_id), truncated to 20 —
+          val incoming = it.map { e =>
+            val i = e.ts.toInstant
+            Reading(i.getEpochSecond * 1000000L + i.getNano / 1000L,
+              e.event_id, centsL(e.value))
+          }.toSeq
+          // most-recent-first by (µs ts, event_id), truncated to 20 —
           // bounded per-key state at any stream length
           val buf = (prior ++ incoming)
-            .sortBy(r => (-r.ts_ms, -r.event_id)).take(20)
+            .sortBy(r => (-r.ts_us, -r.event_id)).take(20)
           state.update(EwmaState(buf))
           Iterator.single(ewmaOf(uid, buf))
       }
@@ -220,10 +244,11 @@ object Streams extends OpFamily {
   private def streamEwma(s: SparkSession, d: String): DataFrame = {
     val out = ewmaStream(eventStream(s, d)).toDF()
     val t = runToTable(s, out, "graft_stream_ewma", "update")
-    // one batch ⇒ one emission per key; keep the freshest defensively
+    // keep each key's emission from its LAST batch — n_used would tie
+    // at 20 across batches for active keys and pick arbitrarily
     t.groupBy("user_id")
       .agg(max_by(struct(col("n_used"), col("ewma_scaled"), col("ewma")),
-        col("n_used")).as("st"))
+        col("_batch_id")).as("st"))
       .select(col("user_id"), col("st.n_used"), col("st.ewma_scaled"), col("st.ewma"))
   }
 
