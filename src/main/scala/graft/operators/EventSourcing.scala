@@ -55,25 +55,36 @@ object EventSourcing extends OpFamily {
   private[graft] def typeName(code: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     element_at(array(evTypes.map(lit): _*), code.cast("int") + 1)
 
-  // E1: KTable — latest state per aggregate, as ONE HashAggregate: the
-  // (ts, event_id) ordering and the (cents, type) payload pack into a
-  // single decimal(38,0) `max` (see [[Packed]] — the max_by(struct,…)
-  // form planned as SortAggregate, a full per-partition sort of the
-  // log). value decodes exactly: data is 2-decimal, so
-  // cents/100.0 reproduces the stored double bit-for-bit.
-  private def latestState(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy("user_id")
+  /** The KTable aggregation in its MERGEABLE packed form: per key,
+    * max packed (ts, event_id, cents·10+type) + max ts + event count.
+    * All three components are commutative-monoid merges (max/max/sum),
+    * so a store of these rows upserts batch-by-batch ([[graft.streaming.LiveStore]])
+    * and decodes on read. */
+  private[graft] def packedState(df: DataFrame): DataFrame =
+    df.groupBy("user_id")
       .agg(
         max(Packed.latest(col("ts"), col("event_id"),
           cents(col("value")) * lit(10L) + typeCode)).as("pk"),
         max(col("ts")).as("mts"),
         count(lit(1)).as("n_events"))
-      .withColumn("pay", Packed.payload(col("pk")))
+
+  /** Decode packed KTable rows to the user-facing state view. value
+    * decodes exactly: data is 2-decimal, so cents/100.0 reproduces the
+    * stored double bit-for-bit. */
+  private[graft] def decodeState(df: DataFrame): DataFrame =
+    df.withColumn("pay", Packed.payload(col("pk")))
       .select(col("user_id"), epochS(col("mts")).as("last_ts_s"),
         typeName(pmod(col("pay"), lit(10L))).as("last_type"),
         (expr("pay div 10").cast("double") / lit(100.0)).as("last_value"),
         col("n_events"))
+
+  // E1: KTable — latest state per aggregate, as ONE HashAggregate: the
+  // (ts, event_id) ordering and the (cents, type) payload pack into a
+  // single decimal(38,0) `max` (see [[Packed]] — the max_by(struct,…)
+  // form planned as SortAggregate, a full per-partition sort of the
+  // log).
+  private def latestState(s: SparkSession, d: String): DataFrame =
+    decodeState(packedState(Tables.events(s, d)))
 
   private val latestStateSql =
     """SELECT user_id, CAST(floor(epoch(mts)) AS BIGINT) AS last_ts_s,

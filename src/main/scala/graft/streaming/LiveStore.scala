@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.EventSourcing
+
+/** The continuously-maintained queryable state store.
+  *
+  * Surge's KTable is not a batch artifact: the stream UPDATES it and
+  * any aggregate's state is queryable by key at any moment
+  * (`/root/reference/modules/common/src/main/scala/surge/kafka/streams/AggregateStateStoreKafkaStreams.scala`,
+  * `SurgeAggregateStore.scala:31` `getAggregateBytes(aggregateId)`,
+  * `KafkaStreamsKeyValueStore.scala`). graft's batch twin (E12) built
+  * the sharded snapshot once; this maintains it FROM THE STREAM:
+  *
+  *  - each micro-batch folds its events to packed per-key rows
+  *    ([[EventSourcing.packedState]] — max packed (ts,event_id,payload),
+  *    max ts, event count: every component a commutative-monoid merge,
+  *    so batch-state ⊔ store-state is one hash-agg, order-independent);
+  *  - the upsert rewrites ONLY the shard partitions the batch touched
+  *    (dynamic partition overwrite over `partitionBy(shard)` — the
+  *    compacted-topic log-compaction analog; at 100 TB a batch rewrites
+  *    ~16/16 shards of hot traffic but each shard write is bounded by
+  *    that shard's key count, not the log length);
+  *  - a point lookup between batches prunes to one shard directory and
+  *    pushes the key filter into that scan — `getAggregateBytes` while
+  *    ingestion runs.
+  *
+  * A production deployment would put a transactional table format
+  * (or the E12 bucketed layout + a version pointer) under the store so
+  * readers never observe a half-committed batch; here foreachBatch
+  * serializes upserts, and lookups run between micro-batches.
+  */
+object LiveStore {
+
+  val nShards = 16
+
+  private def shardOf(c: org.apache.spark.sql.Column) = pmod(c, lit(nShards.toLong))
+
+  private def readPacked(s: SparkSession, dir: String): Option[DataFrame] =
+    if (new java.io.File(dir).exists) Some(s.read.parquet(dir)) else None
+
+  /** Merge one micro-batch of raw events into the store. */
+  def upsert(batch: DataFrame, dir: String): Unit = {
+    val s = batch.sparkSession
+    if (batch.isEmpty) return
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val bs = EventSourcing.packedState(batch)
+      .withColumn("shard", shardOf(col("user_id")))
+    val merged = readPacked(s, dir) match {
+      case None => bs
+      case Some(ex) =>
+        // only the touched shards participate — and the overwrite must
+        // carry EVERY key of a touched shard, or untouched keys in that
+        // shard would vanish with the old partition directory
+        val touched = bs.select("shard").distinct() // ≤ nShards rows
+        ex.join(broadcast(touched), Seq("shard"), "left_semi")
+          .unionByName(bs)
+          .groupBy("user_id", "shard") // shard is functionally dependent
+          .agg(max(col("pk")).as("pk"), max(col("mts")).as("mts"),
+            sum(col("n_events")).as("n_events"))
+          // the store dir is both read and overwritten in this batch —
+          // materialize the read side before the commit deletes the old
+          // partition files (a transactional format subsumes this)
+          .localCheckpoint(true)
+    }
+    merged.select("user_id", "pk", "mts", "n_events", "shard")
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+  }
+
+  /** Point lookup BY KEY — prunes to one shard directory (spec asserts
+    * PartitionFilters) and pushes the user_id filter into that scan. */
+  def lookup(s: SparkSession, dir: String, key: Long): DataFrame =
+    EventSourcing.decodeState(
+      s.read.parquet(dir)
+        .filter(col("shard") === lit(key % nShards) && col("user_id") === lit(key)))
+
+  /** Full decoded snapshot (the read-side view of the whole store). */
+  def snapshot(s: SparkSession, dir: String): DataFrame =
+    EventSourcing.decodeState(s.read.parquet(dir))
+
+  /** Driver query: maintain the store from the event stream, then
+    * return the final snapshot — which must equal the batch KTable
+    * (E1's oracle), proving the upsert path bit-exact. */
+  private[graft] def liveStore(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${graft.sources.Tables.workDir(s)}/livestore"
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(); ()
+    }
+    deleteRec(new java.io.File(dir))
+    val q = Streams.eventStream(s, d).toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        upsert(batch, dir)
+      }
+      .outputMode("update")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    snapshot(s, dir)
+  }
+}

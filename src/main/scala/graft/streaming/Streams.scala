@@ -156,18 +156,8 @@ object Streams extends OpFamily {
   // the stateful streaming agg keeps a fixed-width buffer per key
   // instead of the SortAggregate the max_by(struct,…) form plans.
   private[graft] def latestStateAgg(df: DataFrame): DataFrame = {
-    import graft.operators.{EventSourcing, Packed}
-    df.groupBy("user_id")
-      .agg(
-        max(Packed.latest(col("ts"), col("event_id"),
-          cents(col("value")) * lit(10L) + EventSourcing.typeCode)).as("pk"),
-        max(col("ts")).as("mts"),
-        count(lit(1)).as("n_events"))
-      .withColumn("pay", Packed.payload(col("pk")))
-      .select(col("user_id"), unix_timestamp(col("mts")).as("last_ts_s"),
-        EventSourcing.typeName(pmod(col("pay"), lit(10L))).as("last_type"),
-        (expr("pay div 10").cast("double") / lit(100.0)).as("last_value"),
-        col("n_events"))
+    import graft.operators.EventSourcing
+    EventSourcing.decodeState(EventSourcing.packedState(df))
   }
 
   private def streamLatest(s: SparkSession, d: String): DataFrame =
@@ -354,6 +344,7 @@ object Streams extends OpFamily {
   override def ops: Seq[Op] = Seq(
     Op("stream_fold", streamFold, Some(streamFoldSql)),
     Op("stream_latest", streamLatest, Some(streamLatestSql)),
+    Op("es_live_store", LiveStore.liveStore, Some(streamLatestSql)),
     Op("stream_window", streamWindow, Some(streamWindowSql)),
     Op("stream_dedup", streamDedup, Some(streamDedupSql)),
     Op("stream_ewma", streamEwma, Some(streamEwmaSql)),
