@@ -21,9 +21,17 @@ final case class Account(balance_c: Long, n_purchases: Long, n_events: Long)
 object AccountModel extends AggregateModel[Account, Ev, Ev] {
   private def cents(v: Double): Long = math.round(v * 100)
 
+  // full-microsecond ordering keys — millisecond truncation would
+  // reorder same-millisecond neighbors vs the oracle's full-precision ts
+  private def micros(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
   override def commandAggregateId(c: Ev): Long = c.user_id
   override def eventAggregateId(e: Ev): Long = e.user_id
-  override def eventSequence(e: Ev): (Long, Long) = (e.ts.getTime, e.event_id)
+  override def eventSequence(e: Ev): (Long, Long) = (micros(e.ts), e.event_id)
+  override def commandSequence(c: Ev): (Long, Long) = (micros(c.ts), c.event_id)
 
   override def handleCommand(state: Option[Account], cmd: Ev): Either[String, Seq[Ev]] = {
     val bal = state.map(_.balance_c).getOrElse(0L)
@@ -128,8 +136,30 @@ object AccountOps extends OpFamily {
       .select(col("user_id"), col("st.balance_c"), col("st.n_purchases"), col("st.n_events"))
   }
 
+  // A6 `api_stream_commands`: the engine's CONTINUOUS command loop —
+  // commands arrive on the stream, each answered accept/reject against
+  // the aggregate's current state (seeded from the pre-cutoff snapshot,
+  // then carried across micro-batches by the state store). Same
+  // recursive-CTE oracle as the batch A2 twin ⇒ batch/stream parity of
+  // the full sequential accept/reject walk.
+  private def apiStreamCommands(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+    val snapshot = engine(s).replayState(
+      ev.filter(col("ts") < lit(cutoff).cast("timestamp")).as[Ev])
+    val cmdStream = graft.streaming.Streams.eventStream(s, d)
+      .filter(col("ts") >= lit(cutoff).cast("timestamp") &&
+        col("event_type") === "purchase").as[Ev]
+    val out = engine(s).streamingCommands(cmdStream, snapshot)
+      .map(o => (o.command.event_id, o.aggregateId, o.accepted))
+      .toDF("event_id", "user_id", "accepted")
+    graft.streaming.Streams.runToTable(s, out, "graft_api_stream_cmds", "update")
+      .select("event_id", "user_id", "accepted")
+  }
+
   override def ops: Seq[Op] = Seq(
     Op("api_replay", apiReplay, Some(apiReplaySql)),
     Op("api_commands", apiCommands, Some(apiCommandsSql)),
-    Op("api_stream", apiStream, Some(apiReplaySql)))
+    Op("api_stream", apiStream, Some(apiReplaySql)),
+    Op("api_stream_commands", apiStreamCommands, Some(apiCommandsSql)))
 }

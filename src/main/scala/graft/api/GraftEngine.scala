@@ -34,6 +34,11 @@ trait AggregateModel[S, C, E] extends Serializable {
   /** Event ordering within an aggregate (surge: Kafka offset order). */
   def eventSequence(e: E): (Long, Long)
 
+  /** Command ordering within an aggregate (surge: per-actor mailbox
+    * arrival order) — commands for one aggregate apply sequentially in
+    * this order, each seeing the previous command's state. */
+  def commandSequence(c: C): (Long, Long)
+
   /** surge `handle`: validate a command against current state. */
   def handleCommand(state: Option[S], cmd: C): Either[String, Seq[E]]
 
@@ -72,17 +77,49 @@ class GraftEngine[S, C, E](val model: AggregateModel[S, C, E])(
     val keyedCmds = commands.groupByKey(model.commandAggregateId)
     val keyedState = state.groupByKey(_.aggregateId)
     keyedCmds.cogroup(keyedState) { (uid, cmds, st) =>
-      var current: Option[S] = st.toSeq.headOption.map(_.state)
-      cmds.map { c =>
-        model.handleCommand(current, c) match {
-          case Right(evs) =>
-            current = evs.foldLeft(current)((s, e) => model.applyEvent(s, e))
-            CommandOutcome(uid, c, accepted = true, None, evs)
-          case Left(rej) =>
-            CommandOutcome(uid, c, accepted = false, Some(rej), Seq.empty)
-        }
+      applySequentially(uid, st.toSeq.headOption.map(_.state), cmds)._2
+    }
+  }
+
+  /** Run one aggregate's commands in `commandSequence` order against
+    * its state; returns (final state, outcomes). */
+  private def applySequentially(
+      uid: Long, initial: Option[S], cmds: Iterator[C]): (Option[S], Seq[CommandOutcome[C, E]]) = {
+    var current = initial
+    val outs: Seq[CommandOutcome[C, E]] = cmds.toSeq.sortBy(model.commandSequence).map { c =>
+      model.handleCommand(current, c) match {
+        case Right(evs) =>
+          current = evs.foldLeft(current)((s, e) => model.applyEvent(s, e))
+          CommandOutcome(uid, c, accepted = true, None, evs)
+        case Left(rej) =>
+          CommandOutcome(uid, c, accepted = false, Some(rej), Seq.empty)
       }
     }
+    (current, outs)
+  }
+
+  /** CONTINUOUS command processing — surge's actual service loop
+    * (`/root/reference/modules/command-engine/core/src/main/scala/surge/internal/persistence/PersistentActor.scala`:
+    * commands arrive, are validated against the aggregate's current
+    * state, and each is answered with accept + persisted events or
+    * reject — `AggregateProcessingModel.scala:17-34` `handle` /
+    * `ctx.reject`). The per-aggregate state slot is seeded from a
+    * snapshot (surge: KTable restore) and then carried across
+    * micro-batches by the state store, so a command in batch N sees the
+    * state left by batch N−1 — the streaming twin of
+    * [[processCommands]], verified against the same oracle. */
+  def streamingCommands(
+      commands: Dataset[C], snapshot: Dataset[Keyed[S]]): Dataset[CommandOutcome[C, E]] = {
+    val init = snapshot.groupByKey(_.aggregateId)
+      .mapValues(k => StateBox(Option(k.state)))(esb)
+    commands.groupByKey(model.commandAggregateId)
+      .flatMapGroupsWithState[StateBox[S], CommandOutcome[C, E]](
+        OutputMode.Update, GroupStateTimeout.NoTimeout, init) {
+        (uid: Long, cmds: Iterator[C], gs: GroupState[StateBox[S]]) =>
+          val (next, outs) = applySequentially(uid, gs.getOption.flatMap(_.value), cmds)
+          gs.update(StateBox(next))
+          outs.iterator
+      }(esb, eco)
   }
 
   /** Streaming state maintenance — one state slot per aggregate,

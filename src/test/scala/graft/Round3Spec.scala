@@ -46,4 +46,35 @@ class Round3Spec extends SparkSpec {
     assert(got.select("user_id", "last_type", "last_value").except(want).count() == 0)
     assert(want.except(got.select("user_id", "last_type", "last_value")).count() == 0)
   }
+
+  test("streaming commands: state carries across micro-batches (accept then reject)") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.api.{AccountModel, GraftEngine, Keyed, Account}
+    import graft.streaming.Ev
+    def ts(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+
+    val eng = new GraftEngine(AccountModel)
+    // snapshot: user 1 holds 1000 cents (one signup)
+    val snapshot = eng.replayState(Seq(Ev(1, ts(0), 1, "signup", 0.0)).toDS())
+    val input = MemoryStream[Ev]
+    val out = eng.streamingCommands(input.toDS(), snapshot)
+      .map(o => (o.command.event_id, o.aggregateId, o.accepted))
+      .toDF("event_id", "user_id", "accepted")
+    val q = out.writeStream.format("memory").queryName("cmd_stream_test")
+      .outputMode("update").start()
+    // batch 1: 600-cent purchase — covered (1000 ≥ 600)
+    input.addData(Ev(10, ts(1), 1, "purchase", 6.0))
+    q.processAllAvailable()
+    // batch 2: another 600 — must REJECT: batch 1 left only 400
+    input.addData(Ev(11, ts(2), 1, "purchase", 6.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cmd_stream_test")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(10L -> true, 11L -> false),
+      s"state must carry across batches, got $got")
+  }
 }
