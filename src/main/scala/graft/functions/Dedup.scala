@@ -158,37 +158,68 @@ object Dedup extends OpFamily {
        |  CAST(i.inter_n AS DOUBLE)/CAST(sa.n + sb.n - i.inter_n AS DOUBLE) AS jaccard
        |FROM i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b""".stripMargin
 
-  // D5: embedding near-dup — pairwise quantized cosine, blocked on the
-  // 256-way hyperplane-LSH bucket (Similarity.lshBucket). Bucket sizes
-  // are ~n/256 regardless of how labels are distributed, so the
-  // self-join stays bounded at any corpus size; a label-blocked join
-  // would be quadratic in the biggest label population (with a handful
-  // of labels at 100 TB that is effectively all-pairs). True near-dups
-  // (cos→1) collide on all 8 hyperplane signs, so recall at the 0.4+
-  // band is concentrated exactly where a dedup pipeline needs it.
-  private def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+  // D5: embedding near-dup — pairwise quantized cosine, blocked on a
+  // banded hyperplane-LSH OR-construction: `embPlanes` sign bits per
+  // band (2^16 buckets here, block size n/65536) and `embBands`
+  // DISJOINT plane families, a pair being a candidate when it collides
+  // in ANY band. The plane count is the scale knob — within-block pairs
+  // grow as n²/2^planes, so a larger corpus takes more planes, and
+  // bands buy back the recall each plane's sign test costs
+  // (P[candidate] = 1−(1−r^planes)^bands for sign-agreement rate r).
+  // Measured on the driver data (τ≥0.4 truth set, an LSH-hard regime:
+  // the synthetic corpus has no high-cosine near-dups, max cos ≈ 0.51):
+  // 16×6 matches the old single 8-plane band's recall at ~0.65× its
+  // candidate volume with 256× smaller blocks, and recall is monotone
+  // in the band count (the recall spec asserts both). A real dedup
+  // corpus concentrates mass at cos→1 where per-band recall ≈ r^planes
+  // is high for every config.
+  private[graft] val embPlanes = 16
+  private[graft] val embBands = 6
+
+  private[graft] def dedupEmbeddingWith(
+      s: SparkSession, d: String, planes: Int, bands: Int): DataFrame = {
     val q = Tables.embeddings(s, d).select(col("vec_id"),
       Similarity.quantize(col("embedding")).as("v"))
-    val n = q.withColumn("nn", Similarity.sqNorm(col("v")))
-      .withColumn("bucket", Similarity.lshBucket(col("v")))
-    val a = n.alias("a")
-    val b = n.alias("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        Similarity.cosine(col("a.v"), col("b.v"), col("a.nn"), col("b.nn")).as("cos_sim"))
+    val n = (0 until bands).foldLeft(q.withColumn("nn", Similarity.sqNorm(col("v")))) {
+      (df, b) => df.withColumn(s"bk$b", Similarity.lshBucket(col("v"), planes, b))
+    }.cache()
+    // narrow candidate list first (ids only), OR'd across bands…
+    val cand = (0 until bands).map { b =>
+      n.select(col("vec_id").as("vec_a"), col(s"bk$b").as("bk")).alias("a")
+        .join(n.select(col("vec_id").as("vec_b"), col(s"bk$b").as("bk")).alias("b"), "bk")
+        .filter(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b")
+    }.reduce(_ union _).distinct()
+    // …then one vector re-attach per side for the exact cosine check
+    val va = n.select(col("vec_id").as("vec_a"), col("v").as("av"), col("nn").as("an"))
+    val vb = n.select(col("vec_id").as("vec_b"), col("v").as("bv"), col("nn").as("bn"))
+    cand.join(va, "vec_a").join(vb, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        Similarity.cosine(col("av"), col("bv"), col("an"), col("bn")).as("cos_sim"))
       .filter(col("cos_sim") >= 0.4)
   }
 
-  private val dedupEmbeddingSql =
+  private def dedupEmbedding(s: SparkSession, d: String): DataFrame =
+    dedupEmbeddingWith(s, d, embPlanes, embBands)
+
+  private val dedupEmbeddingSql = {
+    val bandCtes = (0 until embBands).map(b =>
+      s"bk$b AS (SELECT vec_id, ${Similarity.lshBucketSql("v", embPlanes, b)} AS bk FROM n)")
+      .mkString(",\n")
+    val bandJoins = (0 until embBands).map(b =>
+      s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM bk$b a JOIN bk$b b ON a.bk = b.bk AND a.vec_id < b.vec_id")
+      .mkString("\nUNION\n")
     s"""WITH q AS (
        |  SELECT vec_id, ${Similarity.quantizeSql("embedding")} AS v FROM embeddings),
-       |n AS (SELECT vec_id, v, ${Similarity.sqNormSql("v")} AS nn,
-       |        ${Similarity.lshBucketSql("v")} AS bucket FROM q),
+       |n AS (SELECT vec_id, v, ${Similarity.sqNormSql("v")} AS nn FROM q),
+       |$bandCtes,
+       |cand AS ($bandJoins),
        |p AS (
-       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |    ${Similarity.cosineSql("a.v", "b.v", "a.nn", "b.nn")} AS cos_sim
-       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |  SELECT c.vec_a, c.vec_b,
+       |    ${Similarity.cosineSql("x.v", "y.v", "x.nn", "y.nn")} AS cos_sim
+       |  FROM cand c JOIN n x ON x.vec_id = c.vec_a JOIN n y ON y.vec_id = c.vec_b)
        |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.4""".stripMargin
+  }
 
   override def ops: Seq[Op] = Seq(
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),

@@ -56,9 +56,15 @@ object Similarity extends OpFamily {
     * [[graft.functions.expressions.LshBucket]] kernel (one fused
     * integer loop; the compositional `aggregate(zip_with(...))` form is
     * interpreted and allocates per plane per row). */
-  def lshBucket(v: Column): Column = {
+  def lshBucket(v: Column): Column = lshBucket(v, 8, 0)
+
+  /** Banded form: 2^planes buckets from band `band`'s disjoint plane
+    * family. The plane count scales with the corpus (block size is
+    * n/2^planes); OR-ing 2+ bands recovers the recall a single wider
+    * band gives up. */
+  def lshBucket(v: Column, planes: Int, band: Int): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    ColumnBridge.column(expressions.LshBucket(ColumnBridge.expression(v)))
+    ColumnBridge.column(expressions.LshBucket(ColumnBridge.expression(v), planes, band))
   }
 
   /** The compositional formula the kernel replaces — kept for the
@@ -72,11 +78,15 @@ object Similarity extends OpFamily {
           lit(0L), (a, x) => a + x) >= 0,
         pow(lit(2.0), j).cast("long")).otherwise(lit(0L)))
 
-  def lshBucketSql(v: String): String =
-    s"CAST(list_sum(list_transform(range(0, 8), j -> " +
+  def lshBucketSql(v: String): String = lshBucketSql(v, 8, 0)
+
+  def lshBucketSql(v: String, planes: Int, band: Int): String = {
+    val base = band * planes
+    s"CAST(list_sum(list_transform(range(0, $planes), j -> " +
       s"CASE WHEN list_sum(list_transform(range(1, 65), d -> " +
-      s"$v[d] * ((j*73856093 + d*19349663) % 97 - 48))) >= 0 " +
+      s"$v[d] * ((($base + j)*73856093 + d*19349663) % 97 - 48))) >= 0 " +
       s"THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END)) AS BIGINT)"
+  }
 
   private def quantized(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)

@@ -77,4 +77,45 @@ class Round3Spec extends SparkSpec {
     assert(got == Map(10L -> true, 11L -> false),
       s"state must carry across batches, got $got")
   }
+
+  test("D5 banded LSH: recall vs τ≥0.4 truth is band-monotone; volume beats 8-plane") {
+    import graft.functions.{Dedup, Similarity}
+    import graft.sources.Tables
+    // brute-force truth set (500 vectors — exact)
+    val q = Tables.embeddings(spark, sf).select(col("vec_id"),
+      Similarity.quantize(col("embedding")).as("v"))
+      .withColumn("nn", Similarity.sqNorm(col("v"))).cache()
+    val truth = q.alias("a").join(q.alias("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Similarity.cosine(col("a.v"), col("b.v"), col("a.nn"), col("b.nn")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .select("vec_a", "vec_b").cache()
+    val nTruth = truth.count()
+    assert(nTruth > 0)
+
+    def found(planes: Int, bands: Int): Long =
+      Dedup.dedupEmbeddingWith(spark, sf, planes, bands)
+        .select("vec_a", "vec_b").join(truth, Seq("vec_a", "vec_b")).count()
+    // every emitted pair passes the exact cosine gate — precision is 1
+    assert(Dedup.dedupEmbeddingWith(spark, sf, Dedup.embPlanes, Dedup.embBands)
+      .select("vec_a", "vec_b").except(truth).count() == 0)
+    // OR-construction recall is monotone in the band count
+    val r1 = found(16, 1); val r2 = found(16, 2); val r6 = found(16, 6)
+    assert(r1 <= r2 && r2 <= r6, s"band recall not monotone: $r1, $r2, $r6")
+    assert(r6 > r1, s"6 bands must beat 1 band on the truth set ($r6 vs $r1)")
+
+    def candidates(planes: Int, bands: Int): Long = {
+      val n = (0 until bands).foldLeft(q) { (df, b) =>
+        df.withColumn(s"bk$b", Similarity.lshBucket(col("v"), planes, b))
+      }
+      (0 until bands).map { b =>
+        n.select(col("vec_id").as("vec_a"), col(s"bk$b").as("bk")).alias("x")
+          .join(n.select(col("vec_id").as("vec_b"), col(s"bk$b").as("bk")).alias("y"), "bk")
+          .filter(col("vec_a") < col("vec_b")).select("vec_a", "vec_b")
+      }.reduce(_ union _).distinct().count()
+    }
+    // the scale win: 16-plane 6-band candidate volume is BELOW the old
+    // single 8-plane band's, with 256× smaller per-block self-joins
+    assert(candidates(16, 6) < candidates(8, 1))
+  }
 }
