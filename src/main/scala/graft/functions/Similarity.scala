@@ -149,9 +149,9 @@ object Similarity extends OpFamily {
        |SELECT q_id, vec_id, bucket, cos_sim, rn FROM r WHERE rn <= 5""".stripMargin
 
   // S3: IVF — partition the corpus into k Voronoi cells around
-  // deterministic centroids (the first k vectors); a probe searches
-  // its `probes` nearest cells (probes/k of the corpus at scale). All
-  // cell-assignment arithmetic is exact int64:
+  // deterministic sampled-k-means centroids ([[ivfCentroids]]); a probe
+  // searches its `probes` nearest cells (probes/k of the corpus at
+  // scale). All cell-assignment arithmetic is exact int64:
   // dist²(v,c) = |v|² + |c|² − 2·v·c.
   //
   // Corpus cell assignment is ONE TRUE hash aggregation: the
@@ -165,11 +165,57 @@ object Similarity extends OpFamily {
   // re-attaches with a shuffled-hash join on vec_id — hash all the way
   // down.
   private val cellEnc = 1024L // packing base; supports k up to 1024
+
+  /** IVF centroid init — sampled k-means-style, fully deterministic
+    * and engine-neutral:
+    *  1. multiplicative-hash sample of the corpus (uniform over ids —
+    *     unlike the former "first k vectors", where adjacent ids can be
+    *     correlated);
+    *  2. k seeds = the k smallest-hash sample vectors (hash order ≈ a
+    *     uniform random draw);
+    *  3. one Lloyd refinement step over the sample: nearest-seed
+    *     assignment via the same packed-min hash-agg the corpus
+    *     assignment uses, then a per-cell per-dimension integer mean
+    *     (round-half-away — identical in both engines).
+    * k guidance: ≈√n cells balances probe work and cell size at ~√n
+    * each. The sample is O(n/sampleMod) rows but the refinement output
+    * is k vectors — driver-broadcastable at any corpus size (tune
+    * sampleMod so the sample itself stays executor-friendly; the
+    * single-task ranking window below runs on the SAMPLE, never the
+    * corpus). */
+  private[graft] def ivfCentroids(all: DataFrame, k: Int, sampleMod: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("h"), col("vec_id"))
+    val sample = all
+      .withColumn("h",
+        pmod((col("vec_id") % lit(1000003L)) * lit(2654435761L), lit(1000000007L)))
+      .filter(pmod(col("h"), lit(sampleMod)) === 0)
+      .cache()
+    val seeds = broadcast(sample
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select((col("rn") - 1).cast("long").as("cid"), col("v").as("cv"), col("nn").as("cnn")))
+    val assign = sample.join(seeds)
+      .select(col("vec_id"),
+        ((col("nn") + col("cnn") - lit(2L) * dot(col("v"), col("cv"))) * lit(cellEnc)
+          + col("cid")).as("pk"))
+      .groupBy("vec_id").agg(min(col("pk")).as("pk"))
+      .select(col("vec_id"), pmod(col("pk"), lit(cellEnc)).as("cid"))
+    sample.join(assign, "vec_id")
+      .select(col("cid"), posexplode(col("v")))
+      .groupBy("cid", "pos")
+      .agg(round(sum(col("col")).cast("double") / count(lit(1)).cast("double"))
+        .cast("long").as("m"))
+      .groupBy("cid")
+      .agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
+      .select(col("cid"),
+        transform(array_sort(col("pm")), e => e.getField("m")).as("cv"))
+      .withColumn("cnn", sqNorm(col("cv")))
+  }
+
   private[graft] def ivf(s: SparkSession, d: String, k: Int, probes: Int): DataFrame = {
     require(k <= cellEnc, s"k=$k exceeds packing base $cellEnc")
     val all = quantized(s, d)
-    val cent = broadcast(all.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nn").as("cnn")))
+    val cent = broadcast(ivfCentroids(all, k, sampleMod = 4L))
     val cellOf = all.join(cent)
       .select(col("vec_id"),
         ((col("nn") + col("cnn") - lit(2L) * dot(col("v"), col("cv"))) * lit(cellEnc)
@@ -204,7 +250,32 @@ object Similarity extends OpFamily {
 
   private val annIvfSql =
     s"""WITH $quantizedCte,
-       |cent AS (SELECT vec_id AS cid, v AS cv, nn AS cnn FROM n WHERE vec_id < 16),
+       |samp AS (
+       |  SELECT vec_id, v, nn, ((vec_id % 1000003) * 2654435761) % 1000000007 AS h
+       |  FROM n WHERE (((vec_id % 1000003) * 2654435761) % 1000000007) % 4 = 0),
+       |seeds AS (
+       |  SELECT CAST(rn - 1 AS BIGINT) AS cid, v AS cv, nn AS cnn FROM (
+       |    SELECT *, row_number() OVER (ORDER BY h, vec_id) AS rn FROM samp)
+       |  WHERE rn <= 16),
+       |sd AS (
+       |  SELECT s.vec_id, c.cid,
+       |    s.nn + c.cnn - 2 * CAST(list_sum(list_transform(range(1, len(s.v)+1), i -> s.v[i] * c.cv[i])) AS BIGINT) AS dist2
+       |  FROM samp s, seeds c),
+       |sa AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM sd)
+       |  WHERE rn = 1),
+       |dim AS (
+       |  SELECT a.cid, i.i AS pos, s.v[i.i] AS x
+       |  FROM sa a JOIN samp s USING (vec_id), (SELECT unnest(range(1, 65)) AS i) i),
+       |cm AS (
+       |  SELECT cid, pos,
+       |    CAST(round(CAST(sum(x) AS DOUBLE)/CAST(count(*) AS DOUBLE)) AS BIGINT) AS m
+       |  FROM dim GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT cid, list(m ORDER BY pos) AS cv,
+       |    CAST(list_sum(list_transform(list(m ORDER BY pos), y -> y*y)) AS BIGINT) AS cnn
+       |  FROM cm GROUP BY 1),
        |ad AS (
        |  SELECT vec_id, v, nn, cid,
        |    nn + cnn - 2 * CAST(list_sum(list_transform(range(1, len(v)+1), i -> v[i] * cv[i])) AS BIGINT) AS dist2
