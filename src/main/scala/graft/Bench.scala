@@ -19,14 +19,27 @@ object Bench {
     graft.sources.Tables.lineitem(spark, sfDir).count()
     graft.sources.Tables.events(spark, sfDir).groupBy("event_type").count().collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      // median of 3 in-process reps — host timings swing up to 3×
+      // run-to-run, and a single sample regularly misreads an unchanged
+      // query as a regression. Queries whose first rep is already long
+      // skip the extra reps: they are not noise-dominated and the
+      // run's wall-clock budget is shared.
+      val t1 = once()
+      val samples = if (t1 < 8.0) Seq(t1, once(), once()).sorted else Seq(t1)
+      name -> samples(samples.size / 2)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def f(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // total before the per-query map: the map is the long tail and has
+    // been observed truncated in captured output
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","queries":$qs}""")
     spark.stop()
   }
 }

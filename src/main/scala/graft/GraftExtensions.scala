@@ -64,11 +64,42 @@ object GraftExtensions {
   private val quantizeSql =
     "transform(__arg0, x -> cast(round(cast(x as double) * 1000, 0) as bigint))"
 
+  // The D2/D4 pipeline verbs as SCALAR functions, so plain-SQL users
+  // can build minhash-LSH / simhash dedup pipelines without the Scala
+  // API: per document the shingle/token set lives in one array, so the
+  // per-band minimum (resp. per-bit vote) is an array fold rather than
+  // a row aggregation. Same arithmetic as Dedup.bandsDf / SimHash
+  // (Kirsch–Mitzenmacher g_j = a + j·b over md5 halves; 60-bit vote
+  // signature) — equality is asserted in ExtensionsSpec against the
+  // operator-pipeline implementations.
+
+  /** `graft_minhash_band(text, band)` → the band's bucket digest
+    * (null for docs under 3 tokens, which D2 skips). */
+  private def minhashBandSql: String = {
+    val sh = "transform(sequence(1, size(split(__arg0, ' ')) - 2), " +
+      "i -> md5(concat_ws(' ', slice(split(__arg0, ' '), i, 3))))"
+    def g(r: Int) =
+      s"cast(array_min(transform($sh, h -> cast(conv(substr(h, 1, 8), 16, 10) as bigint)" +
+        s" + (4 * __arg1 + $r) * cast(conv(substr(h, 9, 8), 16, 10) as bigint))) as string)"
+    s"case when size(split(__arg0, ' ')) >= 3 then " +
+      s"md5(concat_ws('|', ${(0 until 4).map(g).mkString(", ")})) else null end"
+  }
+
+  /** `graft_simhash(text)` → the 60-bit vote signature as int64. */
+  private val simhashSql =
+    "aggregate(sequence(0, 59), cast(0 as bigint), (acc, j) -> acc + " +
+      "case when aggregate(transform(split(__arg0, ' '), t -> " +
+      "2 * ((cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint) >> (59 - j)) & 1) - 1), " +
+      "cast(0 as bigint), (s, x) -> s + cast(x as bigint)) > 0 " +
+      "then shiftleft(cast(1 as bigint), cast(j as int)) else cast(0 as bigint) end)"
+
   private val all = Seq(
     fn("graft_dot", exprs => LongDotProduct(exprs.head, exprs(1))),
     fn("graft_sqnorm", exprs => LongDotProduct(exprs.head, exprs.head)),
     fn("graft_quantize", exprs => template(quantizeSql, exprs)),
     fn("graft_lsh_bucket", exprs => LshBucket(exprs.head)),
+    fn("graft_minhash_band", exprs => template(minhashBandSql, exprs)),
+    fn("graft_simhash", exprs => template(simhashSql, exprs)),
     fn("graft_cosine", exprs => {
       val dot = LongDotProduct(exprs.head, exprs(1))
       val na = LongDotProduct(exprs.head, exprs.head)

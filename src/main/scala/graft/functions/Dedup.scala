@@ -46,7 +46,7 @@ object Dedup extends OpFamily {
   // halves of the digest — the standard constant-cost way to get a
   // hash family for LSH (16× fewer digest computations at any scale).
   // a,b < 2^32 and j ≤ 15, so every g_j is exact int64 in any engine.
-  private def bandsDf(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bandsDf(s: SparkSession, d: String): DataFrame = {
     val ab = shingled(s, d).select(col("doc_id"), md5(col("s")).as("h"))
       .select(col("doc_id"),
         expr("cast(conv(substr(h, 1, 8), 16, 10) as bigint)").as("a"),

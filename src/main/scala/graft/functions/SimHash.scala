@@ -19,7 +19,7 @@ import graft.sources.Tables
   */
 object SimHash extends OpFamily {
 
-  private def simhashDf(s: SparkSession, d: String): DataFrame = {
+  private[graft] def simhashDf(s: SparkSession, d: String): DataFrame = {
     // One row per token, the 60 hash bits packed into a single int64
     // (15 hex nibbles, first nibble = bits 59..56 — the same bit order
     // the oracle derives nibble-by-nibble). 60 conditional sums then

@@ -225,6 +225,52 @@ object EventSourcing extends OpFamily {
       |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |FROM events""".stripMargin
 
+  // E9b `es_outbox_versioned`: envelope format EVOLUTION read in one
+  // scan — the serialization module's whole point is pluggable
+  // read/write formatting so old and new envelope versions coexist on
+  // one topic (`/root/reference/modules/serialization/src/main/scala/surge/serialization/`:
+  // `SurgeEventReadFormatting.readEvent` dispatches on the stored
+  // format). Here the log carries v1 envelopes (double `value`) mixed
+  // with v2 envelopes (integer `value_cents` + a new `k` field); ONE
+  // reader parses each row against both schemas (shared fields resolve
+  // under either; version-specific fields null out) and normalizes on
+  // the version tag — no second scan, no reprocessing the old rows.
+  private def outboxVersioned(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val ev = Tables.events(s, d)
+    // the mixed-version topic: even event_ids were written by a v1
+    // producer, odd by a v2 producer
+    val env = ev.select(
+      when(pmod(col("event_id"), lit(2L)) === 0,
+        to_json(struct(lit(1).as("version"), col("event_id"), col("user_id"),
+          col("event_type"), col("value"))))
+        .otherwise(
+          to_json(struct(lit(2).as("version"), col("event_id"), col("user_id"),
+            col("event_type"), cents(col("value")).as("value_cents"),
+            get_json_object(col("props"), "$.k").cast("long").as("k")))).as("env"))
+    val v1s = StructType.fromDDL(
+      "version INT, event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+    val v2s = StructType.fromDDL(
+      "version INT, event_id LONG, user_id LONG, event_type STRING, value_cents LONG, k LONG")
+    env
+      .withColumn("p1", from_json(col("env"), v1s))
+      .withColumn("p2", from_json(col("env"), v2s))
+      .select(
+        col("p1.event_id").as("event_id"),
+        col("p1.user_id").as("user_id"),
+        col("p1.event_type").as("event_type"),
+        when(col("p1.version") === 1, cents(col("p1.value")))
+          .otherwise(col("p2.value_cents")).as("value_c"),
+        when(col("p1.version") === 2, col("p2.k")).as("k"))
+  }
+
+  private val outboxVersionedSql =
+    """SELECT event_id, user_id, event_type,
+      |  CAST(round(value*100,0) AS BIGINT) AS value_c,
+      |  CASE WHEN event_id % 2 = 1
+      |       THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+      |FROM events""".stripMargin
+
   // A4: skew-safe fold — identical semantics to E2, but aggregated in
   // two phases: first on (user_id, salt) — spreading a hot aggregate
   // key over 16 partitions — then merged on user_id. At 100 TB a
@@ -387,6 +433,7 @@ object EventSourcing extends OpFamily {
     Op("es_projection", projection, Some(projectionSql)),
     Op("es_sequence", sequenceNumbers, Some(sequenceSql)),
     Op("es_outbox", outboxSerde, Some(outboxSql)),
+    Op("es_outbox_versioned", outboxVersioned, Some(outboxVersionedSql)),
     Op("es_state_lookup", stateLookup, Some(stateLookupSql)),
     Op("es_incremental", incrementalFold, Some(foldSql(""))),
     Op("es_shard_routing", shardRouting, Some(shardRoutingSql)),

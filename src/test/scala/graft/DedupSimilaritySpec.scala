@@ -63,15 +63,20 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
-  test("dedup_embedding pairs are LSH-bucket-blocked and above threshold") {
-    val buckets = Tables.embeddings(spark, sf)
-      .select(col("vec_id"),
-        Similarity.lshBucket(Similarity.quantize(col("embedding"))).as("b"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  test("dedup_embedding pairs collide in some LSH band and are above threshold") {
+    import graft.functions.Dedup
+    val q = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("v"))
+    val buckets = (0 until Dedup.embBands).map { b =>
+      q.select(col("vec_id"), Similarity.lshBucket(col("v"), Dedup.embPlanes, b).as("bk"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
     val rows = run("dedup_embedding").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(buckets(r.getAs[Long]("vec_a")) == buckets(r.getAs[Long]("vec_b")))
+      val (a, b) = (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))
+      assert(buckets.exists(m => m(a) == m(b)),
+        s"pair ($a,$b) collides in no band")
       assert(r.getAs[Double]("cos_sim") >= 0.4)
     }
   }

@@ -37,4 +37,28 @@ class ExtensionsSpec extends SparkSpec {
     GraftExtensions.register(spark)
     assert(spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
   }
+
+  test("graft_minhash_band from SQL matches the D2 band pipeline") {
+    GraftExtensions.register(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_ext")
+    // the scalar form: one row per (doc, band) from plain SQL
+    val viaSql = spark.sql(
+      """SELECT doc_id, b.band, graft_minhash_band(text, b.band) AS bh
+        |FROM docs_ext
+        |LATERAL VIEW explode(sequence(0, 3)) b AS band
+        |WHERE size(split(text, ' ')) >= 3""".stripMargin)
+    val viaOps = graft.functions.Dedup.bandsDf(spark, sf)
+    assert(viaSql.count() > 0)
+    assert(viaSql.except(viaOps).count() == 0 && viaOps.except(viaSql).count() == 0)
+  }
+
+  test("graft_simhash from SQL matches the D4 signature pipeline") {
+    GraftExtensions.register(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("docs_ext")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_simhash(text) AS sh FROM docs_ext")
+    val viaOps = graft.functions.SimHash.simhashDf(spark, sf)
+    assert(viaSql.count() > 0)
+    assert(viaSql.except(viaOps).count() == 0 && viaOps.except(viaSql).count() == 0)
+  }
 }
