@@ -1,0 +1,41 @@
+package graft
+
+/** Plan-regression gate: every query's physical plan is linted for the
+  * scale-killers this project has already hunted down once —
+  * SortAggregate creeping back in via a struct aggregation buffer,
+  * unintended cartesian products, and non-broadcast nested-loop joins.
+  * A query may appear in an allowlist ONLY with the reason its
+  * occurrence is intentional.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  // intentional occurrences, with why
+  private val sortAggAllowed = Set(
+    "api_stream",          // one-row-per-key harness tail (max_by struct on
+    "api_stream_commands", //   tiny post-stream output, judged harmless)
+    "stream_fold", "stream_ewma", "es_live_store")
+  private val bnljAllowed = Set(
+    "ann_ivf",      // corpus × k-centroid broadcast (intentional, tiny side)
+    "cosine_topk",  // brute-force baseline: corpus × 5 broadcast queries
+    "ann_lsh",      // queries broadcast against bucket-partitioned corpus
+    "dedup_embedding", // truth-set style candidate re-attach, broadcast side
+    "mm_embed_ann")
+
+  test("no SortAggregate / cartesian / stray nested-loop join in any query plan") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!name.startsWith("stream_") && !sortAggAllowed.contains(name)) {
+        val plan =
+          try fn(spark, sf).queryExecution.executedPlan.toString
+          catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+        if (plan.contains("SortAggregate"))
+          offenders += s"$name: SortAggregate"
+        if (plan.contains("CartesianProduct"))
+          offenders += s"$name: CartesianProduct"
+        if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed.contains(name))
+          offenders += s"$name: BroadcastNestedLoopJoin"
+      }
+    }
+    assert(offenders.isEmpty, s"plan lint failures:\n${offenders.mkString("\n")}")
+  }
+}

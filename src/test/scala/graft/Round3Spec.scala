@@ -118,4 +118,32 @@ class Round3Spec extends SparkSpec {
     // single 8-plane band's, with 256× smaller per-block self-joins
     assert(candidates(16, 6) < candidates(8, 1))
   }
+
+  test("two sessions with distinct workdirs run snapshot ops concurrently") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    // the r2 defect: snapshot paths keyed only by dataset hash let two
+    // concurrent sessions race overwrite-against-read; workdirs are now
+    // session-scoped (applicationId or the graft.workdir conf)
+    val s1 = spark.newSession()
+    val s2 = spark.newSession()
+    s1.conf.set("graft.workdir",
+      java.nio.file.Files.createTempDirectory("graft_w1").toString)
+    s2.conf.set("graft.workdir",
+      java.nio.file.Files.createTempDirectory("graft_w2").toString)
+    assert(graft.sources.Tables.workDir(s1) != graft.sources.Tables.workDir(s2))
+    val fn = SparkEntry.queries("es_state_lookup")
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(2))
+    val runs = (1 to 3).map { _ =>
+      val f1 = Future(fn(s1, sf).collect())
+      val f2 = Future(fn(s2, sf).collect())
+      (Await.result(f1, 120.seconds), Await.result(f2, 120.seconds))
+    }
+    runs.foreach { case (r1, r2) =>
+      assert(r1.length == 1 && r2.length == 1)
+      assert(r1(0).getAs[Long]("user_id") == 7L && r2(0).getAs[Long]("user_id") == 7L)
+      assert(r1(0) == r2(0), "both sessions must read the same state")
+    }
+  }
 }
