@@ -88,7 +88,59 @@ object Pipeline extends OpFamily {
        |  AND COALESCE(h.n_shared, 0) < $contamMin
        |  AND len(string_split(d.text, ' ')) >= $minTokens""".stripMargin
 
+  // P3 `corpus_shard`: token-budget packing — the step AFTER export
+  // that lays the corpus out as training shards: within each language,
+  // docs (in deterministic doc_id order) are packed into consecutive
+  // shards of ≤ `shardTokens` tokens (a doc starting inside a shard's
+  // budget belongs to it, so shard boundaries never split a doc and
+  // every shard except the last is ≥ budget−max_doc tokens full).
+  //
+  // shard = floor(prefix_tokens_before_doc / budget), so the only hard
+  // part is an exact per-language prefix sum. The naive form — one
+  // cumsum window per language — sorts EACH LANGUAGE ON ONE REDUCER
+  // (with a handful of languages at 100 TB that is the whole corpus
+  // through 5 tasks). Instead the prefix sum is two-phase:
+  //   1. bucket docs by doc_id range; per-(lang, range) token sums are
+  //      one hash-agg;
+  //   2. a cumsum window over that TINY (lang × ranges) table gives
+  //      each range its starting offset (driver-scale work);
+  //   3. the within-range cumsum window sorts only a bounded range,
+  //      parallel across ranges.
+  // Exactly the plan a distributed exclusive-scan runs; all int64.
+  private val shardTokens = 2000L
+  private val rangeSize = 100L // doc_ids per range bucket
+
+  private def corpusShard(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        expr(s"doc_id div $rangeSize").as("rb"))
+    val offsets = docs.groupBy("lang", "rb")
+      .agg(sum(col("n_tok")).as("range_tok"))
+      .withColumn("offset",
+        coalesce(sum(col("range_tok")).over(
+          Window.partitionBy("lang").orderBy("rb")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("lang", "rb", "offset")
+    val wIn = Window.partitionBy("lang", "rb").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.join(offsets, Seq("lang", "rb"))
+      .withColumn("before", col("offset") + coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        expr(s"before div $shardTokens").as("shard"))
+  }
+
+  private def corpusShardSql =
+    s"""SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |  COALESCE(CAST(sum(len(string_split(text, ' '))) OVER (
+       |    PARTITION BY lang ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |    // $shardTokens AS shard
+       |FROM documents""".stripMargin
+
   override def ops: Seq[Op] = Seq(
     Op("decontaminate", contamination, Some(decontaminateSql)),
-    Op("corpus_export", corpusExport, Some(corpusExportSql)))
+    Op("corpus_export", corpusExport, Some(corpusExportSql)),
+    Op("corpus_shard", corpusShard, Some(corpusShardSql)))
 }

@@ -119,6 +119,27 @@ class Round3Spec extends SparkSpec {
     assert(candidates(16, 6) < candidates(8, 1))
   }
 
+  test("corpus_shard packs each language into contiguous budget-bounded shards") {
+    val out = run("corpus_shard").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tok"), r.getAs[Long]("shard")))
+    out.groupBy(_._1).foreach { case (_, docs) =>
+      val ordered = docs.sortBy(_._2)
+      // shard ids are contiguous from 0 and non-decreasing in doc order
+      assert(ordered.head._4 == 0L)
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 >= a._4 && b._4 - a._4 <= 1 + a._3 / 2000L)
+        case _           => () // single-doc language
+      }
+      // the packing matches a local exclusive prefix scan exactly
+      var run = 0L
+      ordered.foreach { case (_, _, n, shard) =>
+        assert(shard == run / 2000L)
+        run += n
+      }
+    }
+  }
+
   test("two sessions with distinct workdirs run snapshot ops concurrently") {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
