@@ -119,6 +119,33 @@ class Round3Spec extends SparkSpec {
     assert(candidates(16, 6) < candidates(8, 1))
   }
 
+  test("Packed: randomized argmax equals max_by(struct) incl. engineered collisions") {
+    import spark.implicits._
+    import graft.operators.Packed
+    val rnd = new scala.util.Random(4242)
+    // 800 events over 25 keys; timestamps drawn from a NARROW window so
+    // same-second and same-millisecond collisions are common, plus
+    // exact-duplicate µs across different event_ids
+    val rows = (0 until 800).map { i =>
+      val key = rnd.nextInt(25).toLong
+      val us = 1704067200000000L + rnd.nextInt(5000).toLong * 997L
+      val payload = rnd.nextInt(100000000).toLong
+      (key, us, i.toLong, payload)
+    }
+    val df = rows.toDF("k", "us", "event_id", "payload")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = df.groupBy("k")
+      .agg(max(Packed.latest(col("ts"), col("event_id"), col("payload"))).as("pk"))
+      .select(col("k"), Packed.payload(col("pk")).as("payload"))
+    val want = df.groupBy("k")
+      .agg(max_by(col("payload"), struct(col("ts"), col("event_id"))).as("payload"))
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+    // payload roundtrips bit-exactly through the packed key
+    val rt = df.select(col("payload"),
+      Packed.payload(Packed.latest(col("ts"), col("event_id"), col("payload"))).as("back"))
+    assert(rt.filter(col("payload") =!= col("back")).count() == 0)
+  }
+
   test("corpus_shard packs each language into contiguous budget-bounded shards") {
     val out = run("corpus_shard").collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
