@@ -41,26 +41,39 @@ object Dedup extends OpFamily {
   private val nHashes = 16
   private val nBands = 4 // 4 rows per band
 
-  // One md5 per shingle; the 16 minhash functions are derived by
+  // One md5 per shingle; the b·r minhash functions are derived by
   // Kirsch–Mitzenmacher double hashing g_j = a + j·b over two 32-bit
   // halves of the digest — the standard constant-cost way to get a
-  // hash family for LSH (16× fewer digest computations at any scale).
-  // a,b < 2^32 and j ≤ 15, so every g_j is exact int64 in any engine.
-  private[graft] def bandsDf(s: SparkSession, d: String): DataFrame = {
+  // hash family for LSH (b·r× fewer digest computations at any scale).
+  // a,b < 2^32 and j small, so every g_j is exact int64 in any engine.
+  //
+  // The (bands × rowsPerBand) shape is the SIMILARITY-THRESHOLD knob:
+  // a pair is a candidate iff all r mins of some band agree, so
+  // P[candidate] = 1−(1−J^r)^b and the threshold sits near (1/b)^(1/r)
+  // — more bands of fewer rows catches lower-Jaccard pairs (8×2 →
+  // τ≈0.35), fewer bands of more rows is stricter (2×8 → τ≈0.92); the
+  // default 4×4 (τ≈0.7) is the classic near-dup setting. The band-
+  // shape spec asserts the resulting candidate-count monotonicity.
+  private[graft] def bandsDfWith(
+      s: SparkSession, d: String, bands: Int, rowsPerBand: Int): DataFrame = {
     val ab = shingled(s, d).select(col("doc_id"), md5(col("s")).as("h"))
       .select(col("doc_id"),
         expr("cast(conv(substr(h, 1, 8), 16, 10) as bigint)").as("a"),
         expr("cast(conv(substr(h, 9, 8), 16, 10) as bigint)").as("b"))
-    val hashAggs = (0 until nHashes).map(j =>
+    val hashAggs = (0 until bands * rowsPerBand).map(j =>
       min(col("a") + lit(j.toLong) * col("b")).as(s"h$j"))
     val mh = ab.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
-    val bandCols = (0 until nBands).map { b =>
+    val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        md5(concat_ws("|", (0 until 4).map(r => col(s"h${b * 4 + r}").cast("string")): _*)).as("bh"))
+        md5(concat_ws("|", (0 until rowsPerBand).map(r =>
+          col(s"h${b * rowsPerBand + r}").cast("string")): _*)).as("bh"))
     }
     mh.select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
   }
+
+  private[graft] def bandsDf(s: SparkSession, d: String): DataFrame =
+    bandsDfWith(s, d, nBands, nHashes / nBands)
 
   // hex→int64 for the oracle (DuckDB cannot conv()): Σ nibble·16^k
   private def hexCol(start: Int): String =

@@ -44,7 +44,19 @@ object LiveStore {
   def upsert(batch: DataFrame, dir: String): Unit = {
     val s = batch.sparkSession
     if (batch.isEmpty) return
+    // scope the dynamic-overwrite mode to this upsert — leaking it to
+    // the session would silently change every later partitioned
+    // overwrite from truncate-all to replace-matching
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try upsertInner(s, batch, dir)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  private def upsertInner(s: SparkSession, batch: DataFrame, dir: String): Unit = {
     val bs = EventSourcing.packedState(batch)
       .withColumn("shard", shardOf(col("user_id")))
     val merged = readPacked(s, dir) match {

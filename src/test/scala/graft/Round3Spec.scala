@@ -119,6 +119,24 @@ class Round3Spec extends SparkSpec {
     assert(candidates(16, 6) < candidates(8, 1))
   }
 
+  test("D2 band shape: more bands of fewer rows lowers the LSH threshold (monotone)") {
+    import graft.functions.Dedup
+    def pairs(bands: Int, rows: Int): Long = {
+      val b = Dedup.bandsDfWith(spark, sf, bands, rows)
+      b.alias("a").join(b.alias("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    }
+    // fixed 16 hashes, threshold ≈ (1/b)^(1/r): 8×2 (τ≈.35) must catch
+    // at least as many pairs as 4×4 (τ≈.7), which must catch at least
+    // as many as 2×8 (τ≈.92)
+    val loose = pairs(8, 2); val default = pairs(4, 4); val strict = pairs(2, 8)
+    assert(loose >= default && default >= strict,
+      s"band-shape monotonicity violated: $loose, $default, $strict")
+    assert(loose > strict, s"8×2 must be strictly looser than 2×8 ($loose vs $strict)")
+  }
+
   test("Packed: randomized argmax equals max_by(struct) incl. engineered collisions") {
     import spark.implicits._
     import graft.operators.Packed
