@@ -97,7 +97,15 @@ object GraftExtensions {
     fn("graft_dot", exprs => LongDotProduct(exprs.head, exprs(1))),
     fn("graft_sqnorm", exprs => LongDotProduct(exprs.head, exprs.head)),
     fn("graft_quantize", exprs => template(quantizeSql, exprs)),
-    fn("graft_lsh_bucket", exprs => LshBucket(exprs.head)),
+    // graft_lsh_bucket(v [, planes [, band]]) — banded form for SQL
+    // users scaling the block size (planes/band must be int literals)
+    fn("graft_lsh_bucket", exprs =>
+      if (exprs.lengthIs == 1) LshBucket(exprs.head)
+      else {
+        val planes = exprs(1).eval().asInstanceOf[Number].intValue
+        val band = if (exprs.lengthIs > 2) exprs(2).eval().asInstanceOf[Number].intValue else 0
+        LshBucket(exprs.head, planes, band)
+      }),
     fn("graft_minhash_band", exprs => template(minhashBandSql, exprs)),
     fn("graft_simhash", exprs => template(simhashSql, exprs)),
     fn("graft_cosine", exprs => {

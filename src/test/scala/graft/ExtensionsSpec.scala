@@ -38,6 +38,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
   }
 
+  test("graft_lsh_bucket accepts (planes, band) literals from SQL") {
+    GraftExtensions.register(spark)
+    val df = Tables.embeddings(spark, sf).limit(50)
+      .select(Similarity.quantize(col("embedding")).as("v"))
+      .withColumn("sql_b", expr("graft_lsh_bucket(v, 16, 1)"))
+      .withColumn("api_b", Similarity.lshBucket(col("v"), 16, 1))
+    assert(df.filter(col("sql_b") =!= col("api_b")).count() == 0)
+  }
+
   test("graft_minhash_band from SQL matches the D2 band pipeline") {
     GraftExtensions.register(spark)
     Tables.documents(spark, sf).createOrReplaceTempView("docs_ext")
