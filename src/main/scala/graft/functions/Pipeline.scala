@@ -112,10 +112,13 @@ object Pipeline extends OpFamily {
 
   private def corpusShard(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // feeds the offsets aggregate AND the final join probe —
+    // materialize once so the scan + O(tokens) split runs one time
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tok"),
         expr(s"doc_id div $rangeSize").as("rb"))
+      .cache()
     val offsets = docs.groupBy("lang", "rb")
       .agg(sum(col("n_tok")).as("range_tok"))
       .withColumn("offset",

@@ -51,9 +51,11 @@ object EventSourcing extends OpFamily {
       case (acc, (t, i)) => acc.when(col("event_type") === t, lit(i.toLong))
     }.otherwise(lit(9L))
 
-  /** 0..4 → event_type (out-of-range decodes to null). */
+  /** 0..4 → event_type; out-of-range decodes to null (guarded — a bare
+    * element_at would THROW under ANSI mode rather than return null). */
   private[graft] def typeName(code: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    element_at(array(evTypes.map(lit): _*), code.cast("int") + 1)
+    when(code.between(0, evTypes.size - 1),
+      element_at(array(evTypes.map(lit): _*), code.cast("int") + 1))
 
   /** The KTable aggregation in its MERGEABLE packed form: per key,
     * max packed (ts, event_id, cents·10+type) + max ts + event count.

@@ -59,8 +59,26 @@ object Tables {
     * Spark applicationId (overridable via `graft.workdir`) so two
     * concurrent sessions on one host (e.g. `sbt test` beside
     * `graft.Verify`) never race overwrite-against-read on a shared
-    * path. */
-  def workDir(s: SparkSession): String =
-    s.conf.getOption("graft.workdir")
+    * path. Every root is deleted on JVM exit — appId-keyed dirs are
+    * fresh per run and would otherwise accumulate in /tmp forever. */
+  def workDir(s: SparkSession): String = {
+    val dir = s.conf.getOption("graft.workdir")
       .getOrElse(s"/tmp/graft_${s.sparkContext.applicationId}")
+    registerCleanup(dir)
+    dir
+  }
+
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def registerCleanup(dir: String): Unit =
+    if (cleanupRegistered.add(dir)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rec(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rec)); f.delete(); ()
+        }
+        rec(new java.io.File(dir))
+      }))
+      ()
+    }
 }

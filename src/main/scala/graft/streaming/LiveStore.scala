@@ -40,20 +40,39 @@ object LiveStore {
   private def readPacked(s: SparkSession, dir: String): Option[DataFrame] =
     if (new java.io.File(dir).exists) Some(s.read.parquet(dir)) else None
 
-  /** Merge one micro-batch of raw events into the store. */
-  def upsert(batch: DataFrame, dir: String): Unit = {
+  private def lastBatchFile(dir: String) = new java.io.File(dir + "_last_batch")
+
+  /** Merge one micro-batch of raw events into the store, exactly once
+    * per batch id: foreachBatch is AT-LEAST-once (a crash between the
+    * store commit and the offset commit redelivers the batch), and
+    * while the max-merged pk/mts components absorb a replay, the
+    * summed n_events would double-count — so a committed-batch marker
+    * makes redelivery a no-op. */
+  def upsert(batch: DataFrame, batchId: Long, dir: String): Unit = {
     val s = batch.sparkSession
-    if (batch.isEmpty) return
+    val marker = lastBatchFile(dir)
+    if (marker.exists && java.nio.file.Files.readString(marker.toPath).trim.toLong >= batchId)
+      return // replayed batch — already merged
+    if (batch.isEmpty) { commitMarker(dir, batchId); return }
     // scope the dynamic-overwrite mode to this upsert — leaking it to
     // the session would silently change every later partitioned
     // overwrite from truncate-all to replace-matching
     val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try upsertInner(s, batch, dir)
-    finally prev match {
+    try {
+      upsertInner(s, batch, dir)
+      commitMarker(dir, batchId)
+    } finally prev match {
       case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None    => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+  }
+
+  private def commitMarker(dir: String, batchId: Long): Unit = {
+    val f = lastBatchFile(dir)
+    Option(f.getParentFile).foreach(_.mkdirs())
+    java.nio.file.Files.writeString(f.toPath, batchId.toString)
+    ()
   }
 
   private def upsertInner(s: SparkSession, batch: DataFrame, dir: String): Unit = {
@@ -101,8 +120,8 @@ object LiveStore {
     }
     deleteRec(new java.io.File(dir))
     val q = Streams.eventStream(s, d).toDF().writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        upsert(batch, dir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        upsert(batch, id, dir)
       }
       .outputMode("update")
       .start()

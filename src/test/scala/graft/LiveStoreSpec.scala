@@ -18,8 +18,8 @@ class LiveStoreSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_livestore").toString + "/store"
     val input = MemoryStream[Ev]
     val q = input.toDS().toDF().writeStream
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        LiveStore.upsert(b, dir)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        LiveStore.upsert(b, id, dir)
       }
       .outputMode("update").start()
 
@@ -35,10 +35,17 @@ class LiveStoreSpec extends SparkSpec {
     assert(mid(0).getAs[String]("last_type") == "purchase")
     assert(mid(0).getAs[Double]("last_value") == 12.34)
     assert(mid(0).getAs[Long]("n_events") == 2L)
-    // the point read is partition-pruned to user 7's shard
+    // the point read is partition-pruned to user 7's shard: the scan
+    // must carry a NON-EMPTY PartitionFilters on the shard column
+    // (every partitioned scan prints "PartitionFilters: [...]", so a
+    // bare contains() check would pass with zero pruning)
     val plan = LiveStore.lookup(spark, dir, 7L).queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("shard"),
-      s"lookup should prune to one shard:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(plan).isDefined,
+      s"lookup should prune on the shard partition column:\n$plan")
+    // at-least-once redelivery: replaying an already-committed batch id
+    // must be a no-op (n_events would otherwise double-count)
+    LiveStore.upsert(b1.toDF(), 0L, dir)
+    assert(LiveStore.lookup(spark, dir, 7L).collect()(0).getAs[Long]("n_events") == 2L)
 
     // batch 2: user 7 gets a newer event; a THIRD user lands in an
     // untouched shard... and user 23's shard is rewritten — 23 must survive

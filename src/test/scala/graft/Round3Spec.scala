@@ -199,13 +199,14 @@ class Round3Spec extends SparkSpec {
       java.nio.file.Files.createTempDirectory("graft_w2").toString)
     assert(graft.sources.Tables.workDir(s1) != graft.sources.Tables.workDir(s2))
     val fn = SparkEntry.queries("es_state_lookup")
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newFixedThreadPool(2))
-    val runs = (1 to 3).map { _ =>
-      val f1 = Future(fn(s1, sf).collect())
-      val f2 = Future(fn(s2, sf).collect())
-      (Await.result(f1, 120.seconds), Await.result(f2, 120.seconds))
-    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val runs =
+      try (1 to 3).map { _ =>
+        val f1 = Future(fn(s1, sf).collect())
+        val f2 = Future(fn(s2, sf).collect())
+        (Await.result(f1, 120.seconds), Await.result(f2, 120.seconds))
+      } finally pool.shutdown()
     runs.foreach { case (r1, r2) =>
       assert(r1.length == 1 && r2.length == 1)
       assert(r1(0).getAs[Long]("user_id") == 7L && r2(0).getAs[Long]("user_id") == 7L)
