@@ -37,10 +37,18 @@ object LiveStore {
 
   private def shardOf(c: org.apache.spark.sql.Column) = pmod(c, lit(nShards.toLong))
 
-  private def readPacked(s: SparkSession, dir: String): Option[DataFrame] =
-    if (new java.io.File(dir).exists) Some(s.read.parquet(dir)) else None
+  private def readPacked(s: SparkSession, dir: String): Option[DataFrame] = {
+    val f = new java.io.File(dir)
+    // hidden entries (the batch marker, _SUCCESS) are not data — an
+    // empty-batch commit leaves a dir a parquet read cannot infer from
+    val hasData = f.exists && Option(f.listFiles()).exists(
+      _.exists(x => !x.getName.startsWith("_") && !x.getName.startsWith(".")))
+    if (hasData) Some(s.read.parquet(dir)) else None
+  }
 
-  private def lastBatchFile(dir: String) = new java.io.File(dir + "_last_batch")
+  // lives INSIDE the store dir (underscore prefix = invisible to
+  // Spark's file listing) so a store reset removes it with the data
+  private def lastBatchFile(dir: String) = new java.io.File(dir, "_last_batch")
 
   /** Merge one micro-batch of raw events into the store, exactly once
     * per batch id: foreachBatch is AT-LEAST-once (a crash between the
