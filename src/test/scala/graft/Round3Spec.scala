@@ -119,6 +119,49 @@ class Round3Spec extends SparkSpec {
     assert(candidates(16, 6) < candidates(8, 1))
   }
 
+  test("flagship KTable agg runs inside whole-stage codegen") {
+    val df = run("es_latest_state")
+    df.collect()
+    // the packed-decimal argmax must not fall out of codegen: every
+    // HashAggregate in the plan is inside a WholeStageCodegen span
+    // (simple-plan format marks codegen'd operators with a '*')
+    val plan = df.queryExecution.executedPlan.toString
+    val aggLines = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.nonEmpty)
+    aggLines.foreach(l => assert(l.contains("*"),
+      s"HashAggregate outside whole-stage codegen:\n$l\n$plan"))
+  }
+
+  test("percentile_approx stays within rank-error bounds of the exact M5 values") {
+    import spark.implicits._
+    import graft.sources.Tables
+    // the 100 TB path: M5's exact percentile keeps every value in the
+    // aggregation buffer; percentile_approx is the bounded-memory
+    // replacement — check its documented rank-error bound (1/accuracy)
+    // against the exact answers on the same cents data
+    val c = Tables.events(spark, sf)
+      .select(col("event_type"), Tables.cents(col("value")).as("c"))
+    val both = c.groupBy("event_type").agg(
+      expr("percentile(c, 0.5)").as("exact_p50"),
+      expr("percentile_approx(c, 0.5, 1000)").as("approx_p50"),
+      count(lit(1)).as("n"))
+    both.collect().foreach { r =>
+      val (exact, approx, n) =
+        (r.getAs[Double]("exact_p50"), r.getAs[Long]("approx_p50"), r.getAs[Long]("n"))
+      // approx returns an ACTUAL data value whose rank is within
+      // n/1000 of the true median rank; the exact percentile
+      // interpolates between values, so widen the window by ±2 ranks
+      // (2/n) on top of the 1/1000 accuracy bound
+      val eps = 0.002 + 2.0 / n
+      val lo = c.filter(col("event_type") === r.getAs[String]("event_type"))
+        .agg(expr(s"percentile(c, ${0.5 - eps})")).collect()(0).getDouble(0)
+      val hi = c.filter(col("event_type") === r.getAs[String]("event_type"))
+        .agg(expr(s"percentile(c, ${0.5 + eps})")).collect()(0).getDouble(0)
+      assert(approx >= lo - 1 && approx <= hi + 1,
+        s"approx median $approx outside rank window [$lo, $hi] (n=$n)")
+    }
+  }
+
   test("D2 band shape: more bands of fewer rows lowers the LSH threshold (monotone)") {
     import graft.functions.Dedup
     def pairs(bands: Int, rows: Int): Long = {
