@@ -27,6 +27,16 @@ final case class Reading(ts_us: Long, event_id: Long, c: Long)
 /** Streaming-EWMA state: the key's 20 most recent readings. */
 final case class EwmaState(buf: Seq[Reading])
 
+/** One event-log-tail entry held in streaming top-n state. */
+final case class TailEv(ts_us: Long, event_id: Long, event_type: String)
+
+/** Streaming top-n state: the key's n most recent events — bounded at
+  * any stream length, the stream twin of the TopKPerKey heaps. */
+final case class TailState(buf: Seq[TailEv])
+
+/** stream_latest_n emission — schema-identical to the batch E15 view. */
+final case class TailOut(user_id: Long, event_id: Long, event_type: String, ts_s: Long)
+
 /** Streaming-EWMA emission — schema-identical to the batch M2 metric. */
 final case class EwmaOut(user_id: Long, n_used: Long, ewma_scaled: Long, ewma: Double)
 
@@ -254,6 +264,55 @@ object Streams extends OpFamily {
       |  CAST(sum(CAST(c * pow(2.0, 19 - (CASE WHEN rd = n THEN n - 1 ELSE rd END)) AS BIGINT)) AS DOUBLE)/524288.0/100.0 AS ewma
       |FROM g GROUP BY user_id""".stripMargin
 
+  /** E15's event-log tail, CONTINUOUSLY maintained: each key's state
+    * slot holds its n most recent events (bounded, like the batch
+    * TopKPerKey heaps — never the full history), re-emitting the
+    * refreshed tail every micro-batch. The CQRS "recent events beside
+    * the state" view while ingestion runs. */
+  def tailStream(ds: Dataset[Ev], n: Int): Dataset[TailOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TailState, TailOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[TailState]) =>
+          val prior = state.getOption.map(_.buf).getOrElse(Seq.empty)
+          val incoming = it.map { e =>
+            val i = e.ts.toInstant
+            TailEv(i.getEpochSecond * 1000000L + i.getNano / 1000L,
+              e.event_id, e.event_type)
+          }.toSeq
+          // most-recent-first by (SECOND, event_id) — E15's view keys
+          // recency on epoch seconds, so the tie-break must match its
+          // oracle's ORDER BY ts_s DESC, event_id (ascending id!)
+          val buf = (prior ++ incoming)
+            .sortBy(t => (-(t.ts_us / 1000000L), t.event_id)).take(n)
+          state.update(TailState(buf))
+          buf.iterator.map(t =>
+            TailOut(uid, t.event_id, t.event_type, t.ts_us / 1000000L))
+      }
+  }
+
+  // E15's streaming twin as a driver query: run the whole log through
+  // the bounded-state tail, keep each key's LAST batch of emissions;
+  // oracle = the batch es_latest_n oracle ⇒ batch/stream parity.
+  private def streamLatestN(s: SparkSession, d: String): DataFrame = {
+    val out = tailStream(eventStream(s, d), 5).toDF()
+    val t = runToTable(s, out, "graft_stream_latest_n", "update")
+    val lastBatch = t.groupBy("user_id")
+      .agg(max(col("_batch_id")).as("_batch_id"))
+    t.join(lastBatch, Seq("user_id", "_batch_id"))
+      .select("user_id", "event_id", "event_type", "ts_s")
+  }
+
+  private val streamLatestNSql =
+    """SELECT user_id, event_id, event_type, ts_s FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC, event_id) AS rn
+      |  FROM events)
+      |WHERE rn <= 5""".stripMargin
+
   /** Surge actors passivate after idling (PersistentActor stop-on-idle)
     * — the streaming analog expires per-aggregate state via event-time
     * timeout: once the watermark passes last_event + gap, the final
@@ -345,6 +404,7 @@ object Streams extends OpFamily {
     Op("stream_fold", streamFold, Some(streamFoldSql)),
     Op("stream_latest", streamLatest, Some(streamLatestSql)),
     Op("es_live_store", LiveStore.liveStore, Some(streamLatestSql)),
+    Op("stream_latest_n", streamLatestN, Some(streamLatestNSql)),
     Op("stream_window", streamWindow, Some(streamWindowSql)),
     Op("stream_dedup", streamDedup, Some(streamDedupSql)),
     Op("stream_ewma", streamEwma, Some(streamEwmaSql)),

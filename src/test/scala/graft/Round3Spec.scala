@@ -228,6 +228,32 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("stream_latest_n: the tail evolves across batches with bounded state") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{Ev, Streams}
+    def ts(min: Int) = new Timestamp(1704067200000L + min * 60000L)
+    val input = MemoryStream[Ev]
+    val q = Streams.tailStream(input.toDS(), 3).toDF()
+      .writeStream.format("memory").queryName("tail_test")
+      .outputMode("update").start()
+    // batch 1: four events — only the 3 most recent survive
+    input.addData(Ev(1, ts(0), 1, "signup", 0.0), Ev(2, ts(1), 1, "click", 0.0),
+      Ev(3, ts(2), 1, "view", 0.0), Ev(4, ts(3), 1, "click", 0.0))
+    q.processAllAvailable()
+    // batch 2: a newer event evicts the oldest retained one
+    input.addData(Ev(5, ts(4), 1, "purchase", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("tail_test").collect()
+    val batch1 = all.take(3).map(_.getAs[Long]("event_id")).toSet
+    val batch2 = all.drop(3).map(_.getAs[Long]("event_id")).toSet
+    assert(batch1 == Set(2L, 3L, 4L), s"batch-1 tail was $batch1")
+    assert(batch2 == Set(3L, 4L, 5L), s"batch-2 tail was $batch2")
+  }
+
   test("two sessions with distinct workdirs run snapshot ops concurrently") {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
