@@ -266,7 +266,26 @@ object TextAnalysis extends OpFamily {
       |SELECT b.lang, b.n_docs, b.n_tokens, b.sum_chars, v.n_vocab
       |FROM b JOIN v ON b.lang = v.lang""".stripMargin
 
+  // T10: text normalization — the cleanup pass an export runs before
+  // tokenization: lowercase, collapse whitespace runs, trim. Pure
+  // codegen'd string expressions in one scan; the whitespace class is
+  // spelled out explicitly so Java-regex and RE2 agree byte-for-byte.
+  private def clean(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      trim(regexp_replace(lower(col("text")), "[ \\t\\r\\n]+", " ")).as("clean"),
+      length(col("text")).cast("long").as("raw_len"))
+      .withColumn("clean_len", length(col("clean")).cast("long"))
+
+  private val cleanSql =
+    """SELECT doc_id,
+      |  trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g')) AS clean,
+      |  CAST(length(text) AS BIGINT) AS raw_len,
+      |  CAST(length(trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g'))) AS BIGINT) AS clean_len
+      |FROM documents""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("text_clean", clean, Some(cleanSql)),
     Op("text_rarity", rarity, Some(raritySql)),
     Op("corpus_stats", corpusStats, Some(corpusStatsSql)),
     Op("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
