@@ -424,6 +424,117 @@ object EventSourcing extends OpFamily {
        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS bal_running
        |FROM events""".stripMargin
 
+  /** Compacted view of an event-log slice: each key's latest record
+    * (by ts, event_id), with tombstoned keys (latest = `error`) removed.
+    * ONE decimal(38,0) `max` hash-agg — ordering, the surviving record's
+    * event_id, AND the payload all decode from the single packed key
+    * (no join-back, no sort). */
+  private def compactedState(df: DataFrame): DataFrame =
+    df.groupBy("user_id")
+      .agg(max(Packed.latest(col("ts"), col("event_id"),
+        cents(col("value")) * lit(10L) + typeCode)).as("pk"))
+      .withColumn("pay", Packed.payload(col("pk")))
+      .withColumn("mu", Packed.micros(col("pk")))
+      .select(
+        col("user_id"),
+        Packed.eventId(col("pk")).as("event_id"),
+        expr("mu div 1000000").as("last_ts_s"),
+        typeName(pmod(col("pay"), lit(10L))).as("last_type"),
+        (expr("pay div 10").cast("double") / lit(100.0)).as("last_value"))
+      .filter(col("last_type") =!= "error")
+
+  private def compactedSql(pred: String) =
+    s"""SELECT user_id, event_id, last_ts_s, last_type, last_value FROM (
+       |  SELECT user_id, event_id, event_type AS last_type, value AS last_value,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS last_ts_s,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM events $pred)
+       |WHERE rn = 1 AND last_type <> 'error'""".stripMargin
+
+  // E18 `es_compaction`: log compaction WITH DELETE SEMANTICS — the
+  // full compacted-topic contract surge's KTable sits on (a Kafka
+  // compacted topic retains only each key's latest record, and a
+  // tombstone record deletes the key outright; surge publishes
+  // aggregate state to exactly such a topic —
+  // `/root/reference/modules/common/src/main/scala/surge/kafka/streams/AggregateStateStoreKafkaStreams.scala`).
+  // Here `error` events act as tombstones: per aggregate, keep ONLY the
+  // latest record, and if that record is a tombstone the key vanishes
+  // from the compacted view.
+  private def compaction(s: SparkSession, d: String): DataFrame =
+    compactedState(Tables.events(s, d))
+
+  // E19 `es_changelog`: the CDC view between two compacted snapshots —
+  // exactly what a KTable emits on its changelog topic (Kafka Streams
+  // KTable semantics: every upsert/delete of the store is a changelog
+  // record; surge's state store IS such a KTable —
+  // `/root/reference/modules/common/src/main/scala/surge/kafka/streams/AggregateStateStoreKafkaStreams.scala`).
+  // Diff of state-at-T1 vs state-now keyed on the aggregate id:
+  // `insert` (key new since T1), `delete` (key tombstoned since T1),
+  // `update` (latest record changed); unchanged keys emit nothing.
+  // Plan: both sides come out of their hash-aggs already partitioned by
+  // user_id, so the full-outer join reuses that partitioning (zero
+  // extra exchange); the shuffled-hash hint keeps the join sort-free.
+  private def changelog(s: SparkSession, d: String): DataFrame = {
+    val t1 = lit("2024-01-15 00:00:00").cast("timestamp")
+    val old = compactedState(Tables.events(s, d).filter(col("ts") < t1))
+      .select(col("user_id"), col("event_id").as("old_event_id"),
+        col("last_ts_s").as("old_ts_s"),
+        col("last_type").as("old_type"), col("last_value").as("old_value"))
+    val nw = compactedState(Tables.events(s, d))
+      .select(col("user_id"), col("event_id").as("new_event_id"),
+        col("last_ts_s").as("new_ts_s"),
+        col("last_type").as("new_type"), col("last_value").as("new_value"))
+    old.join(nw.hint("shuffle_hash"), Seq("user_id"), "full_outer")
+      .withColumn("op",
+        when(col("old_event_id").isNull, "insert")
+          .when(col("new_event_id").isNull, "delete")
+          .otherwise("update"))
+      // update ⇔ the surviving record's IDENTITY changed (same-second
+      // ties exist from sf0.1 up, so comparing the epoch second would
+      // miss same-second upserts)
+      .filter(col("old_event_id").isNull || col("new_event_id").isNull ||
+        col("old_event_id") =!= col("new_event_id"))
+      .select("user_id", "op", "old_event_id", "old_ts_s", "old_type", "old_value",
+        "new_event_id", "new_ts_s", "new_type", "new_value")
+  }
+
+  private val changelogSql =
+    s"""WITH oldc AS (${compactedSql("WHERE ts < TIMESTAMP '2024-01-15 00:00:00'")}),
+       |newc AS (${compactedSql("")})
+       |SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+       |  CASE WHEN o.user_id IS NULL THEN 'insert'
+       |       WHEN n.user_id IS NULL THEN 'delete'
+       |       ELSE 'update' END AS op,
+       |  o.event_id AS old_event_id, o.last_ts_s AS old_ts_s,
+       |  o.last_type AS old_type, o.last_value AS old_value,
+       |  n.event_id AS new_event_id, n.last_ts_s AS new_ts_s,
+       |  n.last_type AS new_type, n.last_value AS new_value
+       |FROM oldc o FULL JOIN newc n ON o.user_id = n.user_id
+       |WHERE o.user_id IS NULL OR n.user_id IS NULL OR o.event_id <> n.event_id""".stripMargin
+
+  // E20 `es_erasure`: right-to-be-forgotten on an event-sourced system —
+  // purge every event of the requested aggregates from the retained log
+  // (the log analog of publishing a tombstone per erased key and letting
+  // compaction collect it; E18 is the store-side half). The request set
+  // is vanishingly small next to a 100 TB log, so the purge is ONE
+  // corpus scan with a BROADCAST anti-join — the big side never
+  // shuffles.
+  private def erasure(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val requests = ev.select(col("user_id")).distinct()
+      .filter(pmod(col("user_id"), lit(37L)) === 3) // the flagged keys
+    ev.join(broadcast(requests), Seq("user_id"), "left_anti")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        cents(col("value")).as("value_c"))
+  }
+
+  private val erasureSql =
+    """SELECT event_id, user_id, event_type,
+      |  CAST(round(value*100,0) AS BIGINT) AS value_c
+      |FROM events
+      |WHERE user_id NOT IN (
+      |  SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 3)""".stripMargin
+
   override def ops: Seq[Op] = Seq(
     Op("es_running_state", runningState, Some(runningStateSql)),
     Op("es_fold_salted", stateFoldSalted, Some(foldSql(""))),
@@ -439,5 +550,8 @@ object EventSourcing extends OpFamily {
     Op("es_state_lookup", stateLookup, Some(stateLookupSql)),
     Op("es_incremental", incrementalFold, Some(foldSql(""))),
     Op("es_shard_routing", shardRouting, Some(shardRoutingSql)),
-    Op("es_latest_n", latestN, Some(latestNSql)))
+    Op("es_latest_n", latestN, Some(latestNSql)),
+    Op("es_compaction", compaction, Some(compactedSql(""))),
+    Op("es_changelog", changelog, Some(changelogSql)),
+    Op("es_erasure", erasure, Some(erasureSql)))
 }

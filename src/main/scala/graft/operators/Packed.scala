@@ -51,4 +51,18 @@ object Packed {
   /** Recover the payload from a packed key. */
   def payload(pk: Column): Column =
     pmod(pk, lit(new java.math.BigDecimal(PayloadBase))).cast("long")
+
+  private val EventIdBase = new java.math.BigDecimal(1000000000000L) // 10^12
+
+  /** Recover the event_id (digits 9..20) from a packed key. The
+    * subtraction strips the payload digits first so the division is an
+    * exact integer quotient (no decimal-scale rounding involved). */
+  def eventId(pk: Column): Column =
+    pmod(((pk - pmod(pk, lit(new java.math.BigDecimal(PayloadBase))))
+      / lit(new java.math.BigDecimal(PayloadBase))).cast(D38),
+      lit(EventIdBase)).cast("long")
+
+  /** Recover the epoch-microsecond timestamp (digits 21..38). */
+  def micros(pk: Column): Column =
+    ((pk - pmod(pk, lit(TsShift))) / lit(TsShift)).cast(D38).cast("long")
 }
