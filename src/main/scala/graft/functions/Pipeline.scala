@@ -142,8 +142,46 @@ object Pipeline extends OpFamily {
        |    // $shardTokens AS shard
        |FROM documents""".stripMargin
 
+  // P4 `corpus_mix`: language-mixture rebalancing — the data-mixing
+  // step that sets per-language sampling rates before export (training
+  // mixtures deliberately flatten the natural language distribution so
+  // head languages don't drown the tail). Rates are EXACT integers:
+  // rate_e4(lang) = (10000 · n_min) div n_lang — the flatten-to-tail
+  // mixture (every language downsampled toward the smallest one's
+  // volume) — and the keep decision is the same md5-bucket gate the
+  // stratified sampler uses, so the subset is reproducible across runs,
+  // engines, and partitionings. Plan shape at 100 TB: the rate table is
+  // one tiny hash-agg (|langs| rows) BROADCAST back onto the corpus
+  // scan — one pass over the big side, no shuffle.
+  private def corpusMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val rates = counts.join(broadcast(counts.agg(min(col("n_lang")).as("n_min"))))
+      .select(col("lang"), expr("(10000 * n_min) div n_lang").as("rate_e4"))
+    val bucket = expr(
+      "cast(conv(substr(md5(concat('mix:', text)), 1, 8), 16, 10) as bigint) % 10000")
+    docs.join(broadcast(rates), "lang")
+      .select(col("doc_id"), col("lang"), bucket.as("bucket_e4"), col("rate_e4"))
+      .filter(col("bucket_e4") < col("rate_e4"))
+  }
+
+  private val corpusMixSql =
+    """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+      |m AS (SELECT min(n_lang) AS n_min FROM c),
+      |r AS (SELECT lang, CAST((10000 * n_min) // n_lang AS BIGINT) AS rate_e4 FROM c, m),
+      |b AS (
+      |  SELECT doc_id, lang,
+      |    CAST(list_sum(list_transform(range(1, 9), i ->
+      |      (strpos('0123456789abcdef', substr(md5('mix:' || text), CAST(i AS INT), 1)) - 1)
+      |        * CAST(pow(16, 8 - i) AS BIGINT))) AS BIGINT) % 10000 AS bucket_e4
+      |  FROM documents)
+      |SELECT b.doc_id, b.lang, b.bucket_e4, r.rate_e4
+      |FROM b JOIN r USING (lang)
+      |WHERE b.bucket_e4 < r.rate_e4""".stripMargin
+
   override def ops: Seq[Op] = Seq(
     Op("decontaminate", contamination, Some(decontaminateSql)),
     Op("corpus_export", corpusExport, Some(corpusExportSql)),
-    Op("corpus_shard", corpusShard, Some(corpusShardSql)))
+    Op("corpus_shard", corpusShard, Some(corpusShardSql)),
+    Op("corpus_mix", corpusMix, Some(corpusMixSql)))
 }

@@ -284,7 +284,70 @@ object TextAnalysis extends OpFamily {
       |  CAST(length(trim(regexp_replace(lower(text), '[ \t\r\n]+', ' ', 'g'))) AS BIGINT) AS clean_len
       |FROM documents""".stripMargin
 
+  // T11 `text_pii`: PII redaction — the scrub pass a corpus runs before
+  // anything ships to training (emails, phone numbers, IPv4 addresses →
+  // typed placeholder tokens). The test corpus is synthetic and carries
+  // no organic PII, so each engine first INJECTS deterministic
+  // doc_id-derived PII (same expression both sides), then redacts; the
+  // oracle hash-compares redaction counts and the md5 of the redacted
+  // text, proving the byte-exact transform. Patterns stay inside the
+  // syntax intersection of Java regex and RE2 (character classes,
+  // bounded repetition — no lookaround), the same portability rule
+  // text_clean established; all string work is codegen'd, one scan.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+  private val ipRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  private def pii(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val injected =
+      when(pmod(id, lit(3L)) === 0,
+        concat(col("text"), lit(" contact user"), id.cast("string"),
+          lit("@example.com now")))
+        .when(pmod(id, lit(3L)) === 1,
+          concat(col("text"), lit(" call 555-"),
+            lpad(pmod(id, lit(1000L)).cast("string"), 3, "0"), lit("-"),
+            lpad(pmod(id, lit(10000L)).cast("string"), 4, "0")))
+        .otherwise(
+          concat(col("text"), lit(" from 10.0."),
+            pmod(id, lit(256L)).cast("string"), lit("."),
+            pmod(expr("doc_id div 7"), lit(256L)).cast("string")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), injected.as("txt"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("txt"), lit(emailRe), lit(0))).cast("long").as("n_email"),
+        size(regexp_extract_all(col("txt"), lit(ipRe), lit(0))).cast("long").as("n_ip"),
+        size(regexp_extract_all(col("txt"), lit(phoneRe), lit(0))).cast("long").as("n_phone"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("txt"),
+          emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>")).as("red_md5"))
+  }
+
+  private val piiSql = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\d{3}-\\d{3}-\\d{4}"
+    val ip = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+    s"""WITH inj AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0
+       |           THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+       |         WHEN doc_id % 3 = 1
+       |           THEN text || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+       |                || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |         ELSE text || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+       |                || '.' || CAST((doc_id // 7) % 256 AS VARCHAR) END AS txt
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(txt, '$email')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(txt, '$ip')) AS BIGINT) AS n_ip,
+       |  CAST(len(regexp_extract_all(txt, '$phone')) AS BIGINT) AS n_phone,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(txt,
+       |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g')) AS red_md5
+       |FROM inj""".stripMargin
+  }
+
   override def ops: Seq[Op] = Seq(
+    Op("text_pii", pii, Some(piiSql)),
     Op("text_clean", clean, Some(cleanSql)),
     Op("text_rarity", rarity, Some(raritySql)),
     Op("corpus_stats", corpusStats, Some(corpusStatsSql)),
