@@ -291,8 +291,139 @@ object Similarity extends OpFamily {
        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rn FROM x)
        |SELECT q_id, vec_id, cell, cos_sim, rn FROM r WHERE rn <= 5""".stripMargin
 
+  // S4: product quantization — the memory side of ANN at 100 TB. Raw
+  // vectors are 64 dims × 8 bytes; PQ stores m=4 codebook codes (one
+  // byte each) per vector — a 128× smaller index that fits a corpus in
+  // executor memory that raw vectors never would. Search is ADC
+  // (asymmetric distance computation): the query precomputes its exact
+  // distance to every codebook cell (m·k = 64 numbers), the corpus side
+  // only LOOKS UP and sums — no vector math per corpus row — then an
+  // exact rerank over the short candidate list restores precision.
+  //
+  // Engine-neutral by construction: codebooks come from the same
+  // deterministic multiplicative-hash sample the IVF init uses (the k
+  // smallest-hash sample vectors, sliced per subspace), every distance
+  // is exact int64, and code assignment is the same packed-min
+  // (d2·k + code) ONE-hash-agg shape as the IVF cell assignment — no
+  // ranking window, no sort. Candidate selection rides the sort-free
+  // TopKPerKey operator.
+  private val pqM = 4     // subspaces
+  private val pqDims = 16 // dims per subspace (64-dim embeddings)
+  private val pqK = 16L   // codes per subspace
+
+  /** Explode a quantized-vector frame into (id, j, sv, snn) subvector
+    * rows — one array literal, no shuffle. */
+  private def pqSubs(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol),
+      explode(array((0 until pqM).map(j =>
+        struct(lit(j.toLong).as("j"),
+          slice(col("v"), j * pqDims + 1, pqDims).as("sv"))): _*)).as("e"))
+      .select(col(idCol), col("e.j").as("j"), col("e.sv").as("sv"))
+      .withColumn("snn", sqNorm(col("sv")))
+
+  private[graft] def pq(s: SparkSession, d: String, topn: Int, rerankFrom: Int): DataFrame = {
+    val all = quantized(s, d)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("h"), col("vec_id"))
+    // codebook seeds: the pqK smallest-hash sample vectors (the IVF
+    // init's deterministic draw), sliced into one codebook per subspace
+    val sample = all
+      .withColumn("h",
+        pmod((col("vec_id") % lit(1000003L)) * lit(2654435761L), lit(1000000007L)))
+      .filter(pmod(col("h"), lit(4L)) === 0)
+    val seeds = sample.withColumn("rn", row_number().over(w)).filter(col("rn") <= pqK)
+      .select((col("rn") - 1).cast("long").as("code"), col("v").as("cv"))
+    val cb = broadcast(pqSubs(seeds.withColumnRenamed("cv", "v")
+      .withColumnRenamed("code", "vec_id"), "vec_id")
+      .select(col("vec_id").as("code"), col("j"), col("sv").as("cbv"), col("snn").as("cnn")))
+    // encode the corpus: per (vector, subspace) the nearest code —
+    // ONE packed-min hash-agg (d2·k + code), map-side combine, no sort
+    val codes = pqSubs(all.filter(col("vec_id") >= 5), "vec_id").join(cb, Seq("j"))
+      .select(col("vec_id"), col("j"),
+        ((col("snn") + col("cnn") - lit(2L) * dot(col("sv"), col("cbv"))) * lit(pqK)
+          + col("code")).as("pk"))
+      .groupBy("vec_id", "j").agg(min(col("pk")).as("pk"))
+      .select(col("vec_id"), col("j"), pmod(col("pk"), lit(pqK)).as("code"))
+    // ADC tables: the query's exact distance to every codebook cell —
+    // queries × m × k rows, broadcast
+    val dt = broadcast(pqSubs(all.filter(col("vec_id") < 5)
+      .withColumnRenamed("vec_id", "q_id"), "q_id")
+      .join(cb, Seq("j"))
+      .select(col("q_id"), col("j"), col("code"),
+        (col("snn") + col("cnn") - lit(2L) * dot(col("sv"), col("cbv"))).as("d2q")))
+    val approx = codes.join(dt, Seq("j", "code"))
+      .groupBy("q_id", "vec_id").agg(sum(col("d2q")).as("approx_d2"))
+    val cand = graft.plans.TopK.topKPerKey(
+      approx.withColumn("neg", -col("approx_d2")), rerankFrom, "q_id", "neg", "vec_id")
+      .select("q_id", "vec_id", "approx_d2")
+    // exact rerank of the tiny candidate list (broadcast both sides)
+    val queries = broadcast(all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qnn")))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    all.join(broadcast(cand), Seq("vec_id"))
+      .join(queries, Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), col("approx_d2"),
+        cosine(col("qv"), col("v"), col("qnn"), col("nn")).as("cos_sim"))
+      .withColumn("rn", row_number().over(wR).cast("long"))
+      .filter(col("rn") <= topn)
+  }
+
+  // rerank depth is THE recall knob for PQ: ADC is a lossy ordering, so
+  // the exact rerank pulls from a deeper candidate list (64 of n; still
+  // ≪ corpus at scale — the scan stays code-lookup-only).
+  private def annPq(s: SparkSession, d: String): DataFrame = pq(s, d, 5, 64)
+
+  private val annPqSql =
+    s"""WITH $quantizedCte,
+       |samp AS (
+       |  SELECT vec_id, v, nn, ((vec_id % 1000003) * 2654435761) % 1000000007 AS h
+       |  FROM n WHERE (((vec_id % 1000003) * 2654435761) % 1000000007) % 4 = 0),
+       |seeds AS (
+       |  SELECT CAST(rn - 1 AS BIGINT) AS code, v AS cv FROM (
+       |    SELECT *, row_number() OVER (ORDER BY h, vec_id) AS rn FROM samp)
+       |  WHERE rn <= 16),
+       |jj AS (SELECT unnest(range(0, 4)) AS j),
+       |cb AS (
+       |  SELECT j, code,
+       |    list_slice(cv, CAST(j*16+1 AS INT), CAST(j*16+16 AS INT)) AS cbv
+       |  FROM seeds, jj),
+       |cbn AS (SELECT j, code, cbv,
+       |  CAST(list_sum(list_transform(cbv, x -> x*x)) AS BIGINT) AS cnn FROM cb),
+       |sub AS (
+       |  SELECT vec_id, j,
+       |    list_slice(v, CAST(j*16+1 AS INT), CAST(j*16+16 AS INT)) AS sv
+       |  FROM n, jj),
+       |subn AS (SELECT vec_id, j, sv,
+       |  CAST(list_sum(list_transform(sv, x -> x*x)) AS BIGINT) AS snn FROM sub),
+       |sd AS (
+       |  SELECT s.vec_id, s.j, c.code,
+       |    s.snn + c.cnn - 2 * CAST(list_sum(list_transform(range(1, 17), i -> s.sv[i] * c.cbv[i])) AS BIGINT) AS d2
+       |  FROM subn s JOIN cbn c ON s.j = c.j),
+       |codes AS (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+       |    FROM sd WHERE vec_id >= 5)
+       |  WHERE rn = 1),
+       |dt AS (SELECT vec_id AS q_id, j, code, d2 AS d2q FROM sd WHERE vec_id < 5),
+       |adc AS (
+       |  SELECT d.q_id, c.vec_id, CAST(sum(d.d2q) AS BIGINT) AS approx_d2
+       |  FROM codes c JOIN dt d ON c.j = d.j AND c.code = d.code
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT q_id, vec_id, approx_d2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY approx_d2, vec_id) AS rn FROM adc)
+       |  WHERE rn <= 64),
+       |x AS (
+       |  SELECT cand.q_id, cand.vec_id, cand.approx_d2,
+       |    ${cosineSql("qn.v", "cn.v", "qn.nn", "cn.nn")} AS cos_sim
+       |  FROM cand JOIN n cn ON cn.vec_id = cand.vec_id
+       |            JOIN n qn ON qn.vec_id = cand.q_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rn FROM x)
+       |SELECT q_id, vec_id, approx_d2, cos_sim, rn FROM r WHERE rn <= 5""".stripMargin
+
   override def ops: Seq[Op] = Seq(
     Op("cosine_topk", cosineTopK, Some(cosineTopKSql)),
     Op("ann_lsh", annLsh, Some(annLshSql)),
-    Op("ann_ivf", annIvf, Some(annIvfSql)))
+    Op("ann_ivf", annIvf, Some(annIvfSql)),
+    Op("ann_pq", annPq, Some(annPqSql)))
 }

@@ -429,7 +429,7 @@ object EventSourcing extends OpFamily {
     * ONE decimal(38,0) `max` hash-agg — ordering, the surviving record's
     * event_id, AND the payload all decode from the single packed key
     * (no join-back, no sort). */
-  private def compactedState(df: DataFrame): DataFrame =
+  private[graft] def compactedState(df: DataFrame): DataFrame =
     df.groupBy("user_id")
       .agg(max(Packed.latest(col("ts"), col("event_id"),
         cents(col("value")) * lit(10L) + typeCode)).as("pk"))

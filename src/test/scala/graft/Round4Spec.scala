@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-4 additions: compacted-topic delete semantics (es_compaction),
+  * the CDC changelog between snapshots (es_changelog), key erasure
+  * (es_erasure), product-quantized ANN (ann_pq), PII redaction
+  * (text_pii), and language-mixture sampling (corpus_mix). */
+class Round4Spec extends SparkSpec {
+
+  test("es_compaction drops tombstoned keys and plans as one HashAggregate") {
+    val df = run("es_compaction")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"), s"compaction must hash-aggregate:\n$plan")
+    assert(plan.contains("HashAggregate"))
+    // every surviving key's latest record is a non-tombstone
+    assert(df.filter(col("last_type") === "error").count() == 0)
+    // compaction = es_latest_state minus the tombstoned keys
+    val latest = run("es_latest_state")
+    val tomb = latest.filter(col("last_type") === "error").count()
+    assert(df.count() == latest.count() - tomb)
+    assert(tomb > 0, "test data should contain tombstoned keys")
+  }
+
+  test("es_changelog applied to the old snapshot reproduces the new snapshot") {
+    val log = run("es_changelog").cache()
+    assert(log.filter(!col("op").isin("insert", "update", "delete")).count() == 0)
+    // inserts have no old image, deletes no new image, updates both
+    assert(log.filter(col("op") === "insert" && col("old_event_id").isNotNull).count() == 0)
+    assert(log.filter(col("op") === "delete" && col("new_event_id").isNotNull).count() == 0)
+    assert(log.filter(col("op") === "update" &&
+      (col("old_event_id").isNull || col("new_event_id").isNull)).count() == 0)
+    // the CDC contract: old snapshot + changelog = new snapshot
+    val events = graft.sources.Tables.events(spark, sf)
+    val oldC = graft.operators.EventSourcing.compactedState(
+      events.filter(col("ts") < lit("2024-01-15 00:00:00").cast("timestamp")))
+    val newC = graft.operators.EventSourcing.compactedState(events)
+    val touched = log.select(col("user_id")).distinct()
+    val applied = oldC.join(touched, Seq("user_id"), "left_anti")
+      .union(log.filter(col("op").isin("insert", "update"))
+        .select(col("user_id"), col("new_event_id").as("event_id"),
+          col("new_ts_s").as("last_ts_s"), col("new_type").as("last_type"),
+          col("new_value").as("last_value")))
+    assert(applied.except(newC).count() == 0 && newC.except(applied).count() == 0)
+    log.unpersist()
+    ()
+  }
+
+  test("es_erasure removes every event of the flagged keys and nothing else") {
+    val events = graft.sources.Tables.events(spark, sf)
+    val kept = run("es_erasure").cache()
+    assert(kept.filter(pmod(col("user_id"), lit(37L)) === 3).count() == 0)
+    val flagged = events.filter(pmod(col("user_id"), lit(37L)) === 3).count()
+    assert(kept.count() == events.count() - flagged)
+    assert(flagged > 0, "test data should contain flagged keys")
+    kept.unpersist()
+    ()
+  }
+
+  test("ann_pq reranks to useful recall against the exact top-5") {
+    val truth = run("cosine_topk").filter(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    val got = run("ann_pq").select(col("q_id"), col("vec_id"))
+    val recall = got.join(truth, Seq("q_id", "vec_id")).count().toDouble / truth.count()
+    assert(recall >= 0.4, s"ann_pq recall@5 $recall below 0.4")
+    // deeper rerank never hurts recall (ADC ordering is fixed)
+    def recallAt(depth: Int): Double = {
+      val g = functions.Similarity.pq(spark, sf, 5, depth).select(col("q_id"), col("vec_id"))
+      g.join(truth, Seq("q_id", "vec_id")).count().toDouble / truth.count()
+    }
+    assert(recallAt(128) >= recall,
+      "rerank depth 128 must not lose recall vs the default depth")
+    assert(got.groupBy("q_id").count().collect().forall(_.getLong(1) == 5L))
+  }
+
+  test("text_pii injects and fully redacts each PII kind") {
+    val df = run("text_pii").cache()
+    assert(df.filter(pmod(col("doc_id"), lit(3L)) === 0 && col("n_email") < 1).count() == 0)
+    assert(df.filter(pmod(col("doc_id"), lit(3L)) === 1 && col("n_phone") < 1).count() == 0)
+    assert(df.filter(pmod(col("doc_id"), lit(3L)) === 2 && col("n_ip") < 1).count() == 0)
+    df.unpersist()
+    ()
+  }
+
+  test("corpus_mix keeps the smallest language whole and never upsamples") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val natural = docs.groupBy("lang").count().withColumnRenamed("count", "n_nat")
+    val kept = run("corpus_mix").groupBy("lang").count().withColumnRenamed("count", "n_kept")
+    val joined = natural.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_nat"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .collect()
+    val minLang = joined.minBy(_.getLong(1))
+    assert(minLang.getLong(2) == minLang.getLong(1),
+      s"smallest language must be kept whole: $minLang")
+    joined.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+}
