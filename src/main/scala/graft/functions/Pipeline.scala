@@ -156,7 +156,12 @@ object Pipeline extends OpFamily {
   private def corpusMix(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
-    val rates = counts.join(broadcast(counts.agg(min(col("n_lang")).as("n_min"))))
+    // global-window min over the |langs|-row aggregate (NOT the corpus):
+    // attaches n_min without the one-row cross join a scalar-subquery
+    // formulation plans as BroadcastNestedLoopJoin
+    val rates = counts
+      .withColumn("n_min",
+        min(col("n_lang")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
       .select(col("lang"), expr("(10000 * n_min) div n_lang").as("rate_e4"))
     val bucket = expr(
       "cast(conv(substr(md5(concat('mix:', text)), 1, 8), 16, 10) as bigint) % 10000")
@@ -179,9 +184,72 @@ object Pipeline extends OpFamily {
       |FROM b JOIN r USING (lang)
       |WHERE b.bucket_e4 < r.rate_e4""".stripMargin
 
+  // P5 `corpus_filter`: the QUALITY GATE — one keep/drop verdict per
+  // document with the first failing rule as the reason code, combining
+  // the pipeline's quality signals (length, intra-doc repetition,
+  // corpus-rare bigrams, stopword density). This is the filter pass a
+  // real pipeline runs between cleaning and export; reason codes are
+  // what its operators monitor (a spike in `repetitive` means a spammy
+  // crawl slice arrived). Every rule is an exact integer cross-multiply
+  // — no FP thresholds to disagree across engines — and rule ORDER is
+  // the tie-break: the first failing rule names the reason.
+  private def corpusFilter(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      size(toks).cast("long").as("n_tok"),
+      size(filter(toks, t => t.isInCollection(Seq("the", "a")))).cast("long").as("n_stop"))
+    val rep = TextAnalysis.repetition(s, d)
+      .select(col("doc_id"), col("n_total").as("n_tri"), col("n_distinct").as("n_tri_d"))
+    val rar = TextAnalysis.rarity(s, d).select(col("doc_id"), col("n_bi"), col("n_rare"))
+    val joined = base.join(rep, Seq("doc_id"), "left").join(rar, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"), col("n_stop"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("n_tri_d"), lit(0L)).as("n_tri_d"),
+        coalesce(col("n_bi"), lit(0L)).as("n_bi"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+    val reason =
+      when(col("n_tok") < 30, "too_short")                          // length gate
+        .when((col("n_tri") - col("n_tri_d")) * 20 > col("n_tri"), "repetitive") // dup-3-gram > 5%
+        .when(col("n_rare") * 10 > col("n_bi"), "rare_heavy")       // rare-bigram > 10%
+        .when(col("n_stop") * 20 < col("n_tok"), "low_stopword")    // stopword < 5%
+    joined.select(col("doc_id"), col("n_tok"), reason.as("reason"))
+      .withColumn("keep", col("reason").isNull)
+  }
+
+  private val corpusFilterSql =
+    """WITH base AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a'], t))) AS BIGINT) AS n_stop
+      |  FROM documents),
+      |t3 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh3 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))) AS s
+      |        FROM t3 WHERE len(t) >= 3),
+      |rep AS (SELECT doc_id, count(*) AS n_tri, count(DISTINCT s) AS n_tri_d FROM sh3 GROUP BY 1),
+      |bi2 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))) AS s
+      |        FROM t3 WHERE len(t) >= 2),
+      |freq AS (SELECT s, count(*) AS cf FROM bi2 GROUP BY 1),
+      |rar AS (SELECT b.doc_id, count(*) AS n_bi,
+      |          CAST(sum(CASE WHEN f.cf < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+      |        FROM bi2 b JOIN freq f ON b.s = f.s GROUP BY 1),
+      |j AS (
+      |  SELECT base.doc_id, base.n_tok, base.n_stop,
+      |    COALESCE(rep.n_tri, 0) AS n_tri, COALESCE(rep.n_tri_d, 0) AS n_tri_d,
+      |    COALESCE(rar.n_bi, 0) AS n_bi, COALESCE(rar.n_rare, 0) AS n_rare
+      |  FROM base LEFT JOIN rep ON rep.doc_id = base.doc_id
+      |            LEFT JOIN rar ON rar.doc_id = base.doc_id),
+      |v AS (
+      |  SELECT doc_id, n_tok,
+      |    CASE WHEN n_tok < 30 THEN 'too_short'
+      |         WHEN (n_tri - n_tri_d) * 20 > n_tri THEN 'repetitive'
+      |         WHEN n_rare * 10 > n_bi THEN 'rare_heavy'
+      |         WHEN n_stop * 20 < n_tok THEN 'low_stopword' END AS reason
+      |  FROM j)
+      |SELECT doc_id, n_tok, reason, reason IS NULL AS keep FROM v""".stripMargin
+
   override def ops: Seq[Op] = Seq(
     Op("decontaminate", contamination, Some(decontaminateSql)),
     Op("corpus_export", corpusExport, Some(corpusExportSql)),
     Op("corpus_shard", corpusShard, Some(corpusShardSql)),
-    Op("corpus_mix", corpusMix, Some(corpusMixSql)))
+    Op("corpus_mix", corpusMix, Some(corpusMixSql)),
+    Op("corpus_filter", corpusFilter, Some(corpusFilterSql)))
 }

@@ -146,7 +146,7 @@ object TextAnalysis extends OpFamily {
   // T6: intra-document repetition — the duplicate-3-gram fraction per
   // doc (the Gopher-style "rep" quality rule: boilerplate and generated
   // spam repeat themselves). One explode + one hash-agg per doc.
-  private def repetition(s: SparkSession, d: String): DataFrame =
+  private[functions] def repetition(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
@@ -207,7 +207,7 @@ object TextAnalysis extends OpFamily {
   // multiplicity: the hottest bigram's reducer sees at most one row
   // per document instead of every occurrence, and the frequency build
   // and probe share the same shrunken table.
-  private def rarity(s: SparkSession, d: String): DataFrame = {
+  private[functions] def rarity(s: SparkSession, d: String): DataFrame = {
     // feeds the frequency build AND the probe — materialize once
     val bi = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("t"))

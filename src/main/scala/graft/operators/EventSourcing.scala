@@ -429,11 +429,11 @@ object EventSourcing extends OpFamily {
     * ONE decimal(38,0) `max` hash-agg — ordering, the surviving record's
     * event_id, AND the payload all decode from the single packed key
     * (no join-back, no sort). */
-  private[graft] def compactedState(df: DataFrame): DataFrame =
-    df.groupBy("user_id")
-      .agg(max(Packed.latest(col("ts"), col("event_id"),
-        cents(col("value")) * lit(10L) + typeCode)).as("pk"))
-      .withColumn("pay", Packed.payload(col("pk")))
+  /** Decode (user_id, pk) packed-argmax rows into the compacted view,
+    * dropping tombstoned keys — shared by the batch op and the live
+    * store's read path ([[graft.streaming.LiveStore]]). */
+  private[graft] def decodeCompacted(df: DataFrame): DataFrame =
+    df.withColumn("pay", Packed.payload(col("pk")))
       .withColumn("mu", Packed.micros(col("pk")))
       .select(
         col("user_id"),
@@ -443,7 +443,12 @@ object EventSourcing extends OpFamily {
         (expr("pay div 10").cast("double") / lit(100.0)).as("last_value"))
       .filter(col("last_type") =!= "error")
 
-  private def compactedSql(pred: String) =
+  private[graft] def compactedState(df: DataFrame): DataFrame =
+    decodeCompacted(df.groupBy("user_id")
+      .agg(max(Packed.latest(col("ts"), col("event_id"),
+        cents(col("value")) * lit(10L) + typeCode)).as("pk")))
+
+  private[graft] def compactedSql(pred: String) =
     s"""SELECT user_id, event_id, last_ts_s, last_type, last_value FROM (
        |  SELECT user_id, event_id, event_type AS last_type, value AS last_value,
        |    CAST(floor(epoch(ts)) AS BIGINT) AS last_ts_s,

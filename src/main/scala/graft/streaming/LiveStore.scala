@@ -118,6 +118,49 @@ object LiveStore {
   def snapshot(s: SparkSession, dir: String): DataFrame =
     EventSourcing.decodeState(s.read.parquet(dir))
 
+  /** E21 `es_live_compaction`: tombstone DELETE semantics on the live
+    * store — the full compacted-topic lifecycle, continuously:
+    *
+    *  - while the stream runs, tombstone records flow through the same
+    *    packed-max upsert as every record; a tombstone that is a key's
+    *    latest record MASKS the key (reads decode-and-drop — a Kafka
+    *    consumer's view of a compacted topic before the cleaner runs);
+    *  - afterwards a LOG-CLEANER pass physically purges dead keys: one
+    *    read → filter → rewrite of the store partitions (Kafka's
+    *    cleaner works per segment; here per shard partition).
+    *
+    * Purging lazily — not per batch — is correctness-critical under
+    * out-of-order delivery: a tombstoned key must stay in the store AS
+    * a tombstone row, or an out-of-order EARLIER record arriving in a
+    * later batch would resurrect the key the tombstone killed.
+    * Final store contents = the batch es_compaction oracle. */
+  private[graft] def liveCompaction(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${graft.sources.Tables.workDir(s)}/livecompact"
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(); ()
+    }
+    deleteRec(new java.io.File(dir))
+    val q = Streams.eventStream(s, d).toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        upsert(batch, id, dir)
+      }
+      .outputMode("update")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // log-cleaner pass: tombstone-latest keys leave the store. The dir
+    // is read AND overwritten — checkpoint the surviving rows before
+    // the overwrite deletes the files under them (the in-place-upsert
+    // trap; a transactional table format subsumes this).
+    val tombstoneCode = 1L // evTypes.indexOf("error")
+    val survivors = s.read.parquet(dir)
+      .filter(pmod(graft.operators.Packed.payload(col("pk")), lit(10L)) =!= tombstoneCode)
+      .localCheckpoint(true)
+    survivors.write.mode("overwrite").partitionBy("shard").parquet(dir)
+    EventSourcing.decodeCompacted(
+      s.read.parquet(dir).select(col("user_id"), col("pk")))
+  }
+
   /** Driver query: maintain the store from the event stream, then
     * return the final snapshot — which must equal the batch KTable
     * (E1's oracle), proving the upsert path bit-exact. */

@@ -404,6 +404,11 @@ object Streams extends OpFamily {
     Op("stream_fold", streamFold, Some(streamFoldSql)),
     Op("stream_latest", streamLatest, Some(streamLatestSql)),
     Op("es_live_store", LiveStore.liveStore, Some(streamLatestSql)),
+    // oracle = the batch es_compaction view ⇒ the stream-maintained
+    // store plus its log-cleaner pass is proven bit-equal to batch
+    // compaction of the same log
+    Op("es_live_compaction", LiveStore.liveCompaction,
+      Some(graft.operators.EventSourcing.compactedSql(""))),
     Op("stream_latest_n", streamLatestN, Some(streamLatestNSql)),
     Op("stream_window", streamWindow, Some(streamWindowSql)),
     Op("stream_dedup", streamDedup, Some(streamDedupSql)),

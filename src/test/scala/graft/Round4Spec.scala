@@ -83,6 +83,30 @@ class Round4Spec extends SparkSpec {
     ()
   }
 
+  test("es_live_compaction equals batch compaction and physically purges tombstones") {
+    val got = run("es_live_compaction").cache()
+    val want = run("es_compaction")
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+    // after the log-cleaner pass the STORE FILES carry no tombstone rows
+    val stored = spark.read.parquet(s"${graft.sources.Tables.workDir(spark)}/livecompact")
+    assert(stored.filter(
+      pmod(graft.operators.Packed.payload(col("pk")), lit(10L)) === 1L).count() == 0)
+    assert(stored.count() == got.count())
+    got.unpersist()
+    ()
+  }
+
+  test("corpus_filter names the first failing rule and keeps the rest") {
+    val df = run("corpus_filter").cache()
+    assert(df.filter(col("keep") && col("reason").isNotNull).count() == 0)
+    assert(df.filter(!col("keep") && col("reason").isNull).count() == 0)
+    // rule order: too_short outranks every later rule
+    assert(df.filter(col("n_tok") < 30 && col("reason") =!= "too_short").count() == 0)
+    assert(df.filter(!col("keep")).count() > 0, "some docs should fail the gate")
+    df.unpersist()
+    ()
+  }
+
   test("corpus_mix keeps the smallest language whole and never upsamples") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val natural = docs.groupBy("lang").count().withColumnRenamed("count", "n_nat")
