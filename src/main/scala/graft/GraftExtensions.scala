@@ -93,6 +93,20 @@ object GraftExtensions {
       "cast(0 as bigint), (s, x) -> s + cast(x as bigint)) > 0 " +
       "then shiftleft(cast(1 as bigint), cast(j as int)) else cast(0 as bigint) end)"
 
+  /** `graft_redact_pii(text)` — the T11 scrub as a scalar verb: emails,
+    * IPv4 addresses, then phone numbers become typed placeholders, in
+    * the same order the operator applies (order matters: a redacted
+    * placeholder must not re-match a later pattern). Patterns are the
+    * operator's own ([[graft.functions.TextAnalysis]]), re-escaped for
+    * the SQL string literal. */
+  private val redactPiiSql = {
+    def q(re: String) = "'" + re.replace("\\", "\\\\") + "'"
+    s"regexp_replace(regexp_replace(regexp_replace(__arg0, " +
+      s"${q(graft.functions.TextAnalysis.emailRe)}, '<EMAIL>'), " +
+      s"${q(graft.functions.TextAnalysis.ipRe)}, '<IP>'), " +
+      s"${q(graft.functions.TextAnalysis.phoneRe)}, '<PHONE>')"
+  }
+
   private val all = Seq(
     fn("graft_dot", exprs => LongDotProduct(exprs.head, exprs(1))),
     fn("graft_sqnorm", exprs => LongDotProduct(exprs.head, exprs.head)),
@@ -108,6 +122,7 @@ object GraftExtensions {
       }),
     fn("graft_minhash_band", exprs => template(minhashBandSql, exprs)),
     fn("graft_simhash", exprs => template(simhashSql, exprs)),
+    fn("graft_redact_pii", exprs => template(redactPiiSql, exprs)),
     fn("graft_cosine", exprs => {
       val dot = LongDotProduct(exprs.head, exprs(1))
       val na = LongDotProduct(exprs.head, exprs.head)

@@ -294,9 +294,9 @@ object TextAnalysis extends OpFamily {
   // syntax intersection of Java regex and RE2 (character classes,
   // bounded repetition — no lookaround), the same portability rule
   // text_clean established; all string work is codegen'd, one scan.
-  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
-  private val ipRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  private[graft] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+  private[graft] val ipRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
 
   private def pii(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")

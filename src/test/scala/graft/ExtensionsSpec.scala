@@ -70,4 +70,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql.count() > 0)
     assert(viaSql.except(viaOps).count() == 0 && viaOps.except(viaSql).count() == 0)
   }
+
+  test("graft_redact_pii scrubs each kind and leaves clean text alone") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT graft_redact_pii(" +
+        "'mail a.b+c@ex-1.co ip 10.0.12.3 call 555-123-4567 keep this') AS r")
+      .collect()(0).getString(0)
+    assert(got == "mail <EMAIL> ip <IP> call <PHONE> keep this")
+    val clean = spark.sql(
+      "SELECT graft_redact_pii('no pii here at all') AS r").collect()(0).getString(0)
+    assert(clean == "no pii here at all")
+  }
 }
