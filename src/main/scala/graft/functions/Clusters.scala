@@ -60,7 +60,10 @@ object Clusters extends OpFamily {
         .union(viaEdges)
         .groupBy("node").agg(min(col("lab")).as("lab"), max(col("old_tag")).as("old"))
       // pointer jump: lab(n) := lab(lab(n)) — labels are themselves
-      // nodes, so one more join halves remaining chain depth
+      // nodes, so one more join halves remaining chain depth. (A
+      // second jump per round was measured: it does NOT cut rounds on
+      // the driver graph — convergence is propagation-bound, not
+      // depth-bound — and costs an extra self-join. One jump it is.)
       // lazy checkpoint: the convergence count below is the action
       // that materializes this round — one job per round, not two.
       // (A full count, not limit(1): every partition must be computed
