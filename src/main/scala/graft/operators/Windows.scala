@@ -136,8 +136,10 @@ object Windows extends OpFamily {
   private def signalPattern(s: SparkSession, d: String): DataFrame =
     matcherSignals(matcherCounts(Tables.events(s, d)))
 
-  private[graft] val signalPatternSql =
-    """WITH b AS (
+  /** CTE bundle ending in `sig` = the fired-signal rows; shared by the
+    * W9 oracle and the W11 supervision oracle. */
+  private val signalCtes =
+    """b AS (
       |  SELECT user_id, (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_s,
       |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_name,
       |    CAST(sum(CASE WHEN regexp_matches(event_type, '^si') THEN 1 ELSE 0 END) AS BIGINT) AS n_regex,
@@ -148,15 +150,69 @@ object Windows extends OpFamily {
       |  UNION ALL
       |  SELECT bucket_s, user_id, 'pattern:^si', n_regex, n_regex >= 1 FROM b
       |  UNION ALL
-      |  SELECT bucket_s, user_id, 'repeating:3:click', n_rep, n_rep >= 3 FROM b)
-      |SELECT bucket_s, user_id, matcher, n,
-      |  'signal:' || matcher || '@' || CAST(bucket_s AS VARCHAR) AS side_effect
-      |FROM u WHERE fired""".stripMargin
+      |  SELECT bucket_s, user_id, 'repeating:3:click', n_rep, n_rep >= 3 FROM b),
+      |sig AS (
+      |  SELECT bucket_s, user_id, matcher, n,
+      |    'signal:' || matcher || '@' || CAST(bucket_s AS VARCHAR) AS side_effect
+      |  FROM u WHERE fired)""".stripMargin
+
+  private[graft] val signalPatternSql =
+    s"""WITH $signalCtes
+       |SELECT bucket_s, user_id, matcher, n, side_effect FROM sig""".stripMargin
+
+  // W11 `signal_supervision`: the health-SUPERVISOR decision loop —
+  // surge components register restart and shutdown signal PATTERNS
+  // (`modules/common/src/main/scala/surge/health/supervisor/Domain.scala`:
+  // `SupervisedComponentRegistration(componentName, _,
+  // restartSignalPatterns, shutdownSignalPatterns)`) and the supervisor
+  // matches every fired health signal against them, issuing
+  // RestartComponent / ShutdownComponent control messages
+  // (`supervisor/Api.scala`). The query re-expression: fired signals
+  // (W9) × the registration table, action = first matching pattern
+  // class with SHUTDOWN taking precedence — the control-decision log an
+  // operator audits. The registration table is tiny at any scale, so
+  // the non-equi regex join is a BROADCAST nested-loop over one signal
+  // pass — the intended plan (PlanLint allowlists it); patterns stay in
+  // the Java-regex ∩ RE2 anchored subset.
+  private def signalSupervision(s: SparkSession, d: String): DataFrame = {
+    val regs = s.sql(
+      """SELECT * FROM VALUES
+        |  ('kafka-consumer', '^nameEquals:', '^repeating:'),
+        |  ('state-store',    '^pattern:',    NULL),
+        |  ('shard-router',   '^repeating:',  '^nameEquals:error$')
+        |  AS t(component, restart_re, shutdown_re)""".stripMargin)
+    matcherSignals(matcherCounts(Tables.events(s, d)))
+      .crossJoin(broadcast(regs))
+      .withColumn("action",
+        when(col("shutdown_re").isNotNull && expr("matcher RLIKE shutdown_re"),
+          "shutdown")
+          .when(expr("matcher RLIKE restart_re"), "restart"))
+      .filter(col("action").isNotNull)
+      .select("component", "action", "matcher", "bucket_s", "user_id")
+  }
+
+  private val signalSupervisionSql =
+    s"""WITH $signalCtes,
+       |regs AS (
+       |  SELECT * FROM (VALUES
+       |    ('kafka-consumer', '^nameEquals:', '^repeating:'),
+       |    ('state-store',    '^pattern:',    NULL),
+       |    ('shard-router',   '^repeating:',  '^nameEquals:error$$'))
+       |    t(component, restart_re, shutdown_re))
+       |SELECT r.component,
+       |  CASE WHEN r.shutdown_re IS NOT NULL AND regexp_matches(s.matcher, r.shutdown_re)
+       |       THEN 'shutdown'
+       |       WHEN regexp_matches(s.matcher, r.restart_re) THEN 'restart' END AS action,
+       |  s.matcher, s.bucket_s, s.user_id
+       |FROM sig s CROSS JOIN regs r
+       |WHERE (r.shutdown_re IS NOT NULL AND regexp_matches(s.matcher, r.shutdown_re))
+       |   OR regexp_matches(s.matcher, r.restart_re)""".stripMargin
 
   override def ops: Seq[Op] = Seq(
     Op("win_tumbling", tumbling, Some(tumblingSql)),
     Op("win_sliding", sliding, Some(slidingSql)),
     Op("win_session", session, Some(sessionSql)),
     Op("signal_threshold", signalThreshold, Some(signalSql)),
-    Op("signal_pattern", signalPattern, Some(signalPatternSql)))
+    Op("signal_pattern", signalPattern, Some(signalPatternSql)),
+    Op("signal_supervision", signalSupervision, Some(signalSupervisionSql)))
 }

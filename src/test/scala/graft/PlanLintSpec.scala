@@ -19,7 +19,9 @@ class PlanLintSpec extends SparkSpec {
     "cosine_topk",  // brute-force baseline: corpus × 5 broadcast queries
     "ann_lsh",      // queries broadcast against bucket-partitioned corpus
     "dedup_embedding", // truth-set style candidate re-attach, broadcast side
-    "mm_embed_ann")
+    "mm_embed_ann",
+    "signal_supervision") // fired signals × 3-row registration table:
+                          //   non-equi regex join, broadcast side tiny
 
   test("no SortAggregate / cartesian / stray nested-loop join in any query plan") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

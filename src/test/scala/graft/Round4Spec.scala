@@ -107,6 +107,18 @@ class Round4Spec extends SparkSpec {
     ()
   }
 
+  test("signal_supervision: shutdown patterns outrank restart patterns") {
+    val df = run("signal_supervision").cache()
+    // shard-router registers '^nameEquals:error$' for shutdown — an
+    // error signal must never merely restart it
+    assert(df.filter(col("component") === "shard-router" &&
+      col("matcher") === "nameEquals:error" && col("action") =!= "shutdown").count() == 0)
+    assert(df.filter(col("action") === "shutdown").count() > 0)
+    assert(df.filter(col("action") === "restart").count() > 0)
+    df.unpersist()
+    ()
+  }
+
   test("corpus_mix keeps the smallest language whole and never upsamples") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val natural = docs.groupBy("lang").count().withColumnRenamed("count", "n_nat")
