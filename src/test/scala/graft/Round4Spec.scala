@@ -8,6 +8,37 @@ import org.apache.spark.sql.functions._
   * (text_pii), and language-mixture sampling (corpus_mix). */
 class Round4Spec extends SparkSpec {
 
+  test("Packed decoders invert latest() across the digit-field ranges") {
+    import spark.implicits._
+    import graft.operators.Packed
+    // grid over the packing's documented field ranges, incl. boundary
+    // values and same-second microsecond ties
+    val micros = Seq(0L, 1L, 999999L, 1000000L, 1704067200000000L,
+      1704067200000001L, 999999999999999999L)
+    val ids = Seq(0L, 1L, 90000000000L) // event_id < 9.2e10 documented bound
+    val pays = Seq(0L, 9L, 12345678L, 99999999L) // payload < 10^8
+    val rows = for { m <- micros; i <- ids; p <- pays } yield (m, i, p)
+    val df = rows.toDF("mu", "id", "pay")
+      .withColumn("ts", timestamp_micros(col("mu")))
+      .withColumn("pk", Packed.latest(col("ts"), col("id"), col("pay")))
+      .select(col("mu"), col("id"), col("pay"),
+        Packed.micros(col("pk")).as("mu2"),
+        Packed.eventId(col("pk")).as("id2"),
+        Packed.payload(col("pk")).as("pay2"))
+    assert(df.filter(col("mu") =!= col("mu2") || col("id") =!= col("id2") ||
+      col("pay") =!= col("pay2")).count() == 0,
+      "pack → decode must be the identity on every field")
+    // ordering: pk order == (ts, event_id) order (payload never leaks
+    // into the comparison) — check a same-microsecond id tie and a
+    // same-second microsecond tie
+    val pk = (m: Long, i: Long, p: Long) =>
+      Seq((m, i, p)).toDF("mu", "id", "pay")
+        .select(Packed.latest(timestamp_micros(col("mu")), col("id"), col("pay")))
+        .collect()(0).getDecimal(0)
+    assert(pk(1000000L, 2L, 0L).compareTo(pk(1000000L, 1L, 99999999L)) > 0)
+    assert(pk(1000001L, 0L, 0L).compareTo(pk(1000000L, 90000000000L, 99999999L)) > 0)
+  }
+
   test("es_compaction drops tombstoned keys and plans as one HashAggregate") {
     val df = run("es_compaction")
     df.collect()
