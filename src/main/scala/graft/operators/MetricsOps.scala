@@ -171,7 +171,37 @@ object MetricsOps extends OpFamily {
       |  CAST(sum(gap_s) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS mean_gap
       |FROM g WHERE gap_s IS NOT NULL GROUP BY 1""".stripMargin
 
+  // M8 `metric_consumer_lag`: the catch-up dashboard — per shard, how
+  // far the materialized state trails the log head. Surge's init path
+  // BLOCKS on exactly this number reaching zero before opening the
+  // store (`KTableInitializationSupport` restores the snapshot and
+  // replays the delta; `KafkaConsumerStateTrackingActor` /
+  // `PartitionAssignments` track per-partition progress for the
+  // rebalance view). Modeled with the E13 snapshot cutoff as the
+  // applied watermark: pending events, applied head, log head, and the
+  // lag in seconds, per shard — ONE hash-agg over one scan.
+  private def consumerLag(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("2024-01-20 00:00:00").cast("timestamp")
+    Tables.events(s, d)
+      .groupBy(pmod(col("user_id"), lit(16L)).as("shard"))
+      .agg(
+        sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("n_pending"),
+        Tables.epochS(max(when(col("ts") < cut, col("ts")))).as("applied_head_s"),
+        Tables.epochS(max(col("ts"))).as("log_head_s"))
+      .withColumn("lag_s", col("log_head_s") - col("applied_head_s"))
+  }
+
+  private val consumerLagSql =
+    """SELECT user_id % 16 AS shard,
+      |  CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
+      |  CAST(floor(epoch(max(CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN ts END))) AS BIGINT) AS applied_head_s,
+      |  CAST(floor(epoch(max(ts))) AS BIGINT) AS log_head_s,
+      |  CAST(floor(epoch(max(ts))) AS BIGINT)
+      |    - CAST(floor(epoch(max(CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN ts END))) AS BIGINT) AS lag_s
+      |FROM events GROUP BY 1""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("metric_consumer_lag", consumerLag, Some(consumerLagSql)),
     Op("metric_timer", timer, Some(timerSql)),
     Op("metric_percentile", percentiles, Some(percentilesSql)),
     Op("metric_stats", stats, Some(statsSql)),
