@@ -309,7 +309,7 @@ object Similarity extends OpFamily {
   // TopKPerKey operator.
   private val pqM = 4     // subspaces
   private val pqDims = 16 // dims per subspace (64-dim embeddings)
-  private val pqK = 16L   // codes per subspace
+  private val pqK = 32L   // codes per subspace (5-bit codes; one byte holds up to 256)
 
   /** Explode a quantized-vector frame into (id, j, sv, snn) subvector
     * rows — one array literal, no shuffle. */
@@ -381,7 +381,7 @@ object Similarity extends OpFamily {
        |seeds AS (
        |  SELECT CAST(rn - 1 AS BIGINT) AS code, v AS cv FROM (
        |    SELECT *, row_number() OVER (ORDER BY h, vec_id) AS rn FROM samp)
-       |  WHERE rn <= 16),
+       |  WHERE rn <= 32),
        |jj AS (SELECT unnest(range(0, 4)) AS j),
        |cb AS (
        |  SELECT j, code,

@@ -94,7 +94,8 @@ class Round4Spec extends SparkSpec {
       .select(col("q_id"), col("vec_id"))
     val got = run("ann_pq").select(col("q_id"), col("vec_id"))
     val recall = got.join(truth, Seq("q_id", "vec_id")).count().toDouble / truth.count()
-    assert(recall >= 0.4, s"ann_pq recall@5 $recall below 0.4")
+    info(s"ann_pq recall@5 vs brute force: $recall")
+    assert(recall >= 0.5, s"ann_pq recall@5 $recall below 0.5")
     // deeper rerank never hurts recall (ADC ordering is fixed)
     def recallAt(depth: Int): Double = {
       val g = functions.Similarity.pq(spark, sf, 5, depth).select(col("q_id"), col("vec_id"))
