@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.EventSourcing
 
@@ -11,134 +11,189 @@ import graft.operators.EventSourcing
   * (`/root/reference/modules/common/src/main/scala/surge/kafka/streams/AggregateStateStoreKafkaStreams.scala`,
   * `SurgeAggregateStore.scala:31` `getAggregateBytes(aggregateId)`,
   * `KafkaStreamsKeyValueStore.scala`). graft's batch twin (E12) built
-  * the sharded snapshot once; this maintains it FROM THE STREAM:
+  * the sharded snapshot once; this maintains it FROM THE STREAM, with
+  * the same I/O contract as the reference's RocksDB-backed store —
+  * O(batch keys) per upsert, amortized background compaction:
   *
   *  - each micro-batch folds its events to packed per-key rows
   *    ([[EventSourcing.packedState]] — max packed (ts,event_id,payload),
-  *    max ts, event count: every component a commutative-monoid merge,
-  *    so batch-state ⊔ store-state is one hash-agg, order-independent);
-  *  - the upsert rewrites ONLY the shard partitions the batch touched
-  *    (dynamic partition overwrite over `partitionBy(shard)` — the
-  *    compacted-topic log-compaction analog; at 100 TB a batch rewrites
-  *    ~16/16 shards of hot traffic but each shard write is bounded by
-  *    that shard's key count, not the log length);
-  *  - a point lookup between batches prunes to one shard directory and
-  *    pushes the key filter into that scan — `getAggregateBytes` while
-  *    ingestion runs.
+  *    max ts, event count: every component a commutative-monoid merge)
+  *    and APPENDS them as a `delta_b<batchId>` directory under the
+  *    shard layout. Nothing existing is read or rewritten: upsert I/O
+  *    scales with the BATCH's key count, not the store's (the RocksDB
+  *    point-write analog — a 10⁹-key store ingests a 10³-key batch in
+  *    10³-key time);
+  *  - reads MERGE-ON-READ: base ∪ live deltas through ONE hash
+  *    aggregate (the monoid makes merge order irrelevant). A point
+  *    lookup prunes every root to one shard directory and pushes the
+  *    key filter into those scans — `getAggregateBytes` while
+  *    ingestion runs;
+  *  - when live deltas exceed [[compactEvery]], upsert folds them into
+  *    a new `base_v<upToBatch>` — the RocksDB background-compaction
+  *    analog that bounds read fan-in. E21's log-cleaner is the same
+  *    pass with tombstone purge switched on.
   *
-  * A production deployment would put a transactional table format
-  * (or the E12 bucketed layout + a version pointer) under the store so
-  * readers never observe a half-committed batch; here foreachBatch
-  * serializes upserts, and lookups run between micro-batches.
+  * Every directory that readers can see is COMMITTED ATOMICALLY:
+  * writers build `_staging_*` (invisible to [[livePaths]]), then one
+  * atomic rename publishes it (surge's producer commits state+events in
+  * one Kafka transaction — `KafkaProducerActorImpl.scala:124,165,324`;
+  * a filesystem rename is the one atomic primitive a parquet store
+  * has). A crash between staging write and rename leaves only garbage
+  * a replay deletes; a crash after rename makes the replay a detectable
+  * no-op (the `delta_b<id>` dir already exists). Readers racing a
+  * compaction replan from committed dirs only; the staging target is a
+  * fresh path, so compaction never overwrites files under a plan it is
+  * reading (no in-place-upsert trap, no checkpoint needed).
   */
 object LiveStore {
 
   val nShards = 16
 
-  private def shardOf(c: org.apache.spark.sql.Column) = pmod(c, lit(nShards.toLong))
+  /** Max live delta dirs before an upsert folds them into a new base —
+    * bounds merge-on-read fan-in (Kafka's `min.cleanable.dirty.ratio`
+    * knob plays this role for the reference's compacted topic). */
+  val compactEvery = 8
 
+  private def shardOf(c: Column) = pmod(c, lit(nShards.toLong))
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(); ()
+  }
+
+  private def subdirs(dir: String, prefix: String): Seq[java.io.File] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix)).toSeq
+
+  private def deltaDirs(dir: String): Seq[(Long, java.io.File)] =
+    subdirs(dir, "delta_b")
+      .map(f => (f.getName.stripPrefix("delta_b").toLong, f)).sortBy(_._1)
+
+  private def baseDirOf(dir: String): Option[(Long, java.io.File)] =
+    subdirs(dir, "base_v")
+      .map(f => (f.getName.stripPrefix("base_v").toLong, f)).sortBy(_._1).lastOption
+
+  /** The committed, live store roots: newest base + deltas past it.
+    * `_staging_*` dirs are never listed — uncommitted writes are
+    * invisible to every reader by construction. */
+  private def livePaths(dir: String): Seq[String] = {
+    val base = baseDirOf(dir)
+    val v = base.map(_._1).getOrElse(-1L)
+    base.map(_._2.getPath).toSeq ++
+      deltaDirs(dir).collect { case (id, f) if id > v => f.getPath }
+  }
+
+  /** base ∪ live deltas, one scan per root (a multi-path read would
+    * try to infer ONE partition scheme across the roots and reject the
+    * delta_b / base_v dir names); filters still push through the union
+    * into every scan's PartitionFilters. Fan-in ≤ 1 + compactEvery. */
   private def readPacked(s: SparkSession, dir: String): Option[DataFrame] = {
-    val f = new java.io.File(dir)
-    // hidden entries (the batch marker, _SUCCESS) are not data — an
-    // empty-batch commit leaves a dir a parquet read cannot infer from
-    val hasData = f.exists && Option(f.listFiles()).exists(
-      _.exists(x => !x.getName.startsWith("_") && !x.getName.startsWith(".")))
-    if (hasData) Some(s.read.parquet(dir)) else None
+    val paths = livePaths(dir)
+    if (paths.isEmpty) None
+    else Some(paths.map(p => s.read.parquet(p)).reduce(_.unionByName(_)))
   }
 
-  // lives INSIDE the store dir (underscore prefix = invisible to
-  // Spark's file listing) so a store reset removes it with the data
-  private def lastBatchFile(dir: String) = new java.io.File(dir, "_last_batch")
+  /** The commutative-monoid fold — base rows and any number of delta
+    * rows merge through ONE hash aggregate, in any order. */
+  private def merged(df: DataFrame): DataFrame =
+    df.groupBy("user_id", "shard") // shard is functionally dependent
+      .agg(max(col("pk")).as("pk"), max(col("mts")).as("mts"),
+        sum(col("n_events")).as("n_events"))
 
-  /** Merge one micro-batch of raw events into the store, exactly once
-    * per batch id: foreachBatch is AT-LEAST-once (a crash between the
-    * store commit and the offset commit redelivers the batch), and
-    * while the max-merged pk/mts components absorb a replay, the
-    * summed n_events would double-count — so a committed-batch marker
-    * makes redelivery a no-op. */
-  def upsert(batch: DataFrame, batchId: Long, dir: String): Unit = {
-    val s = batch.sparkSession
-    val marker = lastBatchFile(dir)
-    if (marker.exists && java.nio.file.Files.readString(marker.toPath).trim.toLong >= batchId)
-      return // replayed batch — already merged
-    if (batch.isEmpty) { commitMarker(dir, batchId); return }
-    // scope the dynamic-overwrite mode to this upsert — leaking it to
-    // the session would silently change every later partitioned
-    // overwrite from truncate-all to replace-matching
-    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      upsertInner(s, batch, dir)
-      commitMarker(dir, batchId)
-    } finally prev match {
-      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None    => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-  }
-
-  private def commitMarker(dir: String, batchId: Long): Unit = {
-    val f = lastBatchFile(dir)
-    Option(f.getParentFile).foreach(_.mkdirs())
-    java.nio.file.Files.writeString(f.toPath, batchId.toString)
+  private def publish(s: SparkSession, df: DataFrame, dir: String, name: String): Unit = {
+    val staging = new java.io.File(dir, s"_staging_$name")
+    deleteRec(staging)
+    df.select("user_id", "pk", "mts", "n_events", "shard")
+      .write.mode("overwrite").partitionBy("shard").parquet(staging.getPath)
+    java.nio.file.Files.move(staging.toPath, new java.io.File(dir, name).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     ()
   }
 
-  private def upsertInner(s: SparkSession, batch: DataFrame, dir: String): Unit = {
-    val bs = EventSourcing.packedState(batch)
-      .withColumn("shard", shardOf(col("user_id")))
-    val merged = readPacked(s, dir) match {
-      case None => bs
-      case Some(ex) =>
-        // only the touched shards participate — and the overwrite must
-        // carry EVERY key of a touched shard, or untouched keys in that
-        // shard would vanish with the old partition directory
-        val touched = bs.select("shard").distinct() // ≤ nShards rows
-        ex.join(broadcast(touched), Seq("shard"), "left_semi")
-          .unionByName(bs)
-          .groupBy("user_id", "shard") // shard is functionally dependent
-          .agg(max(col("pk")).as("pk"), max(col("mts")).as("mts"),
-            sum(col("n_events")).as("n_events"))
-          // the store dir is both read and overwritten in this batch —
-          // materialize the read side before the commit deletes the old
-          // partition files (a transactional format subsumes this)
-          .localCheckpoint(true)
-    }
-    merged.select("user_id", "pk", "mts", "n_events", "shard")
-      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+  /** Merge one micro-batch of raw events into the store, exactly once
+    * per batch id: foreachBatch is AT-LEAST-once (a crash between the
+    * delta commit and the offset commit redelivers the batch), and
+    * while the max-merged pk/mts components would absorb a replay, the
+    * summed n_events would double-count — so the committed `delta_b<id>`
+    * directory IS the idempotence marker: a replayed id finds its dir
+    * and returns. Cost per call: one packedState agg over the batch +
+    * one write of the batch's keys. The store is never read. */
+  def upsert(batch: DataFrame, batchId: Long, dir: String): Unit = {
+    val s = batch.sparkSession
+    new java.io.File(dir).mkdirs()
+    val alreadyCommitted = new java.io.File(dir, s"delta_b$batchId").exists ||
+      baseDirOf(dir).exists(_._1 >= batchId) // folded into a base already
+    if (alreadyCommitted || batch.isEmpty) return
+    publish(s,
+      EventSourcing.packedState(batch).withColumn("shard", shardOf(col("user_id"))),
+      dir, s"delta_b$batchId")
+    if (deltaDirs(dir).size > compactEvery) compact(s, dir, purgeTombstones = false)
   }
 
-  /** Point lookup BY KEY — prunes to one shard directory (spec asserts
-    * PartitionFilters) and pushes the user_id filter into that scan. */
-  def lookup(s: SparkSession, dir: String, key: Long): DataFrame =
-    EventSourcing.decodeState(
-      s.read.parquet(dir)
-        .filter(col("shard") === lit(key % nShards) && col("user_id") === lit(key)))
-
-  /** Full decoded snapshot (the read-side view of the whole store). */
-  def snapshot(s: SparkSession, dir: String): DataFrame =
-    EventSourcing.decodeState(s.read.parquet(dir))
-
-  /** E21 `es_live_compaction`: tombstone DELETE semantics on the live
-    * store — the full compacted-topic lifecycle, continuously:
-    *
-    *  - while the stream runs, tombstone records flow through the same
-    *    packed-max upsert as every record; a tombstone that is a key's
-    *    latest record MASKS the key (reads decode-and-drop — a Kafka
-    *    consumer's view of a compacted topic before the cleaner runs);
-    *  - afterwards a LOG-CLEANER pass physically purges dead keys: one
-    *    read → filter → rewrite of the store partitions (Kafka's
-    *    cleaner works per segment; here per shard partition).
-    *
-    * Purging lazily — not per batch — is correctness-critical under
+  /** Fold base + live deltas into a new base and retire the inputs —
+    * the background-compaction pass that bounds merge-on-read fan-in.
+    * With `purgeTombstones` it is E21's log-cleaner: keys whose LATEST
+    * record is a tombstone leave the store physically. Purging only
+    * here — never per batch — is correctness-critical under
     * out-of-order delivery: a tombstoned key must stay in the store AS
     * a tombstone row, or an out-of-order EARLIER record arriving in a
-    * later batch would resurrect the key the tombstone killed.
-    * Final store contents = the batch es_compaction oracle. */
-  private[graft] def liveCompaction(s: SparkSession, d: String): DataFrame = {
-    val dir = s"${graft.sources.Tables.workDir(s)}/livecompact"
-    def deleteRec(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(); ()
-    }
+    * later batch would resurrect the key the tombstone killed. */
+  private[graft] def compact(s: SparkSession, dir: String,
+      purgeTombstones: Boolean): Unit = {
+    val base = baseDirOf(dir)
+    val deltas = deltaDirs(dir).filter { case (id, _) => id > base.map(_._1).getOrElse(-1L) }
+    if (deltas.isEmpty && !(purgeTombstones && base.isDefined)) return
+    val upTo = (base.map(_._1).toSeq ++ deltas.map(_._1)).max
+    val folded = merged(readPacked(s, dir).get)
+    val kept =
+      if (purgeTombstones)
+        folded.filter(
+          pmod(graft.operators.Packed.payload(col("pk")), lit(10L)) =!= tombstoneCode)
+      else folded
+    val target = new java.io.File(dir, s"base_v$upTo")
+    if (target.exists) {
+      // re-compaction of an already-folded base (the cleaner running
+      // right after a periodic pass consumed every delta): the target
+      // name is taken, so stage the result, step the old base aside,
+      // and publish. Only the post-stream cleaner reaches this branch —
+      // no concurrent reader exists in the aside window.
+      val staging = new java.io.File(dir, s"_staging_base_v$upTo")
+      deleteRec(staging)
+      kept.select("user_id", "pk", "mts", "n_events", "shard")
+        .write.mode("overwrite").partitionBy("shard").parquet(staging.getPath)
+      val retired = new java.io.File(dir, s"_retired_base_v$upTo")
+      deleteRec(retired)
+      java.nio.file.Files.move(target.toPath, retired.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.Files.move(staging.toPath, target.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      deleteRec(retired)
+    } else publish(s, kept, dir, s"base_v$upTo")
+    // inputs retire AFTER the new base is visible (the collision branch
+    // already swapped its old base out); a reader planning in between
+    // sees either (old base + deltas) or the new base — both merge to
+    // the same rows
+    (base.map(_._2).toSeq ++ deltas.map(_._2))
+      .filterNot(_.getName == target.getName).foreach(deleteRec)
+  }
+
+  private val tombstoneCode = 1L // evTypes.indexOf("error")
+
+  /** Point lookup BY KEY — prunes every live root to one shard
+    * directory (spec asserts PartitionFilters), pushes the user_id
+    * filter into those scans, then merges the ≤(1+deltas) rows. */
+  def lookup(s: SparkSession, dir: String, key: Long): DataFrame =
+    EventSourcing.decodeState(merged(
+      readPacked(s, dir).getOrElse(sys.error(s"live store at $dir has no committed data"))
+        .filter(col("shard") === lit(key % nShards) && col("user_id") === lit(key))))
+
+  /** Full decoded snapshot (the read-side view of the whole store):
+    * merge-on-read in one hash aggregate, then decode. */
+  def snapshot(s: SparkSession, dir: String): DataFrame =
+    EventSourcing.decodeState(merged(
+      readPacked(s, dir).getOrElse(
+        sys.error(s"live store at $dir has no committed data"))))
+
+  private def runStoreTo(s: SparkSession, d: String, dir: String): Unit = {
     deleteRec(new java.io.File(dir))
     val q = Streams.eventStream(s, d).toDF().writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -148,17 +203,21 @@ object LiveStore {
       .start()
     q.processAllAvailable()
     q.stop()
-    // log-cleaner pass: tombstone-latest keys leave the store. The dir
-    // is read AND overwritten — checkpoint the surviving rows before
-    // the overwrite deletes the files under them (the in-place-upsert
-    // trap; a transactional table format subsumes this).
-    val tombstoneCode = 1L // evTypes.indexOf("error")
-    val survivors = s.read.parquet(dir)
-      .filter(pmod(graft.operators.Packed.payload(col("pk")), lit(10L)) =!= tombstoneCode)
-      .localCheckpoint(true)
-    survivors.write.mode("overwrite").partitionBy("shard").parquet(dir)
+  }
+
+  /** E21 `es_live_compaction`: tombstone DELETE semantics on the live
+    * store — the full compacted-topic lifecycle, continuously: while
+    * the stream runs, tombstones flow through the same append-only
+    * upsert as every record and MASK their key (a Kafka consumer's
+    * view of a compacted topic before the cleaner runs); afterwards
+    * the log-cleaner pass ([[compact]] with purge) physically drops
+    * dead keys. Final store contents = the batch es_compaction oracle. */
+  private[graft] def liveCompaction(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${graft.sources.Tables.workDir(s)}/livecompact"
+    runStoreTo(s, d, dir)
+    compact(s, dir, purgeTombstones = true)
     EventSourcing.decodeCompacted(
-      s.read.parquet(dir).select(col("user_id"), col("pk")))
+      readPacked(s, dir).get.select(col("user_id"), col("pk")))
   }
 
   /** Driver query: maintain the store from the event stream, then
@@ -166,18 +225,7 @@ object LiveStore {
     * (E1's oracle), proving the upsert path bit-exact. */
   private[graft] def liveStore(s: SparkSession, d: String): DataFrame = {
     val dir = s"${graft.sources.Tables.workDir(s)}/livestore"
-    def deleteRec(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(); ()
-    }
-    deleteRec(new java.io.File(dir))
-    val q = Streams.eventStream(s, d).toDF().writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        upsert(batch, id, dir)
-      }
-      .outputMode("update")
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    runStoreTo(s, d, dir)
     snapshot(s, dir)
   }
 }

@@ -90,15 +90,62 @@ object Streams extends OpFamily {
       }
   }
 
+  /** How many micro-batches every streaming driver query runs through:
+    * the source is split into this many files and fed one per trigger,
+    * so cross-batch state merge, last-batch-wins output dedup, and the
+    * live store's replay marker are all exercised under the DuckDB
+    * oracle — not just by MemoryStream specs. */
+  val sourceBatches = 3
+
+  private val splitCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Split the events table into [[sourceBatches]] CHRONOLOGICAL files
+    * (built once per session+dataset). Chronology between files is the
+    * one ordering constraint the operators have: every stateful op here
+    * merges across batches commutatively, but a watermarked stage
+    * (stream_dedup) would drop a whole batch that arrived >1h behind
+    * the watermark a later-data batch had already advanced. Ascending
+    * names AND mtimes make the file source replay them in order. */
+  private def splitSource(s: SparkSession, d: String): String =
+    splitCache.computeIfAbsent(d, _ => {
+      val base = s"${Tables.workDir(s)}/events_split_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$d/events.parquet")
+      // range partition = chronological thirds; ts may be raw int64
+      // nanos here, which ranges identically to the decoded timestamp
+      val tagged = raw.repartitionByRange(sourceBatches, col("ts"), col("event_id"))
+        .withColumn("_p", org.apache.spark.sql.functions.spark_partition_id())
+        .localCheckpoint(true) // one shuffle, then three cheap filters
+      new java.io.File(base).mkdirs()
+      for (i <- 0 until sourceBatches) {
+        val tmp = s"$base/_build_$i"
+        tagged.filter(col("_p") === i).drop("_p")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = Option(new java.io.File(tmp).listFiles()).get
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+        val dst = new java.io.File(base, f"$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1700000000000L + i * 60000L)
+        def rec(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rec)); f.delete(); ()
+        }
+        rec(new java.io.File(tmp))
+      }
+      base
+    })
+
   /** Streaming source over the driver's events table (file source —
     * stands in for the Kafka source, which carries the same
-    * key/value/timestamp shape). */
+    * key/value/timestamp shape), delivered as [[sourceBatches]]
+    * chronological micro-batches. */
   def eventStream(s: SparkSession, d: String): Dataset[Ev] = {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$d/events.parquet")
     val stream = s.readStream.schema(raw.schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .option("maxFilesPerTrigger", "1").parquet(splitSource(s, d))
     val conv =
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -67,4 +67,34 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(spark.table("dedup_test").count() == 2)
   }
+
+  test("driver event source replays as sourceBatches chronological micro-batches") {
+    // every stream_* oracle entry must run the MULTI-batch path: the
+    // split source feeds one file per trigger, in time order (the
+    // watermarked dedup would drop a whole batch delivered behind an
+    // already-advanced watermark)
+    var seen = List.empty[(Long, Long, Long, Long)] // (batchId, rows, minTs, maxTs)
+    val q = Streams.eventStream(spark, "/root/testdata/sf0.001").toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val agg = b.agg(
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col("ts"))),
+          org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col("ts")))).collect()(0)
+        seen ::= ((id, agg.getLong(0), agg.getLong(1), agg.getLong(2)))
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val ordered = seen.reverse
+    assert(ordered.map(_._1) == (0L until Streams.sourceBatches.toLong).toList,
+      s"expected ${Streams.sourceBatches} micro-batches, got $ordered")
+    assert(ordered.forall(_._2 > 0L), s"every batch must carry rows: $ordered")
+    ordered.sliding(2).foreach {
+      case List(a, b) =>
+        assert(a._4 <= b._3, s"batches must be chronological: $a then $b")
+      case _ =>
+    }
+  }
 }
