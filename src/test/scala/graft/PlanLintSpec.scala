@@ -43,4 +43,17 @@ class PlanLintSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"plan lint failures:\n${offenders.mkString("\n")}")
   }
+
+  test("full-outer joins of pre-aggregated sides stay sort-free") {
+    // the E19 shape: both inputs come out of hash-aggs already
+    // partitioned by the join key, so SortMergeJoin would add two sorts
+    // for no robustness gain — these must plan as ShuffledHashJoin
+    for (name <- Seq("outer_join", "es_changelog")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name should plan its full-outer join sort-free:\n$plan")
+      assert(plan.contains("ShuffledHashJoin"), s"$name lost its hash join")
+    }
+  }
 }

@@ -95,7 +95,7 @@ class Round4Spec extends SparkSpec {
     val got = run("ann_pq").select(col("q_id"), col("vec_id"))
     val recall = got.join(truth, Seq("q_id", "vec_id")).count().toDouble / truth.count()
     info(s"ann_pq recall@5 vs brute force: $recall")
-    assert(recall >= 0.5, s"ann_pq recall@5 $recall below 0.5")
+    assert(recall >= 0.55, s"ann_pq recall@5 $recall below 0.55 (0.6 measured with Lloyd-refined codebooks)")
     // deeper rerank never hurts recall (ADC ordering is fixed)
     def recallAt(depth: Int): Double = {
       val g = functions.Similarity.pq(spark, sf, 5, depth).select(col("q_id"), col("vec_id"))
