@@ -234,9 +234,83 @@ object Dedup extends OpFamily {
        |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.4""".stripMargin
   }
 
+  // D7 `dedup_substring`: EXACT-substring dedup — the pass document-level
+  // MinHash cannot express (the "duplicated ≥k-token span" pass of
+  // suffix-array dedup, approximated with k-token window fingerprints):
+  // every k-token window hashes to md5(window); a fingerprint seen in
+  // ≥2 distinct docs marks its window duplicated; per doc, consecutive
+  // duplicated windows merge into maximal spans (gaps-and-islands) and
+  // the duplicated token mass is the count of distinct covered token
+  // positions (runs can overlap in token space, so summing run lengths
+  // would double-count). Output per affected doc: span count, longest
+  // span, duplicated tokens.
+  //
+  // At 100 TB: the window explode is O(corpus tokens) rows — the
+  // suffix-array cost in bucketed hash-agg form. The fp groupBy and the
+  // semi-join both shuffle on a uniform digest; per-doc run detection
+  // partitions by doc_id over the (small) duplicated subset; nothing is
+  // all-pairs and no stage holds more than one doc's windows sorted.
+  private val subK = 8
+
+  private def dedupSubstring(s: SparkSession, d: String): DataFrame =
+    substringSpans(Tables.documents(s, d))
+
+  /** The span pass over any (doc_id, text) frame — separated so specs
+    * can drive it with synthetic corpora of known span arithmetic. */
+  private[graft] def substringSpans(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ")
+    val wins = docs
+      .filter(size(toks) >= subK)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1L), (size(toks) - (subK - 1)).cast("long")),
+        i => struct(i.as("pos"),
+          md5(concat_ws(" ", slice(toks, i.cast("int"), lit(subK)))).as("fp")))).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.fp").as("fp"))
+    val dupFp = wins.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("fp")
+    // consumed by both the run detection and the coverage count
+    val dw = wins.join(dupFp.hint("shuffle_hash"), Seq("fp"), "left_semi")
+      .select("doc_id", "pos").localCheckpoint(true)
+    val spans = dw
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("wlen"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_spans"),
+        (max(col("wlen")) + lit(subK - 1L)).as("max_span_tokens"))
+    val cov = dw
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (subK - 1))).as("ti"))
+      .groupBy("doc_id").agg(countDistinct(col("ti")).as("dup_tokens"))
+    spans.join(cov, Seq("doc_id"))
+  }
+
+  private val dedupSubstringSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |tt AS (SELECT doc_id, w FROM t WHERE len(w) >= $subK),
+       |win AS (
+       |  SELECT doc_id,
+       |    CAST(unnest(range(1, len(w) - ${subK - 2})) AS BIGINT) AS pos,
+       |    unnest(list_transform(range(1, len(w) - ${subK - 2}),
+       |      i -> md5(array_to_string(list_slice(w, CAST(i AS INT), CAST(i + ${subK - 1} AS INT)), ' ')))) AS fp
+       |  FROM tt),
+       |dupfp AS (SELECT fp FROM win GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+       |dw AS (SELECT doc_id, pos FROM win WHERE fp IN (SELECT fp FROM dupfp)),
+       |runs AS (SELECT doc_id, pos,
+       |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dw),
+       |sp AS (SELECT doc_id, grp, count(*) AS wlen FROM runs GROUP BY 1, 2),
+       |spans AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |  CAST(max(wlen) + ${subK - 1} AS BIGINT) AS max_span_tokens FROM sp GROUP BY 1),
+       |cov AS (
+       |  SELECT doc_id, CAST(count(DISTINCT pos + o.o) AS BIGINT) AS dup_tokens
+       |  FROM dw, (SELECT unnest(range(0, $subK)) AS o) o GROUP BY 1)
+       |SELECT s.doc_id, s.n_spans, s.max_span_tokens, c.dup_tokens
+       |FROM spans s JOIN cov c ON s.doc_id = c.doc_id""".stripMargin
+
   override def ops: Seq[Op] = Seq(
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
     Op("dedup_minhash_lsh", dedupMinhash, Some(candSql)),
     Op("ngram_jaccard", ngramJaccard, Some(jaccardSql)),
+    Op("dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
     Op("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)))
 }

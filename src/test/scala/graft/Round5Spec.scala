@@ -17,4 +17,43 @@ class Round5Spec extends SparkSpec {
     info(s"pq distortion: raw=$dRaw refined=$dRef (${math.round(100 * (1 - dRef / dRaw))}% lower)")
     assert(dRef < dRaw, s"refined codebook must beat raw seeds: $dRef !< $dRaw")
   }
+
+  test("dedup_substring span arithmetic: exact copies, partial overlap, containment in D1") {
+    import spark.implicits._
+    def words(r: Range, p: String = "w") = r.map(p + _).mkString(" ")
+    // doc 1 ≡ doc 2 (exact 20-token copies: D1 would flag them);
+    // doc 3 shares exactly tokens 5..14 (10 tokens) with doc 1;
+    // doc 4 shares nothing; doc 5 is a short (<k) exact copy pair with 6
+    val docs = Seq(
+      (1L, words(0 until 20)),
+      (2L, words(0 until 20)),
+      (3L, words(5 until 15) + " " + words(0 until 10, "x")),
+      (4L, words(0 until 20, "z")),
+      (5L, words(0 until 6, "y")),
+      (6L, words(0 until 6, "y"))).toDF("doc_id", "text")
+    val got = graft.functions.Dedup.substringSpans(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // exact copies: one span covering all 20 tokens — the span pass
+    // SUBSUMES document-level exact dedup (D1) for docs ≥ k tokens
+    assert(got(1L) == ((1L, 20L, 20L)), s"doc1: ${got.get(1L)}")
+    assert(got(2L) == ((1L, 20L, 20L)), s"doc2: ${got.get(2L)}")
+    // partial overlap: the shared 10-token run — 3 windows of 8, one
+    // maximal span, 10 covered tokens — on BOTH sides of the share
+    assert(got(3L) == ((1L, 10L, 10L)), s"doc3: ${got.get(3L)}")
+    // doc 1's coverage must NOT double-count the region its two
+    // duplicated sources (doc 2 full copy, doc 3 partial) both hit
+    assert(!got.contains(4L), "unique doc must not be flagged")
+    // sub-k exact copies are invisible to the span pass (that's D1's
+    // job) — documented containment boundary
+    assert(!got.contains(5L) && !got.contains(6L))
+  }
+
+  test("dedup_substring on the corpus never exceeds doc length and flags rows at sf") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val got = run("dedup_substring")
+    assert(got.join(docs, "doc_id")
+      .filter(col("dup_tokens") > col("n_tok") ||
+        col("max_span_tokens") > col("n_tok")).count() == 0)
+  }
 }
