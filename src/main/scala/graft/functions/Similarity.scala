@@ -122,17 +122,45 @@ object Similarity extends OpFamily {
        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rn FROM x)
        |SELECT q_id, vec_id, cos_sim, rn FROM r WHERE rn <= 10""".stripMargin
 
-  // S2: LSH-bucketed ANN — probe only the query's bucket, rank top-5.
+  /** Build-once ANN index layouts. A production ANN service never
+    * re-derives buckets/cells/codes per query — the index is a persisted
+    * table and the probe a pruned read (E12's snapshot pattern, X5's
+    * index-row shape). Materialized once per (session, dataset) under
+    * the scratch root; `parts` become PARTITION directories so a probe
+    * joining on them prunes file listing to the probed buckets/cells
+    * (dynamic partition pruning — spec-asserted). Partition columns are
+    * written as INT: partition discovery reads them back as int, and a
+    * probe key of the same type keeps the scan-side join key a bare
+    * attribute — a cast there would defeat DPP. */
+  private val builtIdx = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def persistedIndex(s: SparkSession, d: String, name: String,
+      parts: String*)(build: => DataFrame): DataFrame = {
+    val path = s"${Tables.workDir(s)}/${name}_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    if (builtIdx.add(path)) {
+      val w = build.write.mode("overwrite")
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  // S2: LSH-bucketed ANN — the bucket-partitioned index is built once;
+  // a probe broadcast-joins its bucket and the scan prunes to the
+  // probed bucket directories (1/256 of the corpus listed AND read).
   private def annLsh(s: SparkSession, d: String): DataFrame = {
-    val all = quantized(s, d).withColumn("bucket", lshBucket(col("v")))
+    val all = quantized(s, d)
+    val idx = persistedIndex(s, d, "lsh_idx", "bucket") {
+      all.filter(col("vec_id") >= 5)
+        .withColumn("bucket", lshBucket(col("v")).cast("int"))
+    }
     val queries = broadcast(all.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qnn"),
-        col("bucket")))
-    val corpus = all.filter(col("vec_id") >= 5)
+        lshBucket(col("v")).cast("int").as("bucket")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
-    corpus.join(queries, Seq("bucket"))
-      .select(col("q_id"), col("vec_id"), col("bucket"),
+    idx.join(queries, Seq("bucket"))
+      .select(col("q_id"), col("vec_id"), col("bucket").cast("long").as("bucket"),
         cosine(col("qv"), col("v"), col("qnn"), col("nn")).as("cos_sim"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)
@@ -215,18 +243,22 @@ object Similarity extends OpFamily {
   private[graft] def ivf(s: SparkSession, d: String, k: Int, probes: Int): DataFrame = {
     require(k <= cellEnc, s"k=$k exceeds packing base $cellEnc")
     val all = quantized(s, d)
-    val cent = broadcast(ivfCentroids(all, k, sampleMod = 4L))
-    val cellOf = all.join(cent)
-      .select(col("vec_id"),
-        ((col("nn") + col("cnn") - lit(2L) * dot(col("v"), col("cv"))) * lit(cellEnc)
-          + col("cid")).as("pk"))
-      .groupBy("vec_id").agg(min(col("pk")).as("pk"))
-      .select(col("vec_id"), (col("pk") % lit(cellEnc)).as("cell"))
-    val assigned = all.join(cellOf.hint("shuffle_hash"), Seq("vec_id"))
-      .select(col("vec_id"), col("v"), col("nn"), col("cell"))
-      // consumed by both the probe and corpus sides — materialize the
-      // assignment once (at scale: a persisted/bucketed index table)
-      .cache()
+    // centroids AND the cell-partitioned corpus assignment are the
+    // persisted index (built once); a probe reads its `probes` cell
+    // directories only — partition pruning does the 1/k cut before a
+    // single corpus byte is read
+    val cent = broadcast(
+      persistedIndex(s, d, s"ivf_cent_$k")(ivfCentroids(all, k, sampleMod = 4L)))
+    val idx = persistedIndex(s, d, s"ivf_idx_$k", "cell") {
+      val cellOf = all.join(cent)
+        .select(col("vec_id"),
+          ((col("nn") + col("cnn") - lit(2L) * dot(col("v"), col("cv"))) * lit(cellEnc)
+            + col("cid")).as("pk"))
+        .groupBy("vec_id").agg(min(col("pk")).as("pk"))
+        .select(col("vec_id"), (col("pk") % lit(cellEnc)).cast("int").as("cell"))
+      all.filter(col("vec_id") >= 5).join(cellOf.hint("shuffle_hash"), Seq("vec_id"))
+        .select(col("vec_id"), col("v"), col("nn"), col("cell"))
+    }
     val qcells = all.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qnn"))
       .join(cent)
@@ -235,12 +267,11 @@ object Similarity extends OpFamily {
       .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy("q_id").orderBy(col("dist2"), col("cid"))))
       .filter(col("rn") <= probes)
-      .select(col("q_id"), col("qv"), col("qnn"), col("cid").as("cell"))
-    val corpus = assigned.filter(col("vec_id") >= 5)
+      .select(col("q_id"), col("qv"), col("qnn"), col("cid").cast("int").as("cell"))
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
-    corpus.join(broadcast(qcells), Seq("cell"))
-      .select(col("q_id"), col("vec_id"), col("cell"),
+    idx.join(broadcast(qcells), Seq("cell"))
+      .select(col("q_id"), col("vec_id"), col("cell").cast("long").as("cell"),
         cosine(col("qv"), col("v"), col("qnn"), col("nn")).as("cos_sim"))
       .withColumn("rn", row_number().over(wRank).cast("long"))
       .filter(col("rn") <= 5)
@@ -377,15 +408,22 @@ object Similarity extends OpFamily {
 
   private[graft] def pq(s: SparkSession, d: String, topn: Int, rerankFrom: Int): DataFrame = {
     val all = quantized(s, d)
-    val cb = pqCodebooks(all)._2
+    // codebooks + corpus codes are the persisted PQ index (built once;
+    // 4 small ints per vector = the 128×-compressed table an ADC scan
+    // reads INSTEAD of the corpus). No partition pruning here by
+    // design: ADC visits every code row; the cut is row WIDTH, and
+    // IVF(cells)→PQ(codes) composes when both cuts are wanted.
+    val cb = broadcast(persistedIndex(s, d, "pq_cb")(pqCodebooks(all)._2))
     // encode the corpus: per (vector, subspace) the nearest code —
     // ONE packed-min hash-agg (d2·k + code), map-side combine, no sort
-    val codes = pqSubs(all.filter(col("vec_id") >= 5), "vec_id").join(cb, Seq("j"))
-      .select(col("vec_id"), col("j"),
-        ((col("snn") + col("cnn") - lit(2L) * dot(col("sv"), col("cbv"))) * lit(pqK)
-          + col("code")).as("pk"))
-      .groupBy("vec_id", "j").agg(min(col("pk")).as("pk"))
-      .select(col("vec_id"), col("j"), pmod(col("pk"), lit(pqK)).as("code"))
+    val codes = persistedIndex(s, d, "pq_codes") {
+      pqSubs(all.filter(col("vec_id") >= 5), "vec_id").join(cb, Seq("j"))
+        .select(col("vec_id"), col("j"),
+          ((col("snn") + col("cnn") - lit(2L) * dot(col("sv"), col("cbv"))) * lit(pqK)
+            + col("code")).as("pk"))
+        .groupBy("vec_id", "j").agg(min(col("pk")).as("pk"))
+        .select(col("vec_id"), col("j"), pmod(col("pk"), lit(pqK)).as("code"))
+    }
     // ADC tables: the query's exact distance to every codebook cell —
     // queries × m × k rows, broadcast
     val dt = broadcast(pqSubs(all.filter(col("vec_id") < 5)

@@ -174,15 +174,17 @@ object Windows extends OpFamily {
   // the non-equi regex join is a BROADCAST nested-loop over one signal
   // pass — the intended plan (PlanLint allowlists it); patterns stay in
   // the Java-regex ∩ RE2 anchored subset.
-  private def signalSupervision(s: SparkSession, d: String): DataFrame = {
-    val regs = s.sql(
+  /** The supervisor's registration table + decision join, shared by the
+    * batch W11 and its streaming twin ([[graft.streaming.Streams]]):
+    * fired signals × registrations, SHUTDOWN precedence. */
+  private[graft] def superviseDecisions(signals: DataFrame): DataFrame = {
+    val regs = signals.sparkSession.sql(
       """SELECT * FROM VALUES
         |  ('kafka-consumer', '^nameEquals:', '^repeating:'),
         |  ('state-store',    '^pattern:',    NULL),
         |  ('shard-router',   '^repeating:',  '^nameEquals:error$')
         |  AS t(component, restart_re, shutdown_re)""".stripMargin)
-    matcherSignals(matcherCounts(Tables.events(s, d)))
-      .crossJoin(broadcast(regs))
+    signals.crossJoin(broadcast(regs))
       .withColumn("action",
         when(col("shutdown_re").isNotNull && expr("matcher RLIKE shutdown_re"),
           "shutdown")
@@ -191,7 +193,10 @@ object Windows extends OpFamily {
       .select("component", "action", "matcher", "bucket_s", "user_id")
   }
 
-  private val signalSupervisionSql =
+  private def signalSupervision(s: SparkSession, d: String): DataFrame =
+    superviseDecisions(matcherSignals(matcherCounts(Tables.events(s, d))))
+
+  private[graft] val signalSupervisionSql =
     s"""WITH $signalCtes,
        |regs AS (
        |  SELECT * FROM (VALUES

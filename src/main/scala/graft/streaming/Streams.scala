@@ -447,7 +447,24 @@ object Streams extends OpFamily {
     graft.operators.Windows.matcherSignals(t)
   }
 
+  // W11's streaming twin: the reference's supervisor is a LIVE loop —
+  // `HealthSupervisorActor` keeps listening and issuing control
+  // decisions while signals stream in
+  // (`modules/common/src/main/scala/surge/internal/health/supervisor/HealthSupervisorActor.scala`).
+  // The matcher-count window agg runs on the streaming engine (same
+  // stage W10 streams); each refresh of the signal state feeds the same
+  // registration join as batch W11; oracle = W11's ⇒ the continuous
+  // supervision loop is proven bit-equal to the batch decision log.
+  private def streamSupervision(s: SparkSession, d: String): DataFrame = {
+    val agg = graft.operators.Windows.matcherCounts(eventStream(s, d).toDF())
+    val t = runToTable(s, agg, "graft_stream_supervision", "complete")
+    graft.operators.Windows.superviseDecisions(
+      graft.operators.Windows.matcherSignals(t))
+  }
+
   override def ops: Seq[Op] = Seq(
+    Op("stream_supervision", streamSupervision,
+      Some(graft.operators.Windows.signalSupervisionSql)),
     Op("stream_fold", streamFold, Some(streamFoldSql)),
     Op("stream_latest", streamLatest, Some(streamLatestSql)),
     Op("es_live_store", LiveStore.liveStore, Some(streamLatestSql)),

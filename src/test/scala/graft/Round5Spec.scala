@@ -48,6 +48,22 @@ class Round5Spec extends SparkSpec {
     assert(!got.contains(5L) && !got.contains(6L))
   }
 
+  test("ANN probes read the persisted index with partition pruning on bucket/cell") {
+    // S2/S3 no longer rebuild the index inside the query: the probe
+    // joins a bucket/cell-PARTITIONED table on its partition column and
+    // the scan must carry a dynamic pruning predicate there (the E12
+    // point-lookup discipline, now for ANN) — file listing is cut to
+    // the probed 1/256 (LSH) or probes/k (IVF) before any read
+    for ((name, pcol) <- Seq("ann_lsh" -> "bucket", "ann_ivf" -> "cell")) {
+      val plan = run(name).queryExecution.executedPlan.toString
+      val pruned = s"PartitionFilters: \\[[^\\]]*dynamicpruning[^\\]]*$pcol".r
+        .findFirstIn(plan)
+        .orElse(s"PartitionFilters: \\[[^\\]]*$pcol[^\\]]*dynamicpruning".r.findFirstIn(plan))
+      assert(pruned.isDefined,
+        s"$name probe should dynamically prune on $pcol:\n$plan")
+    }
+  }
+
   test("dedup_substring on the corpus never exceeds doc length and flags rows at sf") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
