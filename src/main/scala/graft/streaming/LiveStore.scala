@@ -195,14 +195,16 @@ object LiveStore {
 
   private def runStoreTo(s: SparkSession, d: String, dir: String): Unit = {
     deleteRec(new java.io.File(dir))
-    val q = Streams.eventStream(s, d).toDF().writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        upsert(batch, id, dir)
-      }
-      .outputMode("update")
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    Streams.withStreamShards(s) {
+      val q = Streams.eventStream(s, d).toDF().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          upsert(batch, id, dir)
+        }
+        .outputMode("update")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
   }
 
   /** E21 `es_live_compaction`: tombstone DELETE semantics on the live
