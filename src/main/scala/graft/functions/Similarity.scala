@@ -454,6 +454,73 @@ object Similarity extends OpFamily {
   // ≪ corpus at scale — the scan stays code-lookup-only).
   private def annPq(s: SparkSession, d: String): DataFrame = pq(s, d, 5, 64)
 
+  /** S5 `ann_ivfpq`: the composed production index — IVF cells cut WHICH
+    * rows a probe touches (partition pruning), PQ codes cut how WIDE
+    * each touched row is (4 bytes vs the vector). One persisted layout:
+    * per (vector, subspace) code rows PARTITIONED BY IVF CELL, so a
+    * probe lists only its `probes` cell directories of 4-int rows, sums
+    * its broadcast ADC table over them, and exactly reranks the short
+    * list. At 100 TB this is the only ANN shape whose probe I/O is
+    * (probes/k) × (1/128 width) of the corpus — neither S2's full-width
+    * buckets nor S4's full-corpus code scan achieves both cuts. */
+  private[graft] def ivfpq(s: SparkSession, d: String, kCells: Int,
+      probes: Int, topn: Int, rerankFrom: Int): DataFrame = {
+    val all = quantized(s, d)
+    val cent = broadcast(
+      persistedIndex(s, d, s"ivf_cent_$kCells")(ivfCentroids(all, kCells, sampleMod = 4L)))
+    val cb = broadcast(persistedIndex(s, d, "pq_cb")(pqCodebooks(all)._2))
+    val idx = persistedIndex(s, d, s"ivfpq_idx_$kCells", "cell") {
+      val cellOf = all.join(cent)
+        .select(col("vec_id"),
+          ((col("nn") + col("cnn") - lit(2L) * dot(col("v"), col("cv"))) * lit(cellEnc)
+            + col("cid")).as("pk"))
+        .groupBy("vec_id").agg(min(col("pk")).as("pk"))
+        .select(col("vec_id"), (col("pk") % lit(cellEnc)).cast("int").as("cell"))
+      pqSubs(all.filter(col("vec_id") >= 5), "vec_id").join(cb, Seq("j"))
+        .select(col("vec_id"), col("j"),
+          ((col("snn") + col("cnn") - lit(2L) * dot(col("sv"), col("cbv"))) * lit(pqK)
+            + col("code")).as("pk"))
+        .groupBy("vec_id", "j").agg(min(col("pk")).as("pk"))
+        .select(col("vec_id"), col("j"), pmod(col("pk"), lit(pqK)).as("code"))
+        .join(cellOf.hint("shuffle_hash"), Seq("vec_id"))
+        .select(col("vec_id"), col("j"), col("code"), col("cell"))
+    }
+    // probe side: each query's `probes` nearest cells + its ADC table
+    val qcells = all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qnn"))
+      .join(cent)
+      .select(col("q_id"), col("cid"),
+        (col("qnn") + col("cnn") - lit(2L) * dot(col("qv"), col("cv"))).as("dist2"))
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("dist2"), col("cid"))))
+      .filter(col("rn") <= probes)
+      .select(col("q_id"), col("cid").cast("int").as("cell"))
+    val dt = broadcast(pqSubs(all.filter(col("vec_id") < 5)
+      .withColumnRenamed("vec_id", "q_id"), "q_id")
+      .join(cb, Seq("j"))
+      .select(col("q_id"), col("j"), col("code"),
+        (col("snn") + col("cnn") - lit(2L) * dot(col("sv"), col("cbv"))).as("d2q")))
+    val approx = idx.join(broadcast(qcells), Seq("cell"))
+      .join(dt, Seq("q_id", "j", "code"))
+      .groupBy("q_id", "vec_id").agg(sum(col("d2q")).as("approx_d2"))
+    val cand = graft.plans.TopK.topKPerKey(
+      approx.withColumn("neg", -col("approx_d2")), rerankFrom, "q_id", "neg", "vec_id")
+      .select("q_id", "vec_id", "approx_d2")
+    val queries = broadcast(all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qnn")))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    all.join(broadcast(cand), Seq("vec_id"))
+      .join(queries, Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), col("approx_d2"),
+        cosine(col("qv"), col("v"), col("qnn"), col("nn")).as("cos_sim"))
+      .withColumn("rn", row_number().over(wR).cast("long"))
+      .filter(col("rn") <= topn)
+  }
+
+  private def annIvfPq(s: SparkSession, d: String): DataFrame =
+    ivfpq(s, d, kCells = 16, probes = 4, topn = 5, rerankFrom = 64)
+
   private val annPqSql =
     s"""WITH $quantizedCte,
        |samp AS (
@@ -524,9 +591,121 @@ object Similarity extends OpFamily {
        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rn FROM x)
        |SELECT q_id, vec_id, approx_d2, cos_sim, rn FROM r WHERE rn <= 5""".stripMargin
 
+  private val annIvfPqSql =
+    s"""WITH $quantizedCte,
+       |samp AS (
+       |  SELECT vec_id, v, nn, ((vec_id % 1000003) * 2654435761) % 1000000007 AS h
+       |  FROM n WHERE (((vec_id % 1000003) * 2654435761) % 1000000007) % 4 = 0),
+       |iseeds AS (
+       |  SELECT CAST(rn - 1 AS BIGINT) AS cid, v AS cv, nn AS cnn FROM (
+       |    SELECT *, row_number() OVER (ORDER BY h, vec_id) AS rn FROM samp)
+       |  WHERE rn <= 16),
+       |isd AS (
+       |  SELECT s.vec_id, c.cid,
+       |    s.nn + c.cnn - 2 * CAST(list_sum(list_transform(range(1, len(s.v)+1), i -> s.v[i] * c.cv[i])) AS BIGINT) AS dist2
+       |  FROM samp s, iseeds c),
+       |isa AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM isd)
+       |  WHERE rn = 1),
+       |idim AS (
+       |  SELECT a.cid, i.i AS pos, s.v[i.i] AS x
+       |  FROM isa a JOIN samp s USING (vec_id), (SELECT unnest(range(1, 65)) AS i) i),
+       |icm AS (
+       |  SELECT cid, pos,
+       |    CAST(round(CAST(sum(x) AS DOUBLE)/CAST(count(*) AS DOUBLE)) AS BIGINT) AS m
+       |  FROM idim GROUP BY 1, 2),
+       |icent AS (
+       |  SELECT cid, list(m ORDER BY pos) AS cv,
+       |    CAST(list_sum(list_transform(list(m ORDER BY pos), y -> y*y)) AS BIGINT) AS cnn
+       |  FROM icm GROUP BY 1),
+       |iad AS (
+       |  SELECT vec_id, cid,
+       |    nn + cnn - 2 * CAST(list_sum(list_transform(range(1, len(v)+1), i -> v[i] * cv[i])) AS BIGINT) AS dist2
+       |  FROM n, icent),
+       |cellof AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM iad)
+       |  WHERE rn = 1),
+       |qcells AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT vec_id AS q_id, cid AS cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+       |    FROM iad WHERE vec_id < 5)
+       |  WHERE rn <= 4),
+       |seeds AS (
+       |  SELECT CAST(rn - 1 AS BIGINT) AS code, v AS cv FROM (
+       |    SELECT *, row_number() OVER (ORDER BY h, vec_id) AS rn FROM samp)
+       |  WHERE rn <= 32),
+       |jj AS (SELECT unnest(range(0, 4)) AS j),
+       |cb AS (
+       |  SELECT j, code,
+       |    list_slice(cv, CAST(j*16+1 AS INT), CAST(j*16+16 AS INT)) AS cbv
+       |  FROM seeds, jj),
+       |cbn0 AS (SELECT j, code, cbv,
+       |  CAST(list_sum(list_transform(cbv, x -> x*x)) AS BIGINT) AS cnn FROM cb),
+       |sub AS (
+       |  SELECT vec_id, j,
+       |    list_slice(v, CAST(j*16+1 AS INT), CAST(j*16+16 AS INT)) AS sv
+       |  FROM n, jj),
+       |subn AS (SELECT vec_id, j, sv,
+       |  CAST(list_sum(list_transform(sv, x -> x*x)) AS BIGINT) AS snn FROM sub),
+       |sd0 AS (
+       |  SELECT s.vec_id, s.j, c.code,
+       |    s.snn + c.cnn - 2 * CAST(list_sum(list_transform(range(1, 17), i -> s.sv[i] * c.cbv[i])) AS BIGINT) AS d2
+       |  FROM subn s JOIN cbn0 c ON s.j = c.j),
+       |sassign AS (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+       |    FROM sd0 WHERE vec_id IN (SELECT vec_id FROM samp))
+       |  WHERE rn = 1),
+       |sdim AS (
+       |  SELECT a.j, a.code, i.i AS pos, s.sv[i.i] AS x
+       |  FROM sassign a JOIN subn s USING (vec_id, j), (SELECT unnest(range(1, 17)) AS i) i),
+       |smean AS (
+       |  SELECT j, code, pos,
+       |    CAST(round(CAST(sum(x) AS DOUBLE)/CAST(count(*) AS DOUBLE)) AS BIGINT) AS m
+       |  FROM sdim GROUP BY 1, 2, 3),
+       |moved AS (
+       |  SELECT j, code, list(m ORDER BY pos) AS rv FROM smean GROUP BY 1, 2),
+       |cbn AS (
+       |  SELECT c.j, c.code, COALESCE(mv.rv, c.cbv) AS cbv,
+       |    CAST(list_sum(list_transform(COALESCE(mv.rv, c.cbv), x -> x*x)) AS BIGINT) AS cnn
+       |  FROM cbn0 c LEFT JOIN moved mv ON c.j = mv.j AND c.code = mv.code),
+       |sd AS (
+       |  SELECT s.vec_id, s.j, c.code,
+       |    s.snn + c.cnn - 2 * CAST(list_sum(list_transform(range(1, 17), i -> s.sv[i] * c.cbv[i])) AS BIGINT) AS d2
+       |  FROM subn s JOIN cbn c ON s.j = c.j),
+       |codes AS (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+       |    FROM sd WHERE vec_id >= 5)
+       |  WHERE rn = 1),
+       |dt AS (SELECT vec_id AS q_id, j, code, d2 AS d2q FROM sd WHERE vec_id < 5),
+       |cand AS (
+       |  SELECT qc.q_id, cf.vec_id
+       |  FROM qcells qc JOIN cellof cf ON cf.cell = qc.cell AND cf.vec_id >= 5),
+       |adc AS (
+       |  SELECT ca.q_id, ca.vec_id, CAST(sum(d.d2q) AS BIGINT) AS approx_d2
+       |  FROM cand ca JOIN codes c ON c.vec_id = ca.vec_id
+       |  JOIN dt d ON d.q_id = ca.q_id AND d.j = c.j AND d.code = c.code
+       |  GROUP BY 1, 2),
+       |cand2 AS (
+       |  SELECT q_id, vec_id, approx_d2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY approx_d2, vec_id) AS rn FROM adc)
+       |  WHERE rn <= 64),
+       |x AS (
+       |  SELECT cand2.q_id, cand2.vec_id, cand2.approx_d2,
+       |    ${cosineSql("qn.v", "cn.v", "qn.nn", "cn.nn")} AS cos_sim
+       |  FROM cand2 JOIN n cn ON cn.vec_id = cand2.vec_id
+       |             JOIN n qn ON qn.vec_id = cand2.q_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rn FROM x)
+       |SELECT q_id, vec_id, approx_d2, cos_sim, rn FROM r WHERE rn <= 5""".stripMargin
+
   override def ops: Seq[Op] = Seq(
     Op("cosine_topk", cosineTopK, Some(cosineTopKSql)),
     Op("ann_lsh", annLsh, Some(annLshSql)),
     Op("ann_ivf", annIvf, Some(annIvfSql)),
-    Op("ann_pq", annPq, Some(annPqSql)))
+    Op("ann_pq", annPq, Some(annPqSql)),
+    Op("ann_ivfpq", annIvfPq, Some(annIvfPqSql)))
 }

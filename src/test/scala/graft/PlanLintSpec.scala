@@ -16,6 +16,7 @@ class PlanLintSpec extends SparkSpec {
     "stream_fold", "stream_ewma", "es_live_store")
   private val bnljAllowed = Set(
     "ann_ivf",      // corpus × k-centroid broadcast (intentional, tiny side)
+    "ann_ivfpq",    // same k-centroid broadcast feeding the composed index
     "cosine_topk",  // brute-force baseline: corpus × 5 broadcast queries
     "ann_lsh",      // queries broadcast against bucket-partitioned corpus
     "dedup_embedding", // truth-set style candidate re-attach, broadcast side

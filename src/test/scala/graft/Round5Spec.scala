@@ -64,6 +64,23 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("ann_ivfpq: both cuts at once — cell-pruned probe, useful recall, deeper probes never hurt") {
+    val plan = run("ann_ivfpq").queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*dynamicpruning[^\\]]*cell".r.findFirstIn(plan)
+      .orElse("PartitionFilters: \\[[^\\]]*cell[^\\]]*dynamicpruning".r.findFirstIn(plan)).isDefined,
+      s"ann_ivfpq probe should dynamically prune on cell:\n$plan")
+    val truth = run("cosine_topk").filter(col("rn") <= 5).select(col("q_id"), col("vec_id"))
+    def recallAt(probes: Int): Double = {
+      val g = functions.Similarity.ivfpq(spark, sf, 16, probes, 5, 64)
+        .select(col("q_id"), col("vec_id"))
+      g.join(truth, Seq("q_id", "vec_id")).count().toDouble / truth.count()
+    }
+    val r4p = recallAt(4)
+    info(s"ann_ivfpq recall@5: probes=4 -> $r4p, probes=16 -> ${recallAt(16)}")
+    assert(r4p >= 0.3, s"ann_ivfpq recall@5 $r4p below 0.3 (4/16 cells + PQ lossiness)")
+    assert(recallAt(16) >= r4p, "probing every cell must not lose recall vs 4 cells")
+  }
+
   test("dedup_substring on the corpus never exceeds doc length and flags rows at sf") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
