@@ -180,10 +180,13 @@ object MetricsOps extends OpFamily {
   // rebalance view). Modeled with the E13 snapshot cutoff as the
   // applied watermark: pending events, applied head, log head, and the
   // lag in seconds, per shard — ONE hash-agg over one scan.
-  private def consumerLag(s: SparkSession, d: String): DataFrame = {
+  /** The lag aggregation over any events frame — one hash-agg of
+    * conditional aggregates, so it runs unchanged on the streaming
+    * engine (complete mode; see [[graft.streaming.Streams]]'s
+    * stream_consumer_lag twin). */
+  private[graft] def consumerLagAgg(df: DataFrame): DataFrame = {
     val cut = lit("2024-01-20 00:00:00").cast("timestamp")
-    Tables.events(s, d)
-      .groupBy(pmod(col("user_id"), lit(16L)).as("shard"))
+    df.groupBy(pmod(col("user_id"), lit(16L)).as("shard"))
       .agg(
         sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("n_pending"),
         Tables.epochS(max(when(col("ts") < cut, col("ts")))).as("applied_head_s"),
@@ -191,7 +194,10 @@ object MetricsOps extends OpFamily {
       .withColumn("lag_s", col("log_head_s") - col("applied_head_s"))
   }
 
-  private val consumerLagSql =
+  private def consumerLag(s: SparkSession, d: String): DataFrame =
+    consumerLagAgg(Tables.events(s, d))
+
+  private[graft] val consumerLagSql =
     """SELECT user_id % 16 AS shard,
       |  CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
       |  CAST(floor(epoch(max(CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN ts END))) AS BIGINT) AS applied_head_s,

@@ -481,7 +481,19 @@ object Streams extends OpFamily {
       graft.operators.Windows.matcherSignals(t))
   }
 
+  // M8's streaming twin: the catch-up dashboard surge's init BLOCKS on
+  // is inherently a LIVE number — lag only means anything while the
+  // consumer runs. The same one-hash-agg of conditional aggregates runs
+  // on the streaming engine in complete mode (each refresh is the
+  // current per-shard lag view); oracle = M8's ⇒ batch/stream parity.
+  private def streamConsumerLag(s: SparkSession, d: String): DataFrame =
+    runToTable(s,
+      graft.operators.MetricsOps.consumerLagAgg(eventStream(s, d).toDF()),
+      "graft_stream_consumer_lag", "complete")
+
   override def ops: Seq[Op] = Seq(
+    Op("stream_consumer_lag", streamConsumerLag,
+      Some(graft.operators.MetricsOps.consumerLagSql)),
     Op("stream_supervision", streamSupervision,
       Some(graft.operators.Windows.signalSupervisionSql)),
     Op("stream_fold", streamFold, Some(streamFoldSql)),
