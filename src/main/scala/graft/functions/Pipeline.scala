@@ -110,7 +110,10 @@ object Pipeline extends OpFamily {
   private val shardTokens = 2000L
   private val rangeSize = 100L // doc_ids per range bucket
 
-  private def corpusShard(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, lang, n_tok, before) — each doc's exact per-language
+    * exclusive token prefix sum, via the two-phase scan above. Shared
+    * by P3 (shard assignment) and P6 (sequence packing). */
+  private def prefixed(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // feeds the offsets aggregate AND the final join probe —
     // materialize once so the scan + O(tokens) split runs one time
@@ -130,9 +133,12 @@ object Pipeline extends OpFamily {
       .rowsBetween(Window.unboundedPreceding, -1)
     docs.join(offsets, Seq("lang", "rb"))
       .withColumn("before", col("offset") + coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
-      .select(col("doc_id"), col("lang"), col("n_tok"),
-        expr(s"before div $shardTokens").as("shard"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("before"))
   }
+
+  private def corpusShard(s: SparkSession, d: String): DataFrame =
+    prefixed(s, d).select(col("doc_id"), col("lang"), col("n_tok"),
+      expr(s"before div $shardTokens").as("shard"))
 
   private def corpusShardSql =
     s"""SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
@@ -141,6 +147,50 @@ object Pipeline extends OpFamily {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
        |    // $shardTokens AS shard
        |FROM documents""".stripMargin
+
+  // P6 `corpus_pack`: pack-and-chunk — the step that turns the corpus
+  // into the TRAINING EXAMPLES themselves: within each language, docs
+  // (deterministic doc_id order) are concatenated and chunked into
+  // fixed `seqTokens`-token sequences, docs SPANNING sequence
+  // boundaries (standard LLM pretraining packing — no padding waste,
+  // unlike P3's shard layout which never splits a doc). Output is one
+  // SEGMENT row per (sequence, doc): which token range of the doc
+  // lands at which offset of which sequence — exactly the index a
+  // sequence-assembly job reads. All arithmetic on the P3 exclusive
+  // scan's exact int64 prefix: seq_first = before div B, seq_last =
+  // (before+n_tok-1) div B, one `explode(sequence(...))` per doc —
+  // O(segments) output work, no extra shuffle beyond the scan's own.
+  private val seqTokens = 512L
+
+  private def corpusPack(s: SparkSession, d: String): DataFrame = {
+    prefixed(s, d)
+      .withColumn("seq_id", explode(expr(
+        s"sequence(before div $seqTokens, (before + n_tok - 1) div $seqTokens)")))
+      .select(col("lang"), col("seq_id"), col("doc_id"),
+        greatest(lit(0L), col("seq_id") * seqTokens - col("before")).as("doc_from"),
+        least(col("n_tok"), (col("seq_id") + 1L) * seqTokens - col("before")).as("doc_to"),
+        greatest(lit(0L), col("before") - col("seq_id") * seqTokens).as("seq_from"))
+      .withColumn("n_span", col("doc_to") - col("doc_from"))
+  }
+
+  private val corpusPackSql =
+    s"""WITH p AS (
+       |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    COALESCE(CAST(sum(len(string_split(text, ' '))) OVER (
+       |      PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS before
+       |  FROM documents),
+       |e AS (
+       |  SELECT lang, doc_id, n_tok, before,
+       |    unnest(range(before // $seqTokens, (before + n_tok - 1) // $seqTokens + 1)) AS seq_id
+       |  FROM p)
+       |SELECT lang, seq_id, doc_id,
+       |  greatest(0, seq_id * $seqTokens - before) AS doc_from,
+       |  least(n_tok, (seq_id + 1) * $seqTokens - before) AS doc_to,
+       |  greatest(0, before - seq_id * $seqTokens) AS seq_from,
+       |  least(n_tok, (seq_id + 1) * $seqTokens - before)
+       |    - greatest(0, seq_id * $seqTokens - before) AS n_span
+       |FROM e""".stripMargin
 
   // P4 `corpus_mix`: language-mixture rebalancing — the data-mixing
   // step that sets per-language sampling rates before export (training
@@ -250,6 +300,7 @@ object Pipeline extends OpFamily {
     Op("decontaminate", contamination, Some(decontaminateSql)),
     Op("corpus_export", corpusExport, Some(corpusExportSql)),
     Op("corpus_shard", corpusShard, Some(corpusShardSql)),
+    Op("corpus_pack", corpusPack, Some(corpusPackSql)),
     Op("corpus_mix", corpusMix, Some(corpusMixSql)),
     Op("corpus_filter", corpusFilter, Some(corpusFilterSql)))
 }

@@ -81,6 +81,26 @@ class Round5Spec extends SparkSpec {
     assert(recallAt(16) >= r4p, "probing every cell must not lose recall vs 4 cells")
   }
 
+  test("corpus_pack: segments tile each doc exactly and fill every non-final sequence") {
+    val got = run("corpus_pack").cache()
+    // each doc's segments cover exactly its tokens, first-to-last
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val perDoc = got.groupBy("doc_id")
+      .agg(sum("n_span").as("covered"), min("doc_from").as("f"), max("doc_to").as("t"))
+    assert(perDoc.join(docs, "doc_id")
+      .filter(col("covered") =!= col("n_tok") ||
+        col("f") =!= 0L || col("t") =!= col("n_tok")).count() == 0,
+      "every doc must be tiled exactly by its segments")
+    // every sequence except each language's last is exactly full —
+    // the no-padding-waste property that distinguishes P6 from P3
+    val perSeq = got.groupBy("lang", "seq_id").agg(sum("n_span").as("fill"))
+    val lastSeq = perSeq.groupBy("lang").agg(max("seq_id").as("last"))
+    assert(perSeq.join(lastSeq, "lang")
+      .filter(col("seq_id") =!= col("last") && col("fill") =!= 512L).count() == 0,
+      "every non-final sequence must hold exactly 512 tokens")
+  }
+
   test("dedup_substring on the corpus never exceeds doc length and flags rows at sf") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
