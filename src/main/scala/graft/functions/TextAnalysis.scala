@@ -346,7 +346,76 @@ object TextAnalysis extends OpFamily {
        |FROM inj""".stripMargin
   }
 
+  // T12 `text_perplexity`: the CCNet-style LM quality filter proper —
+  // a char-bigram language model trained over the corpus in one pass,
+  // every doc scored by its mean model surprisal and binned into the
+  // head/middle/tail bands perplexity-filtered pipelines keep/drop by.
+  // T8's rare-bigram ratio deliberately avoided log-probs as
+  // FP-hazardous; the log-scaled score IS expressible exactly: a
+  // bigram's surprisal floor(log2(total/cf)) = length(bin(total div
+  // cf)) - 1 — pure int64 (`bin` is the binary-string builtin in BOTH
+  // Spark and DuckDB), so surprisal sums and the e4 mean
+  // hash-compare across engines. Scale shape: the char-bigram vocab
+  // is bounded by |charset|² regardless of corpus size, so the model
+  // is a tiny BROADCAST table; scoring reuses the probe already
+  // pre-aggregated to one row per distinct (doc, bigram) — the T8
+  // discipline — and the model build is one more hash-agg of that
+  // same cached table. Bands are fixed integer thresholds on the e4
+  // score (mean surprisal in e4 "bits").
+  // thresholds bracket the measured corpus quartiles (p25 ≈ 6.18,
+  // p75 ≈ 6.23 bits/bigram) so the three bands are all populated —
+  // in production these come from the reference-LM calibration run
+  private val ppxHeadMax = 61800L // < 6.18 bits/bigram ⇒ head (most fluent)
+  private val ppxMidMax = 62300L  // < 6.23 ⇒ middle; else tail
+
+  private def perplexity(s: SparkSession, d: String): DataFrame = {
+    // one row per DISTINCT (doc, bigram) with multiplicity — feeds the
+    // model build AND the scoring probe
+    val cb = Tables.documents(s, d)
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), length(col("text")) - 1),
+        i => col("text").substr(i, lit(2)))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("k"))
+      .cache()
+    val model = cb.groupBy("bg").agg(sum(col("k")).as("cf"))
+      .withColumn("total", sum(col("cf")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("bg"),
+        (length(bin(expr("total div cf"))) - 1).cast("long").as("surp"))
+    cb.join(broadcast(model), "bg")
+      .groupBy("doc_id")
+      .agg(sum(col("k")).as("n_big"), sum(col("k") * col("surp")).as("surp_sum"))
+      .withColumn("ppx_e4", expr("(10000 * surp_sum) div n_big"))
+      .withColumn("band",
+        when(col("ppx_e4") < ppxHeadMax, "head")
+          .when(col("ppx_e4") < ppxMidMax, "middle")
+          .otherwise("tail"))
+  }
+
+  private def perplexitySql =
+    s"""WITH cb AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(text)),
+       |      i -> substr(text, CAST(i AS INT), 2))) AS bg
+       |  FROM documents WHERE len(text) >= 2),
+       |dc AS (SELECT doc_id, bg, count(*) AS k FROM cb GROUP BY 1, 2),
+       |f AS (SELECT bg, CAST(sum(k) AS BIGINT) AS cf FROM dc GROUP BY 1),
+       |t AS (SELECT CAST(sum(cf) AS BIGINT) AS total FROM f),
+       |m AS (SELECT bg, CAST(len(bin(total // cf)) - 1 AS BIGINT) AS surp FROM f, t),
+       |sc AS (
+       |  SELECT dc.doc_id, CAST(sum(dc.k) AS BIGINT) AS n_big,
+       |    CAST(sum(dc.k * m.surp) AS BIGINT) AS surp_sum
+       |  FROM dc JOIN m USING (bg) GROUP BY 1)
+       |SELECT doc_id, n_big, surp_sum,
+       |  (10000 * surp_sum) // n_big AS ppx_e4,
+       |  CASE WHEN (10000 * surp_sum) // n_big < $ppxHeadMax THEN 'head'
+       |       WHEN (10000 * surp_sum) // n_big < $ppxMidMax THEN 'middle'
+       |       ELSE 'tail' END AS band
+       |FROM sc""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("text_perplexity", perplexity, Some(perplexitySql)),
     Op("text_pii", pii, Some(piiSql)),
     Op("text_clean", clean, Some(cleanSql)),
     Op("text_rarity", rarity, Some(raritySql)),

@@ -101,6 +101,17 @@ class Round5Spec extends SparkSpec {
       "every non-final sequence must hold exactly 512 tokens")
   }
 
+  test("text_perplexity: surprisal stays in int64-exact bounds and every CCNet band is populated") {
+    val got = run("text_perplexity").cache()
+    // a bigram's surprisal is floor(log2(total/cf)) ∈ [0, 63] bits, so
+    // the e4 mean must stay within those hard bounds
+    assert(got.filter(col("ppx_e4") < 0L || col("ppx_e4") > 630000L).count() == 0,
+      "mean surprisal outside the attainable [0, 63]-bit range")
+    val bands = got.select("band").distinct().collect().map(_.getString(0)).toSet
+    assert(bands == Set("head", "middle", "tail"),
+      s"thresholds must split the corpus into all three bands, got $bands")
+  }
+
   test("dedup_substring on the corpus never exceeds doc length and flags rows at sf") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
