@@ -198,6 +198,50 @@ object TextAnalysis extends OpFamily {
       |r AS (SELECT *, row_number() OVER (PARTITION BY letter ORDER BY freq DESC, tid) AS rn FROM g)
       |SELECT letter, token, freq FROM r WHERE rn <= 10""".stripMargin
 
+  // T13 `vocab_bpe_pairs`: tokenizer training's inner loop at corpus
+  // scale — the first BPE iteration: count adjacent symbol (char)
+  // pairs across the word vocabulary WEIGHTED BY WORD FREQUENCY and
+  // emit the top-20 merge candidates. The scale trick is the same one
+  // every BPE trainer uses: aggregate to the word vocabulary FIRST
+  // (one corpus-scan hash-agg), then explode each DISTINCT word's
+  // char pairs carrying its count — pair-counting work scales with
+  // |vocab|·word_len, not corpus tokens. The pair table is ≤ charset²
+  // rows, so the final top-20 is a WindowGroupLimit-optimized global
+  // rank over a tiny aggregate (partial top-k per partition before
+  // the single-task final — not a full sort). Ties break on the pair
+  // string itself: fully deterministic, engine-independent.
+  private def bpePairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+    val pairs = words
+      .select(col("wf"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("wf")).as("n"))
+    pairs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy().orderBy(col("n").desc, col("pair"))).cast("long"))
+      .filter(col("rank") <= 20)
+      .select("rank", "pair", "n")
+  }
+
+  private val bpePairsSql =
+    """WITH w AS (
+      |  SELECT w, count(*) AS wf FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) >= 2 GROUP BY 1),
+      |p AS (
+      |  SELECT pair, CAST(sum(wf) AS BIGINT) AS n FROM (
+      |    SELECT wf, unnest(list_transform(range(1, len(w)),
+      |      i -> substr(w, CAST(i AS INT), 2))) AS pair
+      |    FROM w)
+      |  GROUP BY 1),
+      |r AS (SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rank FROM p)
+      |SELECT CAST(rank AS BIGINT) AS rank, pair, n FROM r WHERE rank <= 20""".stripMargin
+
   // T8: rare-bigram ratio — the LM-lite quality filter: a document
   // whose bigrams rarely occur elsewhere in the corpus is likely
   // gibberish/garbled (the same signal a KenLM perplexity filter
@@ -426,5 +470,6 @@ object TextAnalysis extends OpFamily {
     Op("text_tokens", tokens, Some(tokensSql)),
     Op("text_fingerprint", fingerprint, Some(fingerprintSql)),
     Op("text_repetition", repetition, Some(repetitionSql)),
-    Op("vocab_topk", vocabTopK, Some(vocabTopKSql)))
+    Op("vocab_topk", vocabTopK, Some(vocabTopKSql)),
+    Op("vocab_bpe_pairs", bpePairs, Some(bpePairsSql)))
 }

@@ -112,6 +112,17 @@ class Round5Spec extends SparkSpec {
       s"thresholds must split the corpus into all three bands, got $bands")
   }
 
+  test("vocab_bpe_pairs: dense ranks, non-increasing counts, true 2-char merge candidates") {
+    val rows = run("vocab_bpe_pairs").orderBy("rank").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 20L),
+      "ranks must be dense 1..20")
+    assert(rows.forall(_.getString(1).length == 2),
+      "every merge candidate is an adjacent char pair")
+    val ns = rows.map(_.getLong(2))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+      "counts must be non-increasing with rank")
+  }
+
   test("dedup_substring on the corpus never exceeds doc length and flags rows at sf") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
