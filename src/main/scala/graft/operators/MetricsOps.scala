@@ -171,6 +171,48 @@ object MetricsOps extends OpFamily {
       |  CAST(sum(gap_s) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS mean_gap
       |FROM g WHERE gap_s IS NOT NULL GROUP BY 1""".stripMargin
 
+  // M10 `metric_apdex`: the Apdex SLA score per sensor — the single
+  // "are users happy" number operations dashboards derive from a
+  // timer's durations (satisfied ≤ T, tolerating ≤ 4T, frustrated
+  // above; score = (satisfied + tolerating/2) / total). Durations are
+  // M7's inter-arrival gaps; the score is an exact e4 integer
+  // cross-multiply — (10000·(2·sat+tol)) div (2·total) — so it
+  // hash-compares across engines. ONE conditional hash-agg over the
+  // same windowed scan M7 runs; T chosen at the measured median gap
+  // so all three bands populate in the synthetic log.
+  private val apdexT = 900L // satisfied threshold, seconds; tolerating ≤ 4T
+
+  private def apdex(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("event_type"), col("ts"), Tables.epochS(col("ts")).as("ts_s"),
+        col("event_id"))
+      .withColumn("gap_s", col("ts_s") - lag(col("ts_s"), 1).over(w))
+      .filter(col("gap_s").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("gap_s") <= apdexT, 1L).otherwise(0L)).as("n_sat"),
+        sum(when(col("gap_s") > apdexT && col("gap_s") <= 4L * apdexT, 1L)
+          .otherwise(0L)).as("n_tol"))
+      .withColumn("apdex_e4", expr("(10000 * (2 * n_sat + n_tol)) div (2 * n_total)"))
+  }
+
+  private val apdexSql =
+    s"""WITH g AS (
+       |  SELECT event_type,
+       |    CAST(floor(epoch(ts)) AS BIGINT)
+       |      - lag(CAST(floor(epoch(ts)) AS BIGINT))
+       |        OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_s
+       |  FROM events)
+       |SELECT event_type, count(*) AS n_total,
+       |  CAST(sum(CASE WHEN gap_s <= $apdexT THEN 1 ELSE 0 END) AS BIGINT) AS n_sat,
+       |  CAST(sum(CASE WHEN gap_s > $apdexT AND gap_s <= ${4 * apdexT} THEN 1 ELSE 0 END) AS BIGINT) AS n_tol,
+       |  (10000 * (2 * CAST(sum(CASE WHEN gap_s <= $apdexT THEN 1 ELSE 0 END) AS BIGINT)
+       |    + CAST(sum(CASE WHEN gap_s > $apdexT AND gap_s <= ${4 * apdexT} THEN 1 ELSE 0 END) AS BIGINT)))
+       |    // (2 * count(*)) AS apdex_e4
+       |FROM g WHERE gap_s IS NOT NULL GROUP BY 1""".stripMargin
+
   // M8 `metric_consumer_lag`: the catch-up dashboard — per shard, how
   // far the materialized state trails the log head. Surge's init path
   // BLOCKS on exactly this number reaching zero before opening the
@@ -207,6 +249,7 @@ object MetricsOps extends OpFamily {
       |FROM events GROUP BY 1""".stripMargin
 
   override def ops: Seq[Op] = Seq(
+    Op("metric_apdex", apdex, Some(apdexSql)),
     Op("metric_consumer_lag", consumerLag, Some(consumerLagSql)),
     Op("metric_timer", timer, Some(timerSql)),
     Op("metric_percentile", percentiles, Some(percentilesSql)),
