@@ -234,6 +234,56 @@ object Pipeline extends OpFamily {
       |FROM b JOIN r USING (lang)
       |WHERE b.bucket_e4 < r.rate_e4""".stripMargin
 
+  // P7 `corpus_upsample`: the upsampling HALF of data mixing — P4
+  // flattens head languages DOWN toward the tail; real recipes also
+  // repeat tail languages UP toward the head (multi-epoch for the
+  // tail). Expected copies per doc of language l = n_max / n_l,
+  // realized EXACTLY in integers: base = n_max div n_l copies for
+  // every doc, plus one extra when the doc's deterministic md5 bucket
+  // falls under frac_e4 = ((n_max mod n_l)·10000) div n_l — so each
+  // language's expected exported volume is n_max docs with zero FP
+  // anywhere, reproducible across runs/engines/partitionings (same
+  // gate as P4/T5). Output is one row per COPY (doc_id, lang, copy)
+  // — the physical repeat layout a shard-writer consumes. Plan: tiny
+  // per-language count agg BROADCAST onto one corpus pass + one
+  // O(output) explode; no shuffle of the big side.
+  private def corpusUpsample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val rates = counts
+      .withColumn("n_max",
+        max(col("n_lang")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("lang"),
+        expr("n_max div n_lang").as("base"),
+        expr("((n_max % n_lang) * 10000) div n_lang").as("frac_e4"))
+    val bucket = expr(
+      "cast(conv(substr(md5(concat('up:', text)), 1, 8), 16, 10) as bigint) % 10000")
+    docs.join(broadcast(rates), "lang")
+      .select(col("doc_id"), col("lang"),
+        (col("base") + when(bucket < col("frac_e4"), 1L).otherwise(0L)).as("n_copies"))
+      .withColumn("copy", explode(expr("sequence(1L, n_copies)")))
+      .select("doc_id", "lang", "copy")
+  }
+
+  private val corpusUpsampleSql =
+    """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+      |m AS (SELECT max(n_lang) AS n_max FROM c),
+      |r AS (SELECT lang, CAST(n_max // n_lang AS BIGINT) AS base,
+      |        CAST(((n_max % n_lang) * 10000) // n_lang AS BIGINT) AS frac_e4
+      |      FROM c, m),
+      |b AS (
+      |  SELECT doc_id, lang,
+      |    CAST(list_sum(list_transform(range(1, 9), i ->
+      |      (strpos('0123456789abcdef', substr(md5('up:' || text), CAST(i AS INT), 1)) - 1)
+      |        * CAST(pow(16, 8 - i) AS BIGINT))) AS BIGINT) % 10000 AS bucket_e4
+      |  FROM documents),
+      |n AS (
+      |  SELECT b.doc_id, b.lang,
+      |    r.base + CASE WHEN b.bucket_e4 < r.frac_e4 THEN 1 ELSE 0 END AS n_copies
+      |  FROM b JOIN r USING (lang))
+      |SELECT doc_id, lang, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy
+      |FROM n""".stripMargin
+
   // P5 `corpus_filter`: the QUALITY GATE — one keep/drop verdict per
   // document with the first failing rule as the reason code, combining
   // the pipeline's quality signals (length, intra-doc repetition,
@@ -302,5 +352,6 @@ object Pipeline extends OpFamily {
     Op("corpus_shard", corpusShard, Some(corpusShardSql)),
     Op("corpus_pack", corpusPack, Some(corpusPackSql)),
     Op("corpus_mix", corpusMix, Some(corpusMixSql)),
+    Op("corpus_upsample", corpusUpsample, Some(corpusUpsampleSql)),
     Op("corpus_filter", corpusFilter, Some(corpusFilterSql)))
 }
