@@ -213,7 +213,43 @@ object Windows extends OpFamily {
        |WHERE (r.shutdown_re IS NOT NULL AND regexp_matches(s.matcher, r.shutdown_re))
        |   OR regexp_matches(s.matcher, r.restart_re)""".stripMargin
 
+  // W13 `signal_throttle`: the signal-stream THROTTLE — surge's
+  // windowing health stream caps emissions at `ThrottleConfig(
+  // elements, duration)` (`modules/common/src/main/scala/surge/health/
+  // config/WindowingStreamConfig.scala:25,76`): at most N signals per
+  // window reach the bus; the rest are shed. Re-expressed: keep the
+  // first `throttleN` fired signals per hourly bucket under a
+  // deterministic priority (user_id, then matcher class — the order
+  // is part of the contract so both engines agree), shed the rest.
+  // Planned SORT-FREE by the custom TopKPerKey physical operator
+  // (bounded heap per bucket), not a row_number window — per-bucket
+  // signal volume is unbounded at 100 TB and the throttle is exactly
+  // the operator that must not buffer it.
+  private val throttleN = 10
+
+  private def signalThrottle(s: SparkSession, d: String): DataFrame = {
+    val prio = expr(
+      """user_id * 4 + CASE matcher WHEN 'nameEquals:error' THEN 0
+        |  WHEN 'pattern:^si' THEN 1 ELSE 2 END""".stripMargin)
+    val sig = matcherSignals(matcherCounts(Tables.events(s, d)))
+      .withColumn("prio", prio)
+      .withColumn("neg", -col("prio"))
+    graft.plans.TopK.topKPerKey(sig, throttleN, "bucket_s", "neg", "prio")
+      .select("bucket_s", "user_id", "matcher", "n")
+  }
+
+  private val signalThrottleSql =
+    s"""WITH $signalCtes,
+       |p AS (
+       |  SELECT bucket_s, user_id, matcher, n,
+       |    user_id * 4 + CASE matcher WHEN 'nameEquals:error' THEN 0
+       |      WHEN 'pattern:^si' THEN 1 ELSE 2 END AS prio
+       |  FROM sig),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY bucket_s ORDER BY prio) AS rn FROM p)
+       |SELECT bucket_s, user_id, matcher, n FROM r WHERE rn <= $throttleN""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("signal_throttle", signalThrottle, Some(signalThrottleSql)),
     Op("win_tumbling", tumbling, Some(tumblingSql)),
     Op("win_sliding", sliding, Some(slidingSql)),
     Op("win_session", session, Some(sessionSql)),

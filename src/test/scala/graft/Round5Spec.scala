@@ -123,6 +123,15 @@ class Round5Spec extends SparkSpec {
       "counts must be non-increasing with rank")
   }
 
+  test("signal_throttle plans the custom sort-free TopKPerKey and caps every bucket") {
+    val df = run("signal_throttle")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"throttle must use the heap operator:\n$plan")
+    assert(!plan.contains("Sort "), s"throttle must stay sort-free:\n$plan")
+    assert(df.groupBy("bucket_s").count().filter(col("count") > 10).count() == 0,
+      "no bucket may emit more than throttleN signals")
+  }
+
   test("dedup_substring on the corpus never exceeds doc length and flags rows at sf") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
