@@ -121,6 +121,55 @@ object AccountOps extends OpFamily {
        |  FROM walk w JOIN cmds c ON c.user_id = w.user_id AND c.rn = w.rn + 1)
        |SELECT event_id, user_id, accepted FROM walk""".stripMargin
 
+  // A7 `api_rejections`: the FAILURE path proper — surge's ctx.reject
+  // answers a command with a reason the caller acts on, so the reason
+  // STRING is part of the contract, not a log line. Same sequential
+  // walk as A2 but emitting only rejected commands with the exact
+  // message handleCommand built ("insufficient balance <bal> for
+  // <cost>"); the oracle reconstructs the running balance in its
+  // recursive CTE and formats the identical string, so the engine's
+  // error text is hash-checked byte-for-byte.
+  private def apiRejections(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+    val snapshot = engine(s).replayState(ev.filter(col("ts") < lit(cutoff).cast("timestamp")).as[Ev])
+    val cmds = ev.filter(col("ts") >= lit(cutoff).cast("timestamp") &&
+      col("event_type") === "purchase").as[Ev]
+    engine(s).processCommands(snapshot, cmds)
+      .filter(o => !o.accepted)
+      .map(o => (o.command.event_id, o.aggregateId, o.rejection.getOrElse("")))
+      .toDF("event_id", "user_id", "reason")
+  }
+
+  private val apiRejectionsSql =
+    s"""WITH RECURSIVE snap AS (
+       |  SELECT user_id,
+       |    CAST(sum(CASE WHEN event_type = 'signup' THEN 1000
+       |         WHEN event_type = 'purchase' THEN -CAST(round(value*100,0) AS BIGINT)
+       |         ELSE 0 END) AS BIGINT) AS balance_c
+       |  FROM events WHERE ts < TIMESTAMP '$cutoff' GROUP BY user_id),
+       |cmds AS (
+       |  SELECT event_id, user_id, CAST(round(value*100,0) AS BIGINT) AS cost,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events WHERE ts >= TIMESTAMP '$cutoff' AND event_type = 'purchase'),
+       |walk AS (
+       |  SELECT c.event_id, c.user_id, c.rn, c.cost,
+       |    COALESCE(s.balance_c, 0) AS bal_before,
+       |    COALESCE(s.balance_c, 0) >= c.cost AS accepted,
+       |    COALESCE(s.balance_c, 0)
+       |      - CASE WHEN COALESCE(s.balance_c, 0) >= c.cost THEN c.cost ELSE 0 END AS bal_after
+       |  FROM cmds c LEFT JOIN snap s ON c.user_id = s.user_id WHERE c.rn = 1
+       |  UNION ALL
+       |  SELECT c.event_id, c.user_id, c.rn, c.cost,
+       |    w.bal_after AS bal_before,
+       |    w.bal_after >= c.cost AS accepted,
+       |    w.bal_after - CASE WHEN w.bal_after >= c.cost THEN c.cost ELSE 0 END AS bal_after
+       |  FROM walk w JOIN cmds c ON c.user_id = w.user_id AND c.rn = w.rn + 1)
+       |SELECT event_id, user_id,
+       |  'insufficient balance ' || CAST(bal_before AS VARCHAR)
+       |    || ' for ' || CAST(cost AS VARCHAR) AS reason
+       |FROM walk WHERE NOT accepted""".stripMargin
+
   // the engine's CONTINUOUS path over the same log: streamingState
   // through a real streaming query must converge to batch replay —
   // checked against the identical oracle.
@@ -160,6 +209,7 @@ object AccountOps extends OpFamily {
   override def ops: Seq[Op] = Seq(
     Op("api_replay", apiReplay, Some(apiReplaySql)),
     Op("api_commands", apiCommands, Some(apiCommandsSql)),
+    Op("api_rejections", apiRejections, Some(apiRejectionsSql)),
     Op("api_stream", apiStream, Some(apiReplaySql)),
     Op("api_stream_commands", apiStreamCommands, Some(apiCommandsSql)))
 }
