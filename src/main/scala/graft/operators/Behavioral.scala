@@ -110,8 +110,75 @@ object Behavioral extends OpFamily {
       |  regexp_matches(string_agg(event_type, '>' ORDER BY ts, event_id), 'view.*click.*purchase') AS has_funnel
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // B4: first-touch session attribution — every purchase's revenue
+  // credited to the SESSION it happened in and that session's ENTRY
+  // event (the channel that opened it). Sessionization is W3's
+  // 30-minute-gap gaps-and-islands (lag + running sum share one sort
+  // within the user partition — a single exchange), then ONE hash-agg
+  // per session. The entry event is an argmin by (ts, event_id) —
+  // packed-decimal min ([[Packed]]), NOT min_by(struct, …) which
+  // silently plans SortAggregate and re-sorts every user's history a
+  // second time. Payload = a small event-type code decoded after the
+  // agg. Exact integers throughout (µs, cents).
+  private val typeCodes =
+    Seq("view" -> 1, "click" -> 2, "purchase" -> 3, "signup" -> 4, "error" -> 5)
+
+  private def sessionAttribution(s: SparkSession, d: String): DataFrame = {
+    val code = typeCodes.foldLeft(lit(0)) { case (acc, (t, c)) =>
+      when(col("event_type") === t, c).otherwise(acc)
+    }
+    val ord = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("us"), Tables.cents(col("value")).as("c"))
+    val sess = ev
+      .withColumn("brk",
+        when(lag(col("us"), 1).over(ord).isNull ||
+          col("us") - lag(col("us"), 1).over(ord) >= 1800000000L, 1).otherwise(0))
+      .withColumn("sid",
+        sum(col("brk")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    val entry = min(Packed.latest(col("ts"), col("event_id"), code)).as("entry_pk")
+    val decoded = typeCodes.foldLeft(lit(null).cast("string")) { case (acc, (t, c)) =>
+      when(Packed.payload(col("entry_pk")) === c, t).otherwise(acc)
+    }
+    sess.groupBy("user_id", "sid")
+      .agg(
+        expr("min(us) div 1000000").as("sess_start_s"),
+        entry,
+        count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", col("c")).otherwise(0L)).as("revenue_c"),
+        (max(when(col("event_type") === "purchase", 1).otherwise(0)) === 1).as("converted"))
+      .select(col("user_id"), col("sess_start_s"), decoded.as("entry_type"),
+        col("n"), col("revenue_c"), col("converted"))
+  }
+
+  private val sessionAttributionSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    CAST(round(value*100,0) AS BIGINT) AS c
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+      |      OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) >= 1800000000
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM e),
+      |g AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM f),
+      |h AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, sid ORDER BY us, event_id) AS rn
+      |  FROM g)
+      |SELECT user_id, CAST(min(us) // 1000000 AS BIGINT) AS sess_start_s,
+      |  max(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+      |  count(*) AS n,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END) AS BIGINT) AS revenue_c,
+      |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 AS converted
+      |FROM h GROUP BY user_id, sid""".stripMargin
+
   override def ops: Seq[Op] = Seq(
     Op("asof_forward", asofForward, Some(asofForwardSql)),
     Op("retention", retention, Some(retentionSql)),
-    Op("funnel_detect", funnel, Some(funnelSql)))
+    Op("funnel_detect", funnel, Some(funnelSql)),
+    Op("session_attribution", sessionAttribution, Some(sessionAttributionSql)))
 }

@@ -481,6 +481,48 @@ object Streams extends OpFamily {
       graft.operators.Windows.matcherSignals(t))
   }
 
+  // W14: stream-stream interval join under the ORACLE — W8's
+  // cross-aggregate event-time correlation (purchase attributed to the
+  // same user's views in the preceding 15 minutes), run on the real
+  // driver source. Both sides carry a 1-hour watermark so the join
+  // state is bounded: Spark evicts buffered rows once the watermark
+  // passes their interval, which at 100 TB/day is the difference
+  // between O(window) and O(stream) state. Emission is complete for an
+  // INNER join (matches emit in the batch that finds them — only outer
+  // joins withhold null-sides on the watermark) and the source's
+  // chronological micro-batches keep every needed row above the
+  // eviction line (batch i+1's rows are ≥ batch i's max event time,
+  // while eviction trails the watermark = max ts − 1 h), so the
+  // streamed pair set is provably the batch join's. Oracle = the plain
+  // SQL interval self-join.
+  private def streamJoin(s: SparkSession, d: String): DataFrame = {
+    val purchases = eventStream(s, d).toDF()
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val views = eventStream(s, d).toDF()
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("v_event_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val joined = purchases.join(views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 15 MINUTES"))
+      .select(col("p_event_id"), col("v_event_id"), col("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+    runToTable(s, joined, "graft_stream_join", "append").drop("_batch_id")
+  }
+
+  private val streamJoinSql =
+    """SELECT p.event_id AS p_event_id, v.event_id AS v_event_id, p.user_id,
+      |  epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+      |FROM events p JOIN events v
+      |  ON v.user_id = p.user_id
+      | AND p.event_type = 'purchase' AND v.event_type = 'view'
+      | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 15 MINUTE""".stripMargin
+
   // M8's streaming twin: the catch-up dashboard surge's init BLOCKS on
   // is inherently a LIVE number — lag only means anything while the
   // consumer runs. The same one-hash-agg of conditional aggregates runs
@@ -508,5 +550,6 @@ object Streams extends OpFamily {
     Op("stream_window", streamWindow, Some(streamWindowSql)),
     Op("stream_dedup", streamDedup, Some(streamDedupSql)),
     Op("stream_ewma", streamEwma, Some(streamEwmaSql)),
+    Op("stream_join", streamJoin, Some(streamJoinSql)),
     Op("stream_signal", streamSignal, Some(graft.operators.Windows.signalPatternSql)))
 }
