@@ -134,7 +134,7 @@ object Dedup extends OpFamily {
   // bands, the intersection join twice) — materialize it once instead of
   // re-deriving parquet→split→explode per consumer. Same move a 100 TB
   // run makes by checkpointing the shingle table before the verify join.
-  private def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+  private def pairOverlap(s: SparkSession, d: String): DataFrame = {
     val cand = candidatePairs(s, d).cache()
     // semi-join the shingle table down to docs that appear in some
     // candidate pair BEFORE the two intersection probes — at scale the
@@ -152,11 +152,14 @@ object Dedup extends OpFamily {
     inter
       .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+  }
+
+  private def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    pairOverlap(s, d)
       .select(col("doc_a"), col("doc_b"), col("inter_n"),
         (col("na") + col("nb") - col("inter_n")).as("union_n"),
         (col("inter_n").cast("double") /
           (col("na") + col("nb") - col("inter_n")).cast("double")).as("jaccard"))
-  }
 
   private def jaccardSql =
     s"""WITH $candCtes,
@@ -170,6 +173,45 @@ object Dedup extends OpFamily {
        |  sa.n + sb.n - i.inter_n AS union_n,
        |  CAST(i.inter_n AS DOUBLE)/CAST(sa.n + sb.n - i.inter_n AS DOUBLE) AS jaccard
        |FROM i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b""".stripMargin
+
+  // D8 `dedup_containment`: ASYMMETRIC overlap — the subset-duplicate
+  // signal Jaccard structurally misses. A short doc fully quoted inside
+  // a long one has containment(C(A,B) = |A∩B|/|A|) = 1.0 while its
+  // Jaccard |A∩B|/|A∪B| can sit far below any dedup threshold — union
+  // grows with the LONG doc. Real pipelines (e.g. quote/boilerplate
+  // removal) gate on max-direction containment for exactly this case.
+  // Same bucketed candidate pipeline as D3 (LSH candidates → semi-join
+  // reduction → one intersection join), different verdict: exact e4
+  // integer containment both directions, keep pairs ≥ 0.8 in EITHER,
+  // tagged with which doc is the contained one. All-integer ⇒
+  // hash-exact in any engine/partitioning.
+  private def dedupContainment(s: SparkSession, d: String): DataFrame = {
+    val contA = expr("(10000 * inter_n) div na") // containment of A in B
+    val contB = expr("(10000 * inter_n) div nb")
+    pairOverlap(s, d)
+      .select(col("doc_a"), col("doc_b"), col("inter_n"), col("na"), col("nb"),
+        contA.as("cont_a_e4"), contB.as("cont_b_e4"))
+      .filter(greatest(col("cont_a_e4"), col("cont_b_e4")) >= 8000)
+      .withColumn("contained",
+        when(col("cont_a_e4") >= col("cont_b_e4"), "a_in_b").otherwise("b_in_a"))
+  }
+
+  private def containmentSql =
+    s"""WITH $candCtes,
+       |dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+       |sz AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+       |i AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter_n
+       |  FROM cand c JOIN dsh x ON x.doc_id = c.doc_a JOIN dsh y ON y.doc_id = c.doc_b AND y.s = x.s
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT i.doc_a, i.doc_b, i.inter_n, sa.n AS na, sb.n AS nb,
+       |    (10000 * i.inter_n) // sa.n AS cont_a_e4,
+       |    (10000 * i.inter_n) // sb.n AS cont_b_e4
+       |  FROM i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b)
+       |SELECT doc_a, doc_b, inter_n, na, nb, cont_a_e4, cont_b_e4,
+       |  CASE WHEN cont_a_e4 >= cont_b_e4 THEN 'a_in_b' ELSE 'b_in_a' END AS contained
+       |FROM j WHERE greatest(cont_a_e4, cont_b_e4) >= 8000""".stripMargin
 
   // D5: embedding near-dup — pairwise quantized cosine, blocked on a
   // banded hyperplane-LSH OR-construction: `embPlanes` sign bits per
@@ -311,6 +353,7 @@ object Dedup extends OpFamily {
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
     Op("dedup_minhash_lsh", dedupMinhash, Some(candSql)),
     Op("ngram_jaccard", ngramJaccard, Some(jaccardSql)),
+    Op("dedup_containment", dedupContainment, Some(containmentSql)),
     Op("dedup_substring", dedupSubstring, Some(dedupSubstringSql)),
     Op("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)))
 }

@@ -242,6 +242,80 @@ object TextAnalysis extends OpFamily {
       |r AS (SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rank FROM p)
       |SELECT CAST(rank AS BIGINT) AS rank, pair, n FROM r WHERE rank <= 20""".stripMargin
 
+  // T14 `vocab_bpe_merge`: the BPE trainer's SECOND iteration — proof
+  // the loop closes. Iteration 1 (T13) picks the winning pair; this op
+  // APPLIES that merge to the vocabulary and recounts adjacent-symbol
+  // pairs, emitting iteration 2's top-20 candidates. Words become
+  // space-separated symbol strings ("a b c"), the merge is a literal
+  // left-to-right non-overlapping `replace` ("a a a" + merge "a a" →
+  // "aa a" — both engines' replace builtins implement exactly BPE's
+  // greedy application), and pairs are now over SYMBOLS, not chars.
+  // The winning pair is a 1-row aggregate attached to the vocabulary
+  // via a constant-key BROADCAST HASH join (not a BNLJ cross join, not
+  // a global window over the big side, not a driver collect): the
+  // vocab side streams unshuffled at any corpus size. Pair work still
+  // scales with |vocab|·word_len.
+  private def bpeMerge(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+    val p1 = words
+      .select(col("wf"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("wf")).as("n"))
+    // iteration 1's winner: top-1 of a ≤charset²-row aggregate
+    // (WindowGroupLimit plans a partial top-k, not a full sort)
+    val top1 = p1
+      .withColumn("r", row_number().over(
+        Window.partitionBy().orderBy(col("n").desc, col("pair"))))
+      .filter(col("r") === 1)
+      .select(lit(1).as("k"), col("pair").as("mp"))
+    val merged = words.withColumn("k", lit(1))
+      .join(broadcast(top1), "k")
+      .withColumn("sym", expr(
+        "replace(array_join(split(w, ''), ' '), " +
+          "concat(substr(mp, 1, 1), ' ', substr(mp, 2, 1)), mp)"))
+      .select(col("wf"), split(col("sym"), " ").as("a"))
+      .filter(size(col("a")) >= 2)
+    merged
+      .select(col("wf"), explode(transform(
+        sequence(lit(1), size(col("a")) - 1),
+        i => concat_ws(" ", slice(col("a"), i, lit(2))))).as("pair"))
+      .groupBy("pair").agg(sum(col("wf")).as("n"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy().orderBy(col("n").desc, col("pair"))).cast("long"))
+      .filter(col("rank") <= 20)
+      .select("rank", "pair", "n")
+  }
+
+  private val bpeMergeSql =
+    """WITH w AS (
+      |  SELECT w, count(*) AS wf FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) >= 2 GROUP BY 1),
+      |p1 AS (
+      |  SELECT pair, CAST(sum(wf) AS BIGINT) AS n FROM (
+      |    SELECT wf, unnest(list_transform(range(1, len(w)),
+      |      i -> substr(w, CAST(i AS INT), 2))) AS pair
+      |    FROM w)
+      |  GROUP BY 1),
+      |top1 AS (SELECT pair AS mp FROM p1 ORDER BY n DESC, pair LIMIT 1),
+      |m AS (
+      |  SELECT wf, string_split(replace(array_to_string(string_split(w, ''), ' '),
+      |    substr(t.mp, 1, 1) || ' ' || substr(t.mp, 2, 1), t.mp), ' ') AS a
+      |  FROM w, top1 t),
+      |p2 AS (
+      |  SELECT pair, CAST(sum(wf) AS BIGINT) AS n FROM (
+      |    SELECT wf, unnest(list_transform(range(1, len(a)),
+      |      i -> array_to_string(a[i:i+1], ' '))) AS pair
+      |    FROM m WHERE len(a) >= 2)
+      |  GROUP BY 1),
+      |r AS (SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rank FROM p2)
+      |SELECT CAST(rank AS BIGINT) AS rank, pair, n FROM r WHERE rank <= 20""".stripMargin
+
   // T8: rare-bigram ratio — the LM-lite quality filter: a document
   // whose bigrams rarely occur elsewhere in the corpus is likely
   // gibberish/garbled (the same signal a KenLM perplexity filter
@@ -471,5 +545,6 @@ object TextAnalysis extends OpFamily {
     Op("text_fingerprint", fingerprint, Some(fingerprintSql)),
     Op("text_repetition", repetition, Some(repetitionSql)),
     Op("vocab_topk", vocabTopK, Some(vocabTopKSql)),
-    Op("vocab_bpe_pairs", bpePairs, Some(bpePairsSql)))
+    Op("vocab_bpe_pairs", bpePairs, Some(bpePairsSql)),
+    Op("vocab_bpe_merge", bpeMerge, Some(bpeMergeSql)))
 }
