@@ -279,8 +279,55 @@ object Similarity extends OpFamily {
 
   private def annIvf(s: SparkSession, d: String): DataFrame = ivf(s, d, 16, 1)
 
-  private val annIvfSql =
-    s"""WITH $quantizedCte,
+  // S6 `corpus_cluster`: the DATA-MIXING view of the same k-means —
+  // cluster the whole embedding corpus into k domains and report each
+  // cluster's size, share, and an exact membership signature (min id +
+  // int64 norm sum pin WHICH vectors landed where, not just how many).
+  // This is the report a mixture-balancing run (P4/P7) keys its rates
+  // off when "language" is replaced by "embedding domain". Reuses the
+  // persisted ivf_cent_16 centroids (one build serves ann_ivf AND this
+  // op) and the same packed-min ONE-hash-agg assignment — corpus side
+  // never sorts, centroid side broadcasts. share_e4 attaches via a
+  // global window over the k-row aggregate (tiny by construction).
+  private def corpusCluster(s: SparkSession, d: String): DataFrame = {
+    val k = 16
+    val all = quantized(s, d)
+    val cent = broadcast(
+      persistedIndex(s, d, s"ivf_cent_$k")(ivfCentroids(all, k, sampleMod = 4L)))
+    val assign = all.join(cent)
+      .select(col("vec_id"), col("nn"),
+        ((col("nn") + col("cnn") - lit(2L) * dot(col("v"), col("cv"))) * lit(cellEnc)
+          + col("cid")).as("pk"))
+      .groupBy("vec_id", "nn").agg(min(col("pk")).as("pk"))
+      .select(col("vec_id"), col("nn"),
+        (col("pk") % lit(cellEnc)).cast("long").as("cluster_id"))
+    assign.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"),
+        sum(col("nn")).as("sum_nn"))
+      .withColumn("total", sum(col("n_vecs"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("share_e4", expr("(10000 * n_vecs) div total"))
+      .drop("total")
+  }
+
+  // def, not val: ivfCellofCtes is declared below (beside the ann_ivf
+  // oracle it also feeds) and vals initialize in declaration order
+  private def corpusClusterSql =
+    s"""WITH $ivfCellofCtes,
+       |g AS (
+       |  SELECT cell AS cluster_id, count(*) AS n_vecs,
+       |    min(vec_id) AS min_vec, CAST(sum(nn) AS BIGINT) AS sum_nn
+       |  FROM cellof GROUP BY 1)
+       |SELECT cluster_id, n_vecs, min_vec, sum_nn,
+       |  CAST((10000 * n_vecs) // (SELECT CAST(sum(n_vecs) AS BIGINT) FROM g) AS BIGINT) AS share_e4
+       |FROM g""".stripMargin
+
+  /** CTE chain ending in `cellof(vec_id, v, nn, cell)` — the full
+    * deterministic IVF build (sample → seeds → one Lloyd step →
+    * corpus assignment); shared by the ann_ivf and corpus_cluster
+    * oracles so both pin the SAME clustering. */
+  private val ivfCellofCtes =
+    s"""$quantizedCte,
        |samp AS (
        |  SELECT vec_id, v, nn, ((vec_id % 1000003) * 2654435761) % 1000000007 AS h
        |  FROM n WHERE (((vec_id % 1000003) * 2654435761) % 1000000007) % 4 = 0),
@@ -314,7 +361,10 @@ object Similarity extends OpFamily {
        |cellof AS (
        |  SELECT vec_id, v, nn, cid AS cell FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn FROM ad)
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+
+  private val annIvfSql =
+    s"""WITH $ivfCellofCtes,
        |x AS (
        |  SELECT q.vec_id AS q_id, c.vec_id, q.cell,
        |    ${cosineSql("q.v", "c.v", "q.nn", "c.nn")} AS cos_sim
@@ -706,6 +756,7 @@ object Similarity extends OpFamily {
     Op("cosine_topk", cosineTopK, Some(cosineTopKSql)),
     Op("ann_lsh", annLsh, Some(annLshSql)),
     Op("ann_ivf", annIvf, Some(annIvfSql)),
+    Op("corpus_cluster", corpusCluster, Some(corpusClusterSql)),
     Op("ann_pq", annPq, Some(annPqSql)),
     Op("ann_ivfpq", annIvfPq, Some(annIvfPqSql)))
 }
