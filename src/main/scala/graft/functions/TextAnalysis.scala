@@ -250,11 +250,13 @@ object TextAnalysis extends OpFamily {
   // left-to-right non-overlapping `replace` ("a a a" + merge "a a" →
   // "aa a" — both engines' replace builtins implement exactly BPE's
   // greedy application), and pairs are now over SYMBOLS, not chars.
-  // The winning pair is a 1-row aggregate attached to the vocabulary
-  // via a constant-key BROADCAST HASH join (not a BNLJ cross join, not
-  // a global window over the big side, not a driver collect): the
-  // vocab side streams unshuffled at any corpus size. Pair work still
-  // scales with |vocab|·word_len.
+  // The winning pair is a 1-row aggregate BROADCAST onto the
+  // vocabulary (not a global window over the big side, not a driver
+  // collect): Catalyst constant-folds the literal join key away and
+  // plans a BroadcastNestedLoopJoin whose broadcast side is exactly
+  // one row — a map-side attach; the vocab side streams unshuffled at
+  // any corpus size (PlanLint-allowlisted with this reason). Pair work
+  // still scales with |vocab|·word_len.
   private def bpeMerge(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val words = Tables.documents(s, d)

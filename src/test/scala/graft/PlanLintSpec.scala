@@ -21,6 +21,10 @@ class PlanLintSpec extends SparkSpec {
     "ann_lsh",      // queries broadcast against bucket-partitioned corpus
     "dedup_embedding", // truth-set style candidate re-attach, broadcast side
     "mm_embed_ann",
+    "corpus_cluster",  // corpus × k-centroid broadcast (ann_ivf's shape)
+    "vocab_bpe_merge", // vocab × the 1-ROW winning-merge broadcast: the
+                       //   constant join key folds away and a 1-row
+                       //   nested loop IS the optimal attach
     "signal_supervision") // fired signals × 3-row registration table:
                           //   non-equi regex join, broadcast side tiny
 
