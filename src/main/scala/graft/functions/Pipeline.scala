@@ -148,6 +148,37 @@ object Pipeline extends OpFamily {
        |    // $shardTokens AS shard
        |FROM documents""".stripMargin
 
+  // P8 `corpus_manifest`: the INTEGRITY artifact shipped beside the
+  // shards — per (lang, shard): doc/token counts, id range, and an
+  // order-exact md5 over the member doc_id list. This is what a
+  // training job validates before reading a shard (did every doc
+  // arrive? in the agreed order? from the agreed id range?) and what
+  // makes reruns comparable across engines/partitionings. The member
+  // list per shard is BOUNDED by the token budget (≤ shardTokens docs),
+  // so the sorted-list digest is O(budget) per group — a manifest over
+  // a 100 TB corpus is one hash-agg whose groups never exceed the
+  // shard size by construction.
+  private def corpusManifest(s: SparkSession, d: String): DataFrame =
+    corpusShard(s, d)
+      .groupBy("lang", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
+        expr("md5(concat_ws(',', transform(sort_array(collect_list(doc_id)), x -> cast(x as string))))")
+          .as("content_sha"))
+
+  private def corpusManifestSql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    COALESCE(CAST(sum(len(string_split(text, ' '))) OVER (
+       |      PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |      // $shardTokens AS shard
+       |  FROM documents)
+       |SELECT lang, shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS content_sha
+       |FROM sh GROUP BY 1, 2""".stripMargin
+
   // P6 `corpus_pack`: pack-and-chunk — the step that turns the corpus
   // into the TRAINING EXAMPLES themselves: within each language, docs
   // (deterministic doc_id order) are concatenated and chunked into
@@ -350,6 +381,7 @@ object Pipeline extends OpFamily {
     Op("decontaminate", contamination, Some(decontaminateSql)),
     Op("corpus_export", corpusExport, Some(corpusExportSql)),
     Op("corpus_shard", corpusShard, Some(corpusShardSql)),
+    Op("corpus_manifest", corpusManifest, Some(corpusManifestSql)),
     Op("corpus_pack", corpusPack, Some(corpusPackSql)),
     Op("corpus_mix", corpusMix, Some(corpusMixSql)),
     Op("corpus_upsample", corpusUpsample, Some(corpusUpsampleSql)),

@@ -63,7 +63,7 @@ object Windows extends OpFamily {
       .select(col("user_id"), unix_timestamp(col("w.start")).as("sess_start_s"),
         col("sess_n"), col("sum_c"))
 
-  private val sessionSql =
+  private[graft] val sessionSql =
     """WITH e AS (
       |  SELECT user_id, epoch_us(ts) AS us, CAST(round(value*100,0) AS BIGINT) AS c
       |  FROM events),

@@ -481,6 +481,24 @@ object Streams extends OpFamily {
       graft.operators.Windows.matcherSignals(t))
   }
 
+  // W7 under the ORACLE: streaming session windows (advance-on-silence,
+  // surge's window-advancer semantics) in COMPLETE mode — the engine
+  // keeps all session state and re-emits the merged result per trigger,
+  // so after the final trigger the session set IS the batch
+  // gaps-and-islands result: sessions that straddle micro-batch
+  // boundaries are merged by the session-window state store, which is
+  // exactly the semantics the append-mode spec (StreamingAdvancedSpec)
+  // can't prove against an oracle because its watermark never closes
+  // the tail sessions. Oracle = W3's ⇒ batch/stream session parity.
+  private def streamSession(s: SparkSession, d: String): DataFrame = {
+    val agg = eventStream(s, d).toDF()
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("sess_n"), sum(cents(col("value"))).as("sum_c"))
+      .select(col("user_id"), unix_timestamp(col("w.start")).as("sess_start_s"),
+        col("sess_n"), col("sum_c"))
+    runToTable(s, agg, "graft_stream_session", "complete")
+  }
+
   // W14: stream-stream interval join under the ORACLE — W8's
   // cross-aggregate event-time correlation (purchase attributed to the
   // same user's views in the preceding 15 minutes), run on the real
@@ -548,6 +566,8 @@ object Streams extends OpFamily {
       Some(graft.operators.EventSourcing.compactedSql(""))),
     Op("stream_latest_n", streamLatestN, Some(streamLatestNSql)),
     Op("stream_window", streamWindow, Some(streamWindowSql)),
+    Op("stream_session", streamSession,
+      Some(graft.operators.Windows.sessionSql)),
     Op("stream_dedup", streamDedup, Some(streamDedupSql)),
     Op("stream_ewma", streamEwma, Some(streamEwmaSql)),
     Op("stream_join", streamJoin, Some(streamJoinSql)),
