@@ -44,6 +44,31 @@ class Round5bSpec extends SparkSpec {
       s"merged symbol '$winner' should appear in iteration-2 pairs")
   }
 
+  test("stream_session: complete-mode sessions equal the batch gaps-and-islands result") {
+    val streamed = run("stream_session").collect().map(_.toSeq).toSet
+    val batch = run("win_session").collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      "cross-batch session merge must reproduce the batch session set")
+  }
+
+  test("corpus_manifest: shard accounting ties out against the raw corpus") {
+    import spark.implicits._
+    val m = run("corpus_manifest").cache()
+    m.collect().foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 1L)
+      assert(r.getAs[Long]("first_doc") <= r.getAs[Long]("last_doc"))
+      assert(r.getAs[String]("content_sha").length == 32)
+    }
+    // per-language token mass is partitioned exactly across shards
+    val perLang = m.groupBy("lang").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("t")).toMap
+    val raw = graft.sources.Tables.documents(spark, sf)
+      .groupBy("lang")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("t"))
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("t")).toMap
+    assert(perLang == raw, "shard token sums must tile the corpus exactly")
+  }
+
   test("dedup_containment: thresholded, directional, and bounded by set sizes") {
     val rows = run("dedup_containment").collect()
     assert(rows.nonEmpty)
