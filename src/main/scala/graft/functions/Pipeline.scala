@@ -148,6 +148,41 @@ object Pipeline extends OpFamily {
        |    // $shardTokens AS shard
        |FROM documents""".stripMargin
 
+  // P9 `corpus_interleave`: the deterministic GLOBAL TRAINING ORDER —
+  // every pretraining run shuffles its corpus, and a reproducible run
+  // needs that shuffle to be a pure function of the data, not of the
+  // partitioning or the engine. Order = (md5(doc_id), doc_id): a
+  // uniform, engine-neutral permutation that interleaves languages and
+  // sources by construction. The naive row_number() over the full
+  // order is a single-reducer global sort; this is the P3 move
+  // instead — 256 hash-prefix buckets (lexicographic prefix ⇒ bucket
+  // order IS hash order), per-bucket counts → a cumsum over the tiny
+  // 256-row offsets table, and a bounded within-bucket rank. Global
+  // position = bucket offset + local rank, exactly the distributed
+  // exclusive scan a 100 TB shuffle job runs.
+  private def corpusInterleave(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("bk", substring(col("h"), 1, 2))
+      .cache()
+    val offsets = docs.groupBy("bk").agg(count(lit(1)).as("n"))
+      .withColumn("off",
+        coalesce(sum(col("n")).over(Window.orderBy("bk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bk", "off")
+    val wIn = Window.partitionBy("bk").orderBy("h", "doc_id")
+    docs.join(broadcast(offsets), "bk")
+      .withColumn("pos", col("off") + row_number().over(wIn) - 1L)
+      .select(col("doc_id"), col("lang"), col("pos"))
+  }
+
+  private val corpusInterleaveSql =
+    """SELECT doc_id, lang,
+      |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos
+      |FROM documents""".stripMargin
+
   // P8 `corpus_manifest`: the INTEGRITY artifact shipped beside the
   // shards — per (lang, shard): doc/token counts, id range, and an
   // order-exact md5 over the member doc_id list. This is what a
@@ -382,6 +417,7 @@ object Pipeline extends OpFamily {
     Op("corpus_export", corpusExport, Some(corpusExportSql)),
     Op("corpus_shard", corpusShard, Some(corpusShardSql)),
     Op("corpus_manifest", corpusManifest, Some(corpusManifestSql)),
+    Op("corpus_interleave", corpusInterleave, Some(corpusInterleaveSql)),
     Op("corpus_pack", corpusPack, Some(corpusPackSql)),
     Op("corpus_mix", corpusMix, Some(corpusMixSql)),
     Op("corpus_upsample", corpusUpsample, Some(corpusUpsampleSql)),

@@ -134,6 +134,54 @@ object MetricsOps extends OpFamily {
       |  count(*) AS n
       |FROM events GROUP BY 1""".stripMargin
 
+  // M11 `metric_slo_burn`: the SRE multi-window burn-rate page — the
+  // alert shape production monitoring actually runs on top of exactly
+  // the rate/ratio machinery surge's metrics module exposes (and the
+  // threshold-signal idea of W4, graded against an error BUDGET
+  // instead of a raw count). SLO: error ratio ≤ 10%. Page when the
+  // burn rate (observed/budget) is ≥ 2× over the LONG window (1 h)
+  // AND still ≥ 2× over the SHORT confirm window (the hour's last
+  // 10 min) — the two-window form that neither flaps on blips nor
+  // pages hours after recovery. ONE conditional hash-agg over one
+  // scan per (shard, hour); both burn tests are exact integer
+  // cross-multiplies (err·10000 ≥ n·2000), no FP ratios.
+  private def sloBurn(s: SparkSession, d: String): DataFrame = {
+    val e = expr("cast(floor(unix_timestamp(ts)) as bigint)")
+    val isErr = (col("event_type") === "error").cast("long")
+    Tables.events(s, d)
+      .withColumn("shard", pmod(col("user_id"), lit(16L)))
+      .withColumn("bucket_s", expr("(cast(floor(unix_timestamp(ts)) as bigint) div 3600) * 3600"))
+      .withColumn("in_short", (e - col("bucket_s") >= 3000L).cast("long"))
+      .groupBy("shard", "bucket_s")
+      .agg(
+        count(lit(1)).as("long_n"),
+        sum(isErr).as("long_err"),
+        sum(col("in_short")).as("short_n"),
+        sum(isErr * col("in_short")).as("short_err"))
+      .withColumn("page",
+        col("short_n") >= 1L &&
+          col("long_err") * 10000L >= col("long_n") * 2000L &&
+          col("short_err") * 10000L >= col("short_n") * 2000L)
+  }
+
+  private val sloBurnSql =
+    """WITH e AS (
+      |  SELECT user_id % 16 AS shard,
+      |    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_s,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+      |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+      |  FROM events),
+      |g AS (
+      |  SELECT shard, bucket_s, count(*) AS long_n,
+      |    CAST(sum(is_err) AS BIGINT) AS long_err,
+      |    CAST(sum(CASE WHEN es - bucket_s >= 3000 THEN 1 ELSE 0 END) AS BIGINT) AS short_n,
+      |    CAST(sum(CASE WHEN es - bucket_s >= 3000 THEN is_err ELSE 0 END) AS BIGINT) AS short_err
+      |  FROM e GROUP BY 1, 2)
+      |SELECT shard, bucket_s, long_n, long_err, short_n, short_err,
+      |  short_n >= 1 AND long_err * 10000 >= long_n * 2000
+      |    AND short_err * 10000 >= short_n * 2000 AS page
+      |FROM g""".stripMargin
+
   // M7: Timer — duration statistics per sensor
   // (`modules/metrics/src/main/scala/surge/metrics/Timer.scala`: a
   // Timer records elapsed times and exposes rate + percentiles). The
@@ -250,6 +298,7 @@ object MetricsOps extends OpFamily {
 
   override def ops: Seq[Op] = Seq(
     Op("metric_apdex", apdex, Some(apdexSql)),
+    Op("metric_slo_burn", sloBurn, Some(sloBurnSql)),
     Op("metric_consumer_lag", consumerLag, Some(consumerLagSql)),
     Op("metric_timer", timer, Some(timerSql)),
     Op("metric_percentile", percentiles, Some(percentilesSql)),
