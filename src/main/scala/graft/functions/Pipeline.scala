@@ -155,17 +155,21 @@ object Pipeline extends OpFamily {
   // uniform, engine-neutral permutation that interleaves languages and
   // sources by construction. The naive row_number() over the full
   // order is a single-reducer global sort; this is the P3 move
-  // instead — 256 hash-prefix buckets (lexicographic prefix ⇒ bucket
+  // instead — 65536 hash-prefix buckets (lexicographic prefix ⇒ bucket
   // order IS hash order), per-bucket counts → a cumsum over the tiny
-  // 256-row offsets table, and a bounded within-bucket rank. Global
+  // ≤65536-row offsets table, and a bounded within-bucket rank. Global
   // position = bucket offset + local rank, exactly the distributed
-  // exclusive scan a 100 TB shuffle job runs.
+  // exclusive scan a 100 TB shuffle job runs. Bucket width sets the
+  // rank stage's parallelism AND its per-reducer sort size: 4 hex
+  // chars ⇒ ~1.5 GB per bucket at 100 TB (2 chars would cap the stage
+  // at 256 reducers of ~400 GB each), while the offsets side stays a
+  // trivially-broadcast single-partition cumsum.
   private def corpusInterleave(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         md5(col("doc_id").cast("string")).as("h"))
-      .withColumn("bk", substring(col("h"), 1, 2))
+      .withColumn("bk", substring(col("h"), 1, 4))
       .cache()
     val offsets = docs.groupBy("bk").agg(count(lit(1)).as("n"))
       .withColumn("off",

@@ -145,10 +145,17 @@ object MetricsOps extends OpFamily {
   // pages hours after recovery. ONE conditional hash-agg over one
   // scan per (shard, hour); both burn tests are exact integer
   // cross-multiplies (err·10000 ≥ n·2000), no FP ratios.
-  private def sloBurn(s: SparkSession, d: String): DataFrame = {
+  private def sloBurn(s: SparkSession, d: String): DataFrame =
+    sloBurnAgg(Tables.events(s, d))
+
+  // The agg body is reusable verbatim on the streaming engine (M12
+  // `stream_slo_burn` runs it in complete mode): one conditional
+  // hash-agg, so the stream side gets map-side partial aggregation
+  // and bounded per-(shard,hour) state for free.
+  private[graft] def sloBurnAgg(events: DataFrame): DataFrame = {
     val e = expr("cast(floor(unix_timestamp(ts)) as bigint)")
     val isErr = (col("event_type") === "error").cast("long")
-    Tables.events(s, d)
+    events
       .withColumn("shard", pmod(col("user_id"), lit(16L)))
       .withColumn("bucket_s", expr("(cast(floor(unix_timestamp(ts)) as bigint) div 3600) * 3600"))
       .withColumn("in_short", (e - col("bucket_s") >= 3000L).cast("long"))
@@ -164,7 +171,7 @@ object MetricsOps extends OpFamily {
           col("short_err") * 10000L >= col("short_n") * 2000L)
   }
 
-  private val sloBurnSql =
+  private[graft] val sloBurnSql =
     """WITH e AS (
       |  SELECT user_id % 16 AS shard,
       |    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_s,

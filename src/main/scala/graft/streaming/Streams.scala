@@ -551,9 +551,23 @@ object Streams extends OpFamily {
       graft.operators.MetricsOps.consumerLagAgg(eventStream(s, d).toDF()),
       "graft_stream_consumer_lag", "complete")
 
+  // M11's streaming twin: an SLO burn-rate page is only a page while
+  // the monitor is RUNNING — the batch form is the audit, this is the
+  // alert. The same one-conditional-hash-agg runs on the streaming
+  // engine in complete mode (each refresh re-grades every (shard,
+  // hour) against the budget, so a recovered window un-pages exactly
+  // as the two-window rule intends); oracle = M11's ⇒ batch/stream
+  // parity for the paging decision itself.
+  private def streamSloBurn(s: SparkSession, d: String): DataFrame =
+    runToTable(s,
+      graft.operators.MetricsOps.sloBurnAgg(eventStream(s, d).toDF()),
+      "graft_stream_slo_burn", "complete")
+
   override def ops: Seq[Op] = Seq(
     Op("stream_consumer_lag", streamConsumerLag,
       Some(graft.operators.MetricsOps.consumerLagSql)),
+    Op("stream_slo_burn", streamSloBurn,
+      Some(graft.operators.MetricsOps.sloBurnSql)),
     Op("stream_supervision", streamSupervision,
       Some(graft.operators.Windows.signalSupervisionSql)),
     Op("stream_fold", streamFold, Some(streamFoldSql)),
