@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the final round-5 operators (each also has a
+  * full DuckDB oracle entry; these pin the properties a hash-compare
+  * alone wouldn't explain if broken). */
+class Round5cSpec extends SparkSpec {
+
+  test("corpus_interleave: pos is the exact permutation of the naive global sort") {
+    val out = run("corpus_interleave").cache()
+    val n = out.count()
+    // pos is a permutation of 0..N-1 (no gap, no dup — the bucketed
+    // exclusive scan must tile exactly)
+    assert(out.agg(countDistinct(col("pos"))).head.getLong(0) == n)
+    assert(out.agg(min(col("pos")), max(col("pos"))).head.toSeq == Seq(0L, n - 1))
+    // and equals the single-reducer reference order it replaces
+    val naive = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .orderBy("h", "doc_id")
+      .select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val bucketed = out.orderBy("pos").select("doc_id").collect().map(_.getLong(0))
+    assert(bucketed.sameElements(naive),
+      "bucketed scan must reproduce the global (md5, doc_id) order")
+  }
+
+  test("metric_slo_burn: the page bit is exactly the two-window burn rule") {
+    val rows = run("metric_slo_burn").cache()
+    // the synthetic log must exercise BOTH outcomes or the op proves nothing
+    assert(rows.filter(col("page")).count() > 0)
+    assert(rows.filter(!col("page")).count() > 0)
+    rows.collect().foreach { r =>
+      val (ln, le) = (r.getAs[Long]("long_n"), r.getAs[Long]("long_err"))
+      val (sn, se) = (r.getAs[Long]("short_n"), r.getAs[Long]("short_err"))
+      assert(sn <= ln && se <= le, "short window is a subset of the long")
+      assert(se <= sn && le <= ln, "errors bounded by counts")
+      val expect = sn >= 1L && le * 10000L >= ln * 2000L && se * 10000L >= sn * 2000L
+      assert(r.getAs[Boolean]("page") == expect, s"burn rule mismatch on $r")
+    }
+  }
+
+  test("stream_slo_burn: the live paging view equals the batch audit") {
+    val streamed = run("stream_slo_burn").collect().map(_.toSeq).toSet
+    val batch = run("metric_slo_burn").collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      "complete-mode refresh must reproduce the batch burn-rate table")
+  }
+}
