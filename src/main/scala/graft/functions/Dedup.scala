@@ -24,14 +24,17 @@ import graft.sources.Tables
 object Dedup extends OpFamily {
 
   // ---- shared shingle pipeline (3-word shingles) ----
-  private[functions] def shingled(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
+  private[functions] def shingledDocs(docs: DataFrame): DataFrame = {
+    val tok = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
     tok.select(col("doc_id"), explode(transform(
       sequence(lit(1), size(col("t")) - 2),
       i => concat_ws(" ", slice(col("t"), i, lit(3))))).as("s"))
   }
+
+  private[functions] def shingled(s: SparkSession, d: String): DataFrame =
+    shingledDocs(Tables.documents(s, d))
 
   private[functions] val shingleCte =
     """tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -55,8 +58,15 @@ object Dedup extends OpFamily {
   // default 4×4 (τ≈0.7) is the classic near-dup setting. The band-
   // shape spec asserts the resulting candidate-count monotonicity.
   private[graft] def bandsDfWith(
-      s: SparkSession, d: String, bands: Int, rowsPerBand: Int): DataFrame = {
-    val ab = shingled(s, d).select(col("doc_id"), md5(col("s")).as("h"))
+      s: SparkSession, d: String, bands: Int, rowsPerBand: Int): DataFrame =
+    bandsOfDocs(Tables.documents(s, d), bands, rowsPerBand)
+
+  // A doc's signature depends only on its OWN shingles, so banding a
+  // subset of the corpus yields bit-identical rows to banding it whole
+  // — the property D9's incremental index relies on.
+  private[graft] def bandsOfDocs(
+      docs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val ab = shingledDocs(docs).select(col("doc_id"), md5(col("s")).as("h"))
       .select(col("doc_id"),
         expr("cast(conv(substr(h, 1, 8), 16, 10) as bigint)").as("a"),
         expr("cast(conv(substr(h, 9, 8), 16, 10) as bigint)").as("b"))
@@ -213,6 +223,53 @@ object Dedup extends OpFamily {
        |  CASE WHEN cont_a_e4 >= cont_b_e4 THEN 'a_in_b' ELSE 'b_in_a' END AS contained
        |FROM j WHERE greatest(cont_a_e4, cont_b_e4) >= 8000""".stripMargin
 
+  // D9 `dedup_incremental`: the snapshot+delta form of D2 — the only
+  // shape LSH dedup takes at a 100 TB/day ingest rate, where
+  // re-signaturing yesterday's corpus per crawl is the cost that kills
+  // the naive pipeline (E13's never-replay-from-zero contract applied
+  // to documents). The OLD corpus (doc_id ≤ T, T = 80% of the id
+  // range, standing in for "yesterday") has its band rows persisted
+  // ONCE per (session, dataset); a NEW batch (doc_id > T) is the only
+  // side that runs the shingle→minhash→band pipeline, and the probe is
+  // one equi-join of the new bands against index ∪ new on the uniform
+  // (band, digest) key — no skew, no old-side recompute. Output =
+  // every candidate pair touching a new doc; since new ids are all
+  // > T and pairs are emitted doc_a < doc_b, that is exactly
+  // doc_b > T. Oracle = D2's full-corpus candidate set filtered the
+  // same way, proving the incremental path EQUALS the full recompute
+  // restricted to what a new batch can introduce.
+  private val builtIncIdx =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def incThreshold(s: SparkSession, d: String): Long =
+    Tables.documents(s, d).agg(max(col("doc_id"))).head.getLong(0) * 4L / 5L
+
+  private def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val t = incThreshold(s, d)
+    val path = s"${Tables.workDir(s)}/dedup_inc_idx_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    if (builtIncIdx.add(path))
+      bandsOfDocs(docs.filter(col("doc_id") <= t), nBands, nHashes / nBands)
+        .write.mode("overwrite").parquet(path)
+    val oldIdx = s.read.parquet(path)
+    val newBands = bandsOfDocs(docs.filter(col("doc_id") > t),
+      nBands, nHashes / nBands).cache()
+    // new side is the (small) build side of a shuffle-hash join — the
+    // index streams through unsorted at any corpus size
+    oldIdx.unionByName(newBands).alias("a")
+      .join(newBands.hint("shuffle_hash").alias("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  private def incrementalSql =
+    s"""WITH $candCtes,
+       |thr AS (SELECT (max(doc_id) * 4) // 5 AS t FROM documents)
+       |SELECT doc_a, doc_b FROM cand WHERE doc_b > (SELECT t FROM thr)""".stripMargin
+
   // D5: embedding near-dup — pairwise quantized cosine, blocked on a
   // banded hyperplane-LSH OR-construction: `embPlanes` sign bits per
   // band (2^16 buckets here, block size n/65536) and `embBands`
@@ -352,6 +409,7 @@ object Dedup extends OpFamily {
   override def ops: Seq[Op] = Seq(
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
     Op("dedup_minhash_lsh", dedupMinhash, Some(candSql)),
+    Op("dedup_incremental", dedupIncremental, Some(incrementalSql)),
     Op("ngram_jaccard", ngramJaccard, Some(jaccardSql)),
     Op("dedup_containment", dedupContainment, Some(containmentSql)),
     Op("dedup_substring", dedupSubstring, Some(dedupSubstringSql)),

@@ -40,6 +40,28 @@ class Round5cSpec extends SparkSpec {
     }
   }
 
+  test("dedup_incremental: the delta probe equals the full recompute, index built once") {
+    val t = graft.functions.Dedup.incThreshold(spark, sf)
+    val inc = run("dedup_incremental").collect().map(_.toSeq).toSet
+    assert(inc.nonEmpty)
+    // every pair touches a new doc (pairs are doc_a < doc_b, new ids > T)
+    inc.foreach { p => assert(p(1).asInstanceOf[Long] > t, s"old-only pair $p") }
+    // the incremental path must EQUAL the full-corpus recompute
+    // restricted to what a new batch can introduce
+    val full = run("dedup_minhash_lsh")
+      .filter(col("doc_b") > t).collect().map(_.toSeq).toSet
+    assert(inc == full, "incremental probe diverges from the full recompute")
+    // the old-corpus index is persisted once per (session, dataset):
+    // a second invocation reuses the files instead of rewriting them
+    val dir = new java.io.File(graft.sources.Tables.workDir(spark))
+      .listFiles().filter(_.getName.startsWith("dedup_inc_idx_"))
+    assert(dir.nonEmpty, "index directory must exist after the first run")
+    val stamps = dir.head.listFiles().map(f => f.getName -> f.lastModified).toMap
+    run("dedup_incremental").count()
+    val after = dir.head.listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(after == stamps, "second run must not rewrite the persisted index")
+  }
+
   test("stream_slo_burn: the live paging view equals the batch audit") {
     val streamed = run("stream_slo_burn").collect().map(_.toSeq).toSet
     val batch = run("metric_slo_burn").collect().map(_.toSeq).toSet
