@@ -244,7 +244,8 @@ object Dedup extends OpFamily {
   private[graft] def incThreshold(s: SparkSession, d: String): Long =
     Tables.documents(s, d).agg(max(col("doc_id"))).head.getLong(0) * 4L / 5L
 
-  private def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+  /** The D9 probe, shared with D10's admission verdict. */
+  private[functions] def incPairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val t = incThreshold(s, d)
     val path = s"${Tables.workDir(s)}/dedup_inc_idx_" +
@@ -265,10 +266,68 @@ object Dedup extends OpFamily {
       .distinct()
   }
 
+  private def dedupIncremental(s: SparkSession, d: String): DataFrame =
+    incPairs(s, d)
+
   private def incrementalSql =
     s"""WITH $candCtes,
        |thr AS (SELECT (max(doc_id) * 4) // 5 AS t FROM documents)
        |SELECT doc_a, doc_b FROM cand WHERE doc_b > (SELECT t FROM thr)""".stripMargin
+
+  // D10 `dedup_admit`: the admission VERDICT the incremental probe
+  // exists to produce — per NEW doc, keep or drop with a reason and
+  // the canonical earlier doc it duplicates. Precedence mirrors a real
+  // ingest gate: byte-identical content (D1's digest, matched against
+  // ANY smaller doc id) outranks near-dup (a D9 candidate pair),
+  // outranks keep; dup_of is the MINIMUM counterpart either way (the
+  // same canonical-survivor rule D6 uses), null for keeps. Shapes:
+  // the digest match is an equi-join on md5(text) — uniform key, no
+  // skew, old side never re-hashed beyond one projection — and the
+  // near side reuses D9's persisted-index probe verbatim. One row per
+  // new doc, so the output is exactly the new batch re-emitted with a
+  // decision — what the next pipeline stage (P2's export) consumes.
+  private def dedupAdmit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val t = incThreshold(s, d)
+    val digests = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val exact = digests.filter(col("doc_id") > t).alias("n")
+      .join(digests.alias("o"),
+        col("o.h") === col("n.h") && col("o.doc_id") < col("n.doc_id"))
+      .groupBy(col("n.doc_id").as("doc_id"))
+      .agg(min(col("o.doc_id")).as("exact_of"))
+    val near = incPairs(s, d)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(min(col("doc_a")).as("near_of"))
+    docs.select(col("doc_id"), col("lang")).filter(col("doc_id") > t)
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        when(col("exact_of").isNotNull, "exact_dup")
+          .when(col("near_of").isNotNull, "near_dup")
+          .otherwise("keep").as("verdict"),
+        coalesce(col("exact_of"), col("near_of")).as("dup_of"))
+  }
+
+  private def admitSql =
+    s"""WITH $candCtes,
+       |thr AS (SELECT (max(doc_id) * 4) // 5 AS t FROM documents),
+       |dg AS (SELECT doc_id, md5(text) AS h FROM documents),
+       |ex AS (
+       |  SELECT n.doc_id, min(o.doc_id) AS exact_of
+       |  FROM dg n JOIN dg o ON o.h = n.h AND o.doc_id < n.doc_id
+       |  WHERE n.doc_id > (SELECT t FROM thr) GROUP BY 1),
+       |nr AS (
+       |  SELECT doc_b AS doc_id, min(doc_a) AS near_of
+       |  FROM cand WHERE doc_b > (SELECT t FROM thr) GROUP BY 1)
+       |SELECT d.doc_id, d.lang,
+       |  CASE WHEN ex.exact_of IS NOT NULL THEN 'exact_dup'
+       |       WHEN nr.near_of IS NOT NULL THEN 'near_dup'
+       |       ELSE 'keep' END AS verdict,
+       |  coalesce(ex.exact_of, nr.near_of) AS dup_of
+       |FROM documents d
+       |LEFT JOIN ex ON ex.doc_id = d.doc_id
+       |LEFT JOIN nr ON nr.doc_id = d.doc_id
+       |WHERE d.doc_id > (SELECT t FROM thr)""".stripMargin
 
   // D5: embedding near-dup — pairwise quantized cosine, blocked on a
   // banded hyperplane-LSH OR-construction: `embPlanes` sign bits per
@@ -410,6 +469,7 @@ object Dedup extends OpFamily {
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
     Op("dedup_minhash_lsh", dedupMinhash, Some(candSql)),
     Op("dedup_incremental", dedupIncremental, Some(incrementalSql)),
+    Op("dedup_admit", dedupAdmit, Some(admitSql)),
     Op("ngram_jaccard", ngramJaccard, Some(jaccardSql)),
     Op("dedup_containment", dedupContainment, Some(containmentSql)),
     Op("dedup_substring", dedupSubstring, Some(dedupSubstringSql)),

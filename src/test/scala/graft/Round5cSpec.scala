@@ -62,6 +62,32 @@ class Round5cSpec extends SparkSpec {
     assert(after == stamps, "second run must not rewrite the persisted index")
   }
 
+  test("dedup_admit: one verdict per new doc, dup_of earlier and correctly ranked") {
+    val t = graft.functions.Dedup.incThreshold(spark, sf)
+    val admit = run("dedup_admit").cache()
+    val newN = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") > t).count()
+    assert(admit.count() == newN, "exactly one admission row per new doc")
+    assert(admit.filter(col("verdict") === "keep" && col("dup_of").isNotNull).isEmpty)
+    assert(admit.filter(col("verdict") =!= "keep" && col("dup_of").isNull).isEmpty)
+    assert(admit.filter(col("dup_of") >= col("doc_id")).isEmpty,
+      "the canonical duplicate must be the EARLIER doc")
+    // exact_dup means byte-identical content with its dup_of
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val ex = admit.filter(col("verdict") === "exact_dup")
+      .join(docs.select(col("doc_id"), col("h").as("h_new")), "doc_id")
+      .join(docs.select(col("doc_id").as("dup_of"), col("h").as("h_old")), "dup_of")
+    assert(ex.filter(col("h_new") =!= col("h_old")).isEmpty,
+      "exact_dup verdicts must point at byte-identical content")
+    // near_dup verdicts are backed by an incremental candidate pair
+    val nearPairs = run("dedup_incremental")
+      .select(col("doc_b").as("doc_id")).distinct()
+    val orphan = admit.filter(col("verdict") === "near_dup")
+      .join(nearPairs, Seq("doc_id"), "left_anti")
+    assert(orphan.isEmpty, "near_dup verdicts must come from candidate pairs")
+  }
+
   test("stream_slo_burn: the live paging view equals the batch audit") {
     val streamed = run("stream_slo_burn").collect().map(_.toSeq).toSet
     val batch = run("metric_slo_burn").collect().map(_.toSeq).toSet
