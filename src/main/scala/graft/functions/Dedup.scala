@@ -85,6 +85,12 @@ object Dedup extends OpFamily {
   private[graft] def bandsDf(s: SparkSession, d: String): DataFrame =
     bandsDfWith(s, d, nBands, nHashes / nBands)
 
+  /** Band rows of an arbitrary docs frame at the default 4×4 shape —
+    * the unit both the D9 index build and the streaming admission
+    * gate (stream_admit) persist and probe. */
+  private[graft] def bandRows(docs: DataFrame): DataFrame =
+    bandsOfDocs(docs, nBands, nHashes / nBands)
+
   // hex→int64 for the oracle (DuckDB cannot conv()): Σ nibble·16^k
   private def hexCol(start: Int): String =
     s"CAST(list_sum(list_transform(range(0, 8), i -> " +
@@ -308,7 +314,7 @@ object Dedup extends OpFamily {
         coalesce(col("exact_of"), col("near_of")).as("dup_of"))
   }
 
-  private def admitSql =
+  private[graft] def admitSql =
     s"""WITH $candCtes,
        |thr AS (SELECT (max(doc_id) * 4) // 5 AS t FROM documents),
        |dg AS (SELECT doc_id, md5(text) AS h FROM documents),

@@ -563,9 +563,117 @@ object Streams extends OpFamily {
       graft.operators.MetricsOps.sloBurnAgg(eventStream(s, d).toDF()),
       "graft_stream_slo_burn", "complete")
 
+  // D10's streaming twin `stream_admit`: the admission gate as the
+  // LIVE ingest loop it is in production — new docs arrive in
+  // micro-batches, each batch is graded against the PERSISTED
+  // band+digest index, and the graded batch's signatures are APPENDED
+  // so later batches see earlier ones (the LiveStore growth contract
+  // applied to the dedup index; append-only, never a store rewrite —
+  // the E16 lesson). Batches are ascending doc_id ranges, so for any
+  // candidate pair doc_a < doc_b the earlier doc is already in the
+  // store (or in the same batch) when the later one is graded — the
+  // streamed verdict set is provably the batch D10 result, and the
+  // oracle IS D10's. Per batch: O(batch) signature work + one
+  // shuffle-hash probe; old docs are never re-signatured.
+  private val docSplitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def docSplitSource(s: SparkSession, d: String): String =
+    docSplitCache.computeIfAbsent(d, _ => {
+      val base = s"${Tables.workDir(s)}/docs_split_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      val t = graft.functions.Dedup.incThreshold(s, d)
+      val tagged = Tables.documents(s, d).filter(col("doc_id") > t)
+        .repartitionByRange(sourceBatches, col("doc_id"))
+        .withColumn("_p", spark_partition_id())
+        .localCheckpoint(true)
+      new java.io.File(base).mkdirs()
+      for (i <- 0 until sourceBatches) {
+        val tmp = s"$base/_build_$i"
+        tagged.filter(col("_p") === i).drop("_p")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = Option(new java.io.File(tmp).listFiles()).get
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+        val dst = new java.io.File(base, f"$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1700000000000L + i * 60000L)
+        def rec(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rec)); f.delete(); ()
+        }
+        rec(new java.io.File(tmp))
+      }
+      base
+    })
+
+  // growing stores are per-invocation (append-only across the run's
+  // batches, fresh seed on every op call — a rerun must not see the
+  // previous run's appends)
+  private val admitInvocations = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def streamAdmit(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Dedup
+    val inv = admitInvocations.incrementAndGet()
+    val t = Dedup.incThreshold(s, d)
+    val old = Tables.documents(s, d).filter(col("doc_id") <= t)
+    val tag = java.lang.Integer.toHexString(d.hashCode) + s"_$inv"
+    val bandsPath = s"${Tables.workDir(s)}/admit_bands_$tag"
+    val digestPath = s"${Tables.workDir(s)}/admit_digests_$tag"
+    Dedup.bandRows(old).write.mode("overwrite").parquet(bandsPath)
+    old.select(col("doc_id"), md5(col("text")).as("h"))
+      .write.mode("overwrite").parquet(digestPath)
+    val outDir = new java.io.File(s"${Tables.workDir(s)}/sink_stream_admit_$inv")
+    val stream = s.readStream.schema(Tables.documents(s, d).schema)
+      .option("maxFilesPerTrigger", "1").parquet(docSplitSource(s, d))
+    withStreamShards(s) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val s2 = batch.sparkSession
+          val bands = Dedup.bandRows(batch.toDF()).localCheckpoint(true)
+          val digests = batch.toDF()
+            .select(col("doc_id"), md5(col("text")).as("h"))
+            .localCheckpoint(true)
+          val exact = digests.alias("n")
+            .join(s2.read.parquet(digestPath).unionByName(digests).alias("o"),
+              col("o.h") === col("n.h") && col("o.doc_id") < col("n.doc_id"))
+            .groupBy(col("n.doc_id").as("doc_id"))
+            .agg(min(col("o.doc_id")).as("exact_of"))
+          val near = s2.read.parquet(bandsPath).unionByName(bands).alias("a")
+            .join(bands.hint("shuffle_hash").alias("b"),
+              col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+            .distinct()
+            .groupBy(col("doc_b").as("doc_id"))
+            .agg(min(col("doc_a")).as("near_of"))
+          batch.toDF().select(col("doc_id"), col("lang"))
+            .join(exact, Seq("doc_id"), "left")
+            .join(near, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("lang"),
+              when(col("exact_of").isNotNull, "exact_dup")
+                .when(col("near_of").isNotNull, "near_dup")
+                .otherwise("keep").as("verdict"),
+              coalesce(col("exact_of"), col("near_of")).as("dup_of"))
+            .write.mode("overwrite").parquet(s"$outDir/b_$id")
+          // the graded batch is now part of the corpus: grow the index
+          bands.write.mode("append").parquet(bandsPath)
+          digests.write.mode("append").parquet(digestPath)
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    val batches = Option(outDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("b_")).map(_.getPath)
+    require(batches.nonEmpty, "stream_admit produced no batches")
+    s.read.parquet(batches.toIndexedSeq: _*)
+  }
+
   override def ops: Seq[Op] = Seq(
     Op("stream_consumer_lag", streamConsumerLag,
       Some(graft.operators.MetricsOps.consumerLagSql)),
+    Op("stream_admit", streamAdmit, Some(graft.functions.Dedup.admitSql)),
     Op("stream_slo_burn", streamSloBurn,
       Some(graft.operators.MetricsOps.sloBurnSql)),
     Op("stream_supervision", streamSupervision,

@@ -88,6 +88,24 @@ class Round5cSpec extends SparkSpec {
     assert(orphan.isEmpty, "near_dup verdicts must come from candidate pairs")
   }
 
+  test("stream_admit: the live ingest gate equals batch admission; index grows to full coverage") {
+    val streamed = run("stream_admit").collect().map(_.toSeq).toSet
+    val batch = run("dedup_admit").collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      "micro-batched admission must reproduce the batch verdict set")
+    // after the run the growing band store covers the WHOLE corpus —
+    // seed (old docs) plus one append per graded batch
+    val stores = new java.io.File(graft.sources.Tables.workDir(spark))
+      .listFiles().filter(_.getName.startsWith("admit_bands_"))
+    assert(stores.nonEmpty)
+    val latest = stores.maxBy(_.lastModified)
+    val storeRows = spark.read.parquet(latest.getPath).count()
+    val fullRows = graft.functions.Dedup
+      .bandRows(graft.sources.Tables.documents(spark, sf)).count()
+    assert(storeRows == fullRows,
+      s"store holds $storeRows band rows, full corpus has $fullRows")
+  }
+
   test("stream_slo_burn: the live paging view equals the batch audit") {
     val streamed = run("stream_slo_burn").collect().map(_.toSeq).toSet
     val batch = run("metric_slo_burn").collect().map(_.toSeq).toSet
