@@ -304,9 +304,12 @@ object Dedup extends OpFamily {
     val near = incPairs(s, d)
       .groupBy(col("doc_b").as("doc_id"))
       .agg(min(col("doc_a")).as("near_of"))
+    // verdict sides are tiny pre-aggregated per-doc tables — hint them
+    // as shuffle-hash build sides so the assembly stays sort-free (the
+    // E19/R17 shape; an SMJ would sort the whole new batch twice)
     docs.select(col("doc_id"), col("lang")).filter(col("doc_id") > t)
-      .join(exact, Seq("doc_id"), "left")
-      .join(near, Seq("doc_id"), "left")
+      .join(exact.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(near.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
         when(col("exact_of").isNotNull, "exact_dup")
           .when(col("near_of").isNotNull, "near_dup")

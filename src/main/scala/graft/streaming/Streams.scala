@@ -647,8 +647,8 @@ object Streams extends OpFamily {
             .groupBy(col("doc_b").as("doc_id"))
             .agg(min(col("doc_a")).as("near_of"))
           batch.toDF().select(col("doc_id"), col("lang"))
-            .join(exact, Seq("doc_id"), "left")
-            .join(near, Seq("doc_id"), "left")
+            .join(exact.hint("shuffle_hash"), Seq("doc_id"), "left")
+            .join(near.hint("shuffle_hash"), Seq("doc_id"), "left")
             .select(col("doc_id"), col("lang"),
               when(col("exact_of").isNotNull, "exact_dup")
                 .when(col("near_of").isNotNull, "near_dup")
