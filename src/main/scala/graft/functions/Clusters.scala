@@ -40,14 +40,25 @@ object Clusters extends OpFamily {
     * exponential planning cost kills the DRIVER long before the
     * executors see data. */
   private[graft] def components(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
     val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().localCheckpoint(true)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("lab", col("node")).localCheckpoint(true)
+    // Size the loop's shuffles to the GRAPH, not the session default:
+    // each round is join+agg+join over the label table, and on a small
+    // pair graph 32-way shuffles make task scheduling the entire round
+    // cost (measured ~750 ms/round on a 40k-edge graph). ~500k edges
+    // per partition keeps a 10^9-edge graph at full width while a
+    // small graph runs its rounds in 1-2 partitions.
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val prevShuffle = s.conf.get(shuffleKey)
+    s.conf.set(shuffleKey,
+      math.max(1L, math.min(prevShuffle.toLong, sym.count() / 500000L + 1L)).toString)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 32) {
+    try while (!converged && rounds < 32) {
       // neighbor-min: lab(n) := min(lab(n), min over edges (n,m) of
       // lab(m)). The previous label rides along as max(old_tag) (each
       // node appears exactly once in `labels`), so convergence is read
@@ -78,7 +89,7 @@ object Clusters extends OpFamily {
       rounds += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"[cc-round] $rounds changed=$changed")
-    }
+    } finally s.conf.set(shuffleKey, prevShuffle)
     // with pointer jumping 32 rounds covers any realistic diameter
     // (2^32 chain depth) — failing hard beats silently returning
     // non-minimal labels that would diverge from the oracle closure

@@ -29,7 +29,10 @@ object Pipeline extends OpFamily {
 
   /** (doc_id ≥ benchMax, n_shared, contaminated) for every corpus doc. */
   private def contamination(s: SparkSession, d: String): DataFrame = {
-    val sh = Dedup.shingled(s, d)
+    // both branches (bench set + corpus probe) consume the same shingle
+    // explode — materialize it once instead of running the O(corpus
+    // tokens) pass twice (the D3 checkpoint-the-shingles move)
+    val sh = Dedup.shingled(s, d).cache()
     val bench = sh.filter(col("doc_id") < benchMax).select("s").distinct()
     val corp = sh.filter(col("doc_id") >= benchMax).distinct()
     val hits = corp.join(broadcast(bench), "s")
