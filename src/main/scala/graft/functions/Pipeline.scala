@@ -57,6 +57,56 @@ object Pipeline extends OpFamily {
        |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
        |WHERE d.doc_id >= $benchMax""".stripMargin
 
+  // P10 `decontaminate_report`: the quantitative form of P1 — per
+  // corpus doc, the FRACTION of its distinct shingles that appear in
+  // the benchmark set (what decontamination reviews actually publish:
+  // an absolute shared-shingle count says little for long docs). The
+  // fraction is an exact e4 integer (n_shared·10000 div n_shingles) so
+  // it hash-compares across engines; the flag pages at ≥ 5% overlap.
+  // Same scale shape as P1: one shingle pass feeds both the per-doc
+  // denominator agg and the broadcast benchmark probe; the two tiny
+  // per-doc aggregates come back via shuffle-hash-hinted left joins
+  // (the E19/R17 shape — never sort the doc side).
+  private val contamFracE4 = 500L // page at ≥ 5% benchmark overlap
+
+  private def contaminationReport(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.shingled(s, d).cache()
+    val bench = sh.filter(col("doc_id") < benchMax).select("s").distinct()
+    val corp = sh.filter(col("doc_id") >= benchMax).distinct()
+    val counts = corp.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = corp.join(broadcast(bench), "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    Tables.documents(s, d).filter(col("doc_id") >= benchMax).select(col("doc_id"))
+      .join(counts.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(hits.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("overlap_e4", expr(
+        "CASE WHEN n_shingles = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (n_shared * 10000) div n_shingles END"))
+      .withColumn("contaminated", col("overlap_e4") >= contamFracE4)
+  }
+
+  private def contaminationReportSql =
+    s"""WITH $contaminationCtes,
+       |cnt AS (SELECT doc_id, count(*) AS n_shingles FROM csh GROUP BY 1),
+       |v AS (
+       |  SELECT d.doc_id, COALESCE(c.n_shingles, 0) AS n_shingles,
+       |    COALESCE(h.n_shared, 0) AS n_shared
+       |  FROM documents d
+       |  LEFT JOIN cnt c ON c.doc_id = d.doc_id
+       |  LEFT JOIN hits h ON h.doc_id = d.doc_id
+       |  WHERE d.doc_id >= $benchMax),
+       |e AS (
+       |  SELECT doc_id, n_shingles, n_shared,
+       |    CASE WHEN n_shingles = 0 THEN 0
+       |         ELSE (n_shared * 10000) // n_shingles END AS overlap_e4
+       |  FROM v)
+       |SELECT doc_id, n_shingles, n_shared, overlap_e4,
+       |  overlap_e4 >= $contamFracE4 AS contaminated
+       |FROM e""".stripMargin
+
   // P2: docs ≥ benchMax that survive dedup (cluster min), are clean of
   // benchmark overlap, and pass the length gate.
   private def corpusExport(s: SparkSession, d: String): DataFrame = {
@@ -421,6 +471,7 @@ object Pipeline extends OpFamily {
 
   override def ops: Seq[Op] = Seq(
     Op("decontaminate", contamination, Some(decontaminateSql)),
+    Op("decontaminate_report", contaminationReport, Some(contaminationReportSql)),
     Op("corpus_export", corpusExport, Some(corpusExportSql)),
     Op("corpus_shard", corpusShard, Some(corpusShardSql)),
     Op("corpus_manifest", corpusManifest, Some(corpusManifestSql)),

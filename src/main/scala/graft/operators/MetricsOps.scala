@@ -303,7 +303,51 @@ object MetricsOps extends OpFamily {
       |    - CAST(floor(epoch(max(CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN ts END))) AS BIGINT) AS lag_s
       |FROM events GROUP BY 1""".stripMargin
 
+  // M13 `metric_anomaly`: the alerting primitive every metrics
+  // dashboard ends with — which readings page. Surge's sensors expose
+  // per-metric statistics (`surge/metrics/statistics/*.scala`); the
+  // anomaly gate over them is the 3-sigma rule: flag a reading when
+  // (v − mean)² > 9·var. Both sides of that inequality are computed as
+  // exact integers on cents — (c·n − S)² > 9·(n·Q − S²) after
+  // multiplying through by n² — in decimal(38,0) (Spark) / HUGEINT
+  // (DuckDB), so the verdict is bit-identical across engines and, at
+  // 100 TB magnitudes (n ~ 1e12, c ~ 1e6 ⇒ terms ≤ ~1e34), never
+  // overflows either 38-digit type. Two scans, no wide shuffle: the
+  // per-sensor moment table is a tiny hash-agg BROADCAST back onto the
+  // second events scan (the T8 pre-aggregated-probe pattern) — the log
+  // side never shuffles at any scale.
+  private def anomaly(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"),
+        cents(col("value")).as("c"))
+    val moments = ev.groupBy("event_type").agg(
+      count(lit(1)).cast("decimal(38,0)").as("mn"),
+      sum(col("c")).cast("decimal(38,0)").as("ms"),
+      sum(col("c").cast("decimal(38,0)") * col("c")).as("mq"))
+    val dev = col("c").cast("decimal(38,0)") * col("mn") - col("ms")
+    ev.join(broadcast(moments), "event_type")
+      .filter(dev * dev >
+        lit(9).cast("decimal(38,0)") * (col("mn") * col("mq") - col("ms") * col("ms")))
+      .select("event_id", "event_type", "value")
+  }
+
+  private val anomalySql =
+    """WITH c AS (
+      |  SELECT event_id, event_type, value,
+      |    CAST(round(value*100,0) AS BIGINT) AS cc
+      |  FROM events),
+      |s AS (
+      |  SELECT event_type, CAST(count(*) AS HUGEINT) AS mn,
+      |    CAST(sum(cc) AS HUGEINT) AS ms,
+      |    CAST(sum(CAST(cc AS HUGEINT) * cc) AS HUGEINT) AS mq
+      |  FROM c GROUP BY 1)
+      |SELECT c.event_id, c.event_type, c.value
+      |FROM c JOIN s USING (event_type)
+      |WHERE (CAST(c.cc AS HUGEINT) * s.mn - s.ms) * (CAST(c.cc AS HUGEINT) * s.mn - s.ms)
+      |  > 9 * (s.mn * s.mq - s.ms * s.ms)""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("metric_anomaly", anomaly, Some(anomalySql)),
     Op("metric_apdex", apdex, Some(apdexSql)),
     Op("metric_slo_burn", sloBurn, Some(sloBurnSql)),
     Op("metric_consumer_lag", consumerLag, Some(consumerLagSql)),
