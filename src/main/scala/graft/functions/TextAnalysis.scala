@@ -293,6 +293,104 @@ object TextAnalysis extends OpFamily {
       .select("rank", "pair", "n")
   }
 
+  // T15 `text_bpe_encode`: the trainer loop CLOSED and applied — learn
+  // the first K merges iteratively (T13/T14 are iterations 1 and 2 of
+  // exactly this loop), then ENCODE every document and report its BPE
+  // token count and chars-per-token compression. The symbol
+  // representation is the correctness trick: each symbol is wrapped in
+  // its own delimiters ('#a##b##c#'), so applying merge (s1,s2) is the
+  // literal replace '#s1##s2#' → '#s1s2#' — left-to-right
+  // non-overlapping in both engines, which IS greedy BPE application,
+  // and the wrapping makes a cross-symbol-boundary match impossible
+  // (s1 must start right after '#' and end right before '##', i.e. be
+  // a whole symbol). Merge learning runs over the DISTINCT-word
+  // vocabulary (K tiny jobs, each O(|vocab|·word_len) with the winner
+  // a WindowGroupLimit top-1 broadcast back — localCheckpoint per
+  // round keeps the loop plan flat); encoding is ONE corpus scan
+  // joined to the broadcast word→token-count table. Corpus-scale work
+  // is the encode scan only — the trainer never touches the corpus
+  // after the initial vocab hash-agg.
+  private val bpeMerges = 6
+
+  private def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+    var vocab = words.withColumn("repr",
+      concat(lit("#"), array_join(split(col("w"), ""), "##"), lit("#")))
+    for (_ <- 1 to bpeMerges) {
+      val withSyms = vocab.withColumn("a",
+        filter(split(col("repr"), "#"), x => x =!= ""))
+      val pairs = withSyms.filter(size(col("a")) >= 2)
+        .select(col("wf"), explode(transform(
+          sequence(lit(1), size(col("a")) - 1),
+          i => concat_ws(" ", slice(col("a"), i, lit(2))))).as("pair"))
+        .groupBy("pair").agg(sum(col("wf")).as("n"))
+      val top1 = pairs.withColumn("r", row_number().over(
+          Window.partitionBy().orderBy(col("n").desc, col("pair"))))
+        .filter(col("r") === 1)
+        .select(lit(1).as("k"), col("pair").as("mp"))
+      // 1-row broadcast attach (constant key constant-folds to a 1-row
+      // BNLJ — the T14 map-side-attach shape); the '~ ~' fallback keeps
+      // the op total if a round finds no pair (all words single-symbol)
+      vocab = vocab.withColumn("k", lit(1))
+        .join(broadcast(top1), Seq("k"), "left")
+        .withColumn("mp", coalesce(col("mp"), lit("~ ~")))
+        .withColumn("s1", element_at(split(col("mp"), " "), 1))
+        .withColumn("s2", element_at(split(col("mp"), " "), 2))
+        .withColumn("repr", expr(
+          "replace(repr, concat('#', s1, '##', s2, '#'), concat('#', s1, s2, '#'))"))
+        .select("w", "wf", "repr")
+        .localCheckpoint()
+    }
+    val enc = vocab.withColumn("nt",
+      size(filter(split(col("repr"), "#"), x => x =!= "")).cast("long"))
+      .select("w", "nt")
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(enc), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("nt")).as("bpe_tokens"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .withColumn("ratio_e4", expr("(bpe_tokens * 10000) div n_chars"))
+  }
+
+  private def bpeEncodeSql: String = {
+    val blocks = (1 to bpeMerges).map { i =>
+      s"""a$i AS (SELECT w, wf, repr, list_filter(string_split(repr, '#'), x -> x <> '') AS a FROM v${i - 1}),
+         |p$i AS (
+         |  SELECT pair, CAST(sum(wf) AS BIGINT) AS n FROM (
+         |    SELECT wf, unnest(list_transform(range(1, len(a)), j -> array_to_string(a[j:j+1], ' '))) AS pair
+         |    FROM a$i WHERE len(a) >= 2)
+         |  GROUP BY 1),
+         |t$i AS (SELECT coalesce((SELECT pair FROM p$i ORDER BY n DESC, pair LIMIT 1), '~ ~') AS mp),
+         |v$i AS (
+         |  SELECT w, wf, replace(repr,
+         |    '#' || string_split(t.mp, ' ')[1] || '##' || string_split(t.mp, ' ')[2] || '#',
+         |    '#' || string_split(t.mp, ' ')[1] || string_split(t.mp, ' ')[2] || '#') AS repr
+         |  FROM a$i, t$i t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w0 AS (
+       |  SELECT w, count(*) AS wf FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY 1),
+       |v0 AS (SELECT w, wf, '#' || array_to_string(string_split(w, ''), '##') || '#' AS repr FROM w0),
+       |$blocks,
+       |enc AS (SELECT w, CAST(len(list_filter(string_split(repr, '#'), x -> x <> '')) AS BIGINT) AS nt FROM v$bpeMerges),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |g AS (
+       |  SELECT t.doc_id, count(*) AS n_words, CAST(sum(e.nt) AS BIGINT) AS bpe_tokens,
+       |    CAST(sum(len(t.w)) AS BIGINT) AS n_chars
+       |  FROM tok t JOIN enc e ON t.w = e.w WHERE t.w <> '' GROUP BY 1)
+       |SELECT doc_id, n_words, bpe_tokens, n_chars,
+       |  (bpe_tokens * 10000) // n_chars AS ratio_e4
+       |FROM g""".stripMargin
+  }
+
   private val bpeMergeSql =
     """WITH w AS (
       |  SELECT w, count(*) AS wf FROM (
@@ -548,5 +646,6 @@ object TextAnalysis extends OpFamily {
     Op("text_repetition", repetition, Some(repetitionSql)),
     Op("vocab_topk", vocabTopK, Some(vocabTopKSql)),
     Op("vocab_bpe_pairs", bpePairs, Some(bpePairsSql)),
-    Op("vocab_bpe_merge", bpeMerge, Some(bpeMergeSql)))
+    Op("vocab_bpe_merge", bpeMerge, Some(bpeMergeSql)),
+    Op("text_bpe_encode", bpeEncode, Some(bpeEncodeSql)))
 }

@@ -28,6 +28,57 @@ class Round5dSpec extends SparkSpec {
     }
   }
 
+  test("text_bpe_encode: delimiter-replace equals a reference greedy BPE, exactly") {
+    // the op's delimiter encoding assumes '#'/'~' never occur in text
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(!docs.exists { case (_, t) => t.contains('#') || t.contains('~') },
+      "delimiter chars must not occur in the corpus")
+    // independent reference implementation: learn 6 merges over the
+    // word vocabulary, greedy-apply on symbol vectors (no string
+    // replace tricks), count tokens per doc
+    val wf = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.foreach { case (_, t) =>
+      t.split(" ").filter(_.nonEmpty).foreach(w => wf(w) += 1L)
+    }
+    var symsOf: Map[String, Vector[String]] =
+      wf.keys.map(w => w -> w.split("").toVector).toMap
+    for (_ <- 1 to 6) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      for ((w, syms) <- symsOf; i <- 0 until syms.length - 1)
+        pc((syms(i), syms(i + 1))) += wf(w)
+      if (pc.nonEmpty) {
+        val p = pc.toSeq.minBy { case ((a, b), n) => (-n, a + " " + b) }._1
+        symsOf = symsOf.map { case (w, syms) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == p._1 && syms(i + 1) == p._2) {
+              out += (p._1 + p._2); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          w -> out.result()
+        }
+      }
+    }
+    val expect = docs.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).map(w => symsOf(w).length.toLong).sum
+    }.toMap
+    val got = run("text_bpe_encode").cache()
+    got.collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("bpe_tokens") == expect(id),
+        s"doc $id: op=${r.getAs[Long]("bpe_tokens")} reference=${expect(id)}")
+      assert(r.getAs[Long]("bpe_tokens") >= r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("bpe_tokens") <= r.getAs[Long]("n_chars"))
+    }
+    assert(got.count() == expect.size.toLong)
+    // the 6 merges must actually compress: strictly fewer tokens than chars
+    val tot = got.agg(sum("bpe_tokens"), sum("n_chars")).head
+    assert(tot.getLong(0) < tot.getLong(1), "merges must reduce token count")
+  }
+
   test("decontaminate_report: fractions bounded, flag is the e4 rule, counts match P1") {
     val rep = run("decontaminate_report").cache()
     assert(rep.filter(col("overlap_e4") < 0L || col("overlap_e4") > 10000L).isEmpty,
