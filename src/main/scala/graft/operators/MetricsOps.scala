@@ -316,22 +316,32 @@ object MetricsOps extends OpFamily {
   // per-sensor moment table is a tiny hash-agg BROADCAST back onto the
   // second events scan (the T8 pre-aggregated-probe pattern) — the log
   // side never shuffles at any scale.
-  private def anomaly(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-      .select(col("event_id"), col("event_type"), col("value"),
-        cents(col("value")).as("c"))
-    val moments = ev.groupBy("event_type").agg(
-      count(lit(1)).cast("decimal(38,0)").as("mn"),
-      sum(col("c")).cast("decimal(38,0)").as("ms"),
-      sum(col("c").cast("decimal(38,0)") * col("c")).as("mq"))
-    val dev = col("c").cast("decimal(38,0)") * col("mn") - col("ms")
-    ev.join(broadcast(moments), "event_type")
+  /** Per-sensor exact integer moments (n, Σc, Σc²) in decimal(38,0) —
+    * the trained baseline the anomaly gate scores against. */
+  private[graft] def anomalyMoments(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"), cents(col("value")).as("c"))
+      .groupBy("event_type").agg(
+        count(lit(1)).cast("decimal(38,0)").as("mn"),
+        sum(col("c")).cast("decimal(38,0)").as("ms"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("mq"))
+
+  /** Score a readings frame against broadcast baseline moments — the
+    * stateless filter the streaming twin runs per micro-batch. */
+  private[graft] def anomalyFlag(ev: DataFrame, moments: DataFrame): DataFrame = {
+    val dev = cents(col("value")).cast("decimal(38,0)") * col("mn") - col("ms")
+    ev.select(col("event_id"), col("event_type"), col("value"))
+      .join(broadcast(moments), "event_type")
       .filter(dev * dev >
         lit(9).cast("decimal(38,0)") * (col("mn") * col("mq") - col("ms") * col("ms")))
       .select("event_id", "event_type", "value")
   }
 
-  private val anomalySql =
+  private def anomaly(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    anomalyFlag(ev, anomalyMoments(ev))
+  }
+
+  private[graft] val anomalySql =
     """WITH c AS (
       |  SELECT event_id, event_type, value,
       |    CAST(round(value*100,0) AS BIGINT) AS cc

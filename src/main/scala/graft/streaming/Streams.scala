@@ -563,6 +563,23 @@ object Streams extends OpFamily {
       graft.operators.MetricsOps.sloBurnAgg(eventStream(s, d).toDF()),
       "graft_stream_slo_burn", "complete")
 
+  // M13's streaming twin `stream_anomaly`: production anomaly alerting
+  // scores INCOMING readings against a TRAINED baseline — the moments
+  // come from the historical log (a one-off batch agg, tiny, broadcast
+  // as a static frame), and each micro-batch runs the stateless
+  // integer-exact 3-sigma filter over just its own rows (append mode,
+  // zero streaming state). The source replays the same log the
+  // baseline was trained on, so the emitted union is exactly the batch
+  // op's flag set; oracle = M13's ⇒ batch/stream parity for the
+  // paging verdicts themselves.
+  private def streamAnomaly(s: SparkSession, d: String): DataFrame = {
+    val baseline = graft.operators.MetricsOps
+      .anomalyMoments(Tables.events(s, d))
+    runToTable(s,
+      graft.operators.MetricsOps.anomalyFlag(eventStream(s, d).toDF(), baseline),
+      "graft_stream_anomaly", "append").drop("_batch_id")
+  }
+
   // D10's streaming twin `stream_admit`: the admission gate as the
   // LIVE ingest loop it is in production — new docs arrive in
   // micro-batches, each batch is graded against the PERSISTED
@@ -676,6 +693,8 @@ object Streams extends OpFamily {
     Op("stream_admit", streamAdmit, Some(graft.functions.Dedup.admitSql)),
     Op("stream_slo_burn", streamSloBurn,
       Some(graft.operators.MetricsOps.sloBurnSql)),
+    Op("stream_anomaly", streamAnomaly,
+      Some(graft.operators.MetricsOps.anomalySql)),
     Op("stream_supervision", streamSupervision,
       Some(graft.operators.Windows.signalSupervisionSql)),
     Op("stream_fold", streamFold, Some(streamFoldSql)),

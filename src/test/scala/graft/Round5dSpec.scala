@@ -79,6 +79,14 @@ class Round5dSpec extends SparkSpec {
     assert(tot.getLong(0) < tot.getLong(1), "merges must reduce token count")
   }
 
+  test("stream_anomaly: streamed verdicts equal the batch 3-sigma set") {
+    val streamed = run("stream_anomaly").collect().map(_.toSeq).toSet
+    val batch = run("metric_anomaly").collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      "per-batch scoring against the broadcast baseline must union to the batch flag set")
+  }
+
   test("decontaminate_report: fractions bounded, flag is the e4 rule, counts match P1") {
     val rep = run("decontaminate_report").cache()
     assert(rep.filter(col("overlap_e4") < 0L || col("overlap_e4") > 10000L).isEmpty,
