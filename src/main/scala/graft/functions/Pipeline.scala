@@ -141,6 +141,74 @@ object Pipeline extends OpFamily {
        |  AND COALESCE(h.n_shared, 0) < $contamMin
        |  AND len(string_split(d.text, ' ')) >= $minTokens""".stripMargin
 
+  // P11 `corpus_funnel`: the pipeline's survival dashboard — docs AND
+  // tokens remaining after each gate (raw → dedup survivors →
+  // decontaminated → exported), the first artifact any corpus review
+  // asks for ("where did the data go?"). All four stages are
+  // conditional sums over ONE pass of the per-doc flag frame (the same
+  // labels/contamination joins P2 runs), folded in a single hash-agg
+  // to one row and unpivoted with stack() — no per-stage scans, no
+  // union of four aggregates. Stage predicates nest (each stage ⊆ the
+  // previous), so the funnel is monotone by construction.
+  private def corpusFunnel(s: SparkSession, d: String): DataFrame = {
+    val labels = Clusters.pairLabels(s, d)
+    val contam = contamination(s, d)
+    val flags = Tables.documents(s, d)
+      .filter(col("doc_id") >= benchMax)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .join(labels.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .withColumn("survivor", coalesce(col("lab"), col("doc_id")) === col("doc_id"))
+      .join(contam.select(col("doc_id"), col("contaminated")).hint("shuffle_hash"),
+        Seq("doc_id"))
+      .withColumn("clean", !col("contaminated"))
+      .withColumn("long_enough", col("n_tok") >= minTokens)
+    flags.agg(
+        count(lit(1)).as("d1"), sum(col("n_tok")).as("t1"),
+        sum(when(col("survivor"), 1L).otherwise(0L)).as("d2"),
+        sum(when(col("survivor"), col("n_tok")).otherwise(0L)).as("t2"),
+        sum(when(col("survivor") && col("clean"), 1L).otherwise(0L)).as("d3"),
+        sum(when(col("survivor") && col("clean"), col("n_tok")).otherwise(0L)).as("t3"),
+        sum(when(col("survivor") && col("clean") && col("long_enough"), 1L)
+          .otherwise(0L)).as("d4"),
+        sum(when(col("survivor") && col("clean") && col("long_enough"), col("n_tok"))
+          .otherwise(0L)).as("t4"))
+      .selectExpr(
+        "stack(4, " +
+          "CAST(1 AS BIGINT), 'raw', d1, t1, " +
+          "CAST(2 AS BIGINT), 'dedup', d2, t2, " +
+          "CAST(3 AS BIGINT), 'decontaminated', d3, t3, " +
+          "CAST(4 AS BIGINT), 'exported', d4, t4) " +
+          "AS (stage_ord, stage, n_docs, n_tokens)")
+  }
+
+  private def corpusFunnelSql =
+    s"""WITH RECURSIVE ${Clusters.closureCtes},
+       |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id < $benchMax),
+       |csh AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id >= $benchMax),
+       |hits AS (SELECT doc_id, count(*) AS n_shared FROM csh JOIN bsh USING (s) GROUP BY 1),
+       |f AS (
+       |  SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+       |    COALESCE(c.cid, d.doc_id) = d.doc_id AS survivor,
+       |    COALESCE(h.n_shared, 0) < $contamMin AS clean,
+       |    len(string_split(d.text, ' ')) >= $minTokens AS long_enough
+       |  FROM documents d
+       |  LEFT JOIN cl c ON c.node = d.doc_id
+       |  LEFT JOIN hits h ON h.doc_id = d.doc_id
+       |  WHERE d.doc_id >= $benchMax),
+       |g AS (
+       |  SELECT count(*) AS d1, CAST(sum(n_tok) AS BIGINT) AS t1,
+       |    CAST(sum(CASE WHEN survivor THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+       |    CAST(sum(CASE WHEN survivor THEN n_tok ELSE 0 END) AS BIGINT) AS t2,
+       |    CAST(sum(CASE WHEN survivor AND clean THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+       |    CAST(sum(CASE WHEN survivor AND clean THEN n_tok ELSE 0 END) AS BIGINT) AS t3,
+       |    CAST(sum(CASE WHEN survivor AND clean AND long_enough THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+       |    CAST(sum(CASE WHEN survivor AND clean AND long_enough THEN n_tok ELSE 0 END) AS BIGINT) AS t4
+       |  FROM f)
+       |SELECT CAST(1 AS BIGINT) AS stage_ord, 'raw' AS stage, d1 AS n_docs, t1 AS n_tokens FROM g
+       |UNION ALL SELECT CAST(2 AS BIGINT), 'dedup', d2, t2 FROM g
+       |UNION ALL SELECT CAST(3 AS BIGINT), 'decontaminated', d3, t3 FROM g
+       |UNION ALL SELECT CAST(4 AS BIGINT), 'exported', d4, t4 FROM g""".stripMargin
+
   // P3 `corpus_shard`: token-budget packing — the step AFTER export
   // that lays the corpus out as training shards: within each language,
   // docs (in deterministic doc_id order) are packed into consecutive
@@ -473,6 +541,7 @@ object Pipeline extends OpFamily {
     Op("decontaminate", contamination, Some(decontaminateSql)),
     Op("decontaminate_report", contaminationReport, Some(contaminationReportSql)),
     Op("corpus_export", corpusExport, Some(corpusExportSql)),
+    Op("corpus_funnel", corpusFunnel, Some(corpusFunnelSql)),
     Op("corpus_shard", corpusShard, Some(corpusShardSql)),
     Op("corpus_manifest", corpusManifest, Some(corpusManifestSql)),
     Op("corpus_interleave", corpusInterleave, Some(corpusInterleaveSql)),

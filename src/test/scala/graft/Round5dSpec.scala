@@ -87,6 +87,27 @@ class Round5dSpec extends SparkSpec {
       "per-batch scoring against the broadcast baseline must union to the batch flag set")
   }
 
+  test("corpus_funnel: monotone stages, exported row equals corpus_export") {
+    val rows = run("corpus_funnel").collect()
+      .map(r => r.getAs[Long]("stage_ord") ->
+        (r.getAs[String]("stage"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))
+      .toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L))
+    for (i <- 1L to 3L) {
+      assert(rows(i)._2 >= rows(i + 1)._2, s"docs must not grow at stage ${i + 1}")
+      assert(rows(i)._3 >= rows(i + 1)._3, s"tokens must not grow at stage ${i + 1}")
+    }
+    // the last stage IS the deliverable: doc and token counts must
+    // equal the corpus_export result exactly
+    val export = run("corpus_export").agg(
+      count(lit(1)), sum(col("n_tok"))).head
+    assert(rows(4L)._2 == export.getLong(0))
+    assert(rows(4L)._3 == export.getLong(1))
+    // every stage must actually gate something in the synthetic corpus
+    assert(rows(1L)._2 > rows(2L)._2, "dedup must drop docs")
+    assert(rows(4L)._2 > 0L)
+  }
+
   test("decontaminate_report: fractions bounded, flag is the e4 rule, counts match P1") {
     val rep = run("decontaminate_report").cache()
     assert(rep.filter(col("overlap_e4") < 0L || col("overlap_e4") > 10000L).isEmpty,
