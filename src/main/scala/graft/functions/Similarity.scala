@@ -752,7 +752,36 @@ object Similarity extends OpFamily {
        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rn FROM x)
        |SELECT q_id, vec_id, approx_d2, cos_sim, rn FROM r WHERE rn <= 5""".stripMargin
 
+  // S7 `embedding_qc`: the intake gate for the vector corpus — per
+  // label, vector counts plus exact norm² statistics and a degenerate
+  // (zero-vector) count. Every ANN structure downstream (S1–S6)
+  // silently misbehaves on zero or wildly-scaled vectors (cosine is
+  // undefined at norm 0; IVF cells collapse when norms spread orders
+  // of magnitude), so production pipelines run exactly this QC before
+  // indexing. norm² is the exact int64 quantized dot (the S1 kernel),
+  // so min/max/sum hash-compare across engines. ONE scan, ONE
+  // hash-agg — the cheapest shape there is.
+  private def embeddingQc(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), sqNorm(quantize(col("embedding"))).as("n2"))
+      .groupBy("label").agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("n2") === 0L, 1L).otherwise(0L)).as("n_degenerate"),
+        min(col("n2")).as("min_n2"),
+        max(col("n2")).as("max_n2"),
+        sum(col("n2")).as("sum_n2"))
+
+  private val embeddingQcSql =
+    s"""WITH q AS (SELECT label, ${quantizeSql("embedding")} AS v FROM embeddings),
+       |n AS (SELECT label, ${sqNormSql("v")} AS n2 FROM q)
+       |SELECT label, count(*) AS n_vecs,
+       |  CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate,
+       |  min(n2) AS min_n2, max(n2) AS max_n2,
+       |  CAST(sum(n2) AS BIGINT) AS sum_n2
+       |FROM n GROUP BY 1""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("embedding_qc", embeddingQc, Some(embeddingQcSql)),
     Op("cosine_topk", cosineTopK, Some(cosineTopKSql)),
     Op("ann_lsh", annLsh, Some(annLshSql)),
     Op("ann_ivf", annIvf, Some(annIvfSql)),

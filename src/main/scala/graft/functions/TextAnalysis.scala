@@ -293,6 +293,53 @@ object TextAnalysis extends OpFamily {
       .select("rank", "pair", "n")
   }
 
+  // T16 `vocab_coverage`: the tokenizer-design metric that decides a
+  // vocabulary size — what fraction of corpus TOKENS a top-K word
+  // vocabulary covers, per language (the complement is the OOV rate a
+  // word-level model would eat). K = 16 of the corpus's 31-word bank
+  // so the synthetic coverage is strictly between 0 and 1 per
+  // language. Two passes in the T8 shape: the global frequency
+  // hash-agg picks top-K (a ≤|vocab|-row aggregate; its global rank is
+  // WindowGroupLimit-optimized), broadcast as a membership table onto
+  // a second corpus scan's per-language conditional agg — the corpus
+  // side never shuffles; the rate is an exact e4 integer.
+  private val coverK = 16
+
+  private def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val top = tok.groupBy("w").agg(count(lit(1)).as("wf"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy().orderBy(col("wf").desc, col("w"))))
+      .filter(col("r") <= coverK)
+      .select(col("w"), lit(1L).as("inv"))
+    tok.join(broadcast(top), Seq("w"), "left")
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("inv"), lit(0L))).as("n_covered"))
+      .withColumn("coverage_e4", expr("(n_covered * 10000) div n_tokens"))
+  }
+
+  private val vocabCoverageSql =
+    s"""WITH tk AS (
+       |  SELECT lang, w FROM (
+       |    SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> ''),
+       |vf AS (SELECT w, count(*) AS wf FROM tk GROUP BY 1),
+       |top AS (
+       |  SELECT w FROM (
+       |    SELECT w, row_number() OVER (ORDER BY wf DESC, w) AS r FROM vf)
+       |  WHERE r <= $coverK),
+       |g AS (
+       |  SELECT t.lang, count(*) AS n_tokens,
+       |    CAST(sum(CASE WHEN p.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+       |  FROM tk t LEFT JOIN top p ON p.w = t.w GROUP BY 1)
+       |SELECT lang, n_tokens, n_covered,
+       |  (n_covered * 10000) // n_tokens AS coverage_e4
+       |FROM g""".stripMargin
+
   // T15 `text_bpe_encode`: the trainer loop CLOSED and applied — learn
   // the first K merges iteratively (T13/T14 are iterations 1 and 2 of
   // exactly this loop), then ENCODE every document and report its BPE
@@ -647,5 +694,6 @@ object TextAnalysis extends OpFamily {
     Op("vocab_topk", vocabTopK, Some(vocabTopKSql)),
     Op("vocab_bpe_pairs", bpePairs, Some(bpePairsSql)),
     Op("vocab_bpe_merge", bpeMerge, Some(bpeMergeSql)),
-    Op("text_bpe_encode", bpeEncode, Some(bpeEncodeSql)))
+    Op("text_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
+    Op("vocab_coverage", vocabCoverage, Some(vocabCoverageSql)))
 }

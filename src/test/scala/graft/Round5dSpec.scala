@@ -108,6 +108,45 @@ class Round5dSpec extends SparkSpec {
     assert(rows(4L)._2 > 0L)
   }
 
+  test("embedding_qc: per-label stats bound each other and tile the corpus") {
+    val qc = run("embedding_qc").collect()
+    assert(qc.nonEmpty)
+    var total = 0L
+    qc.foreach { r =>
+      val (n, deg) = (r.getAs[Long]("n_vecs"), r.getAs[Long]("n_degenerate"))
+      val (mn, mx, sm) =
+        (r.getAs[Long]("min_n2"), r.getAs[Long]("max_n2"), r.getAs[Long]("sum_n2"))
+      assert(n > 0L && deg >= 0L && deg <= n)
+      assert(mn >= 0L && mn <= mx)
+      assert(sm >= n * mn && sm <= n * mx, "sum must sit inside [n*min, n*max]")
+      total += n
+    }
+    val all = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(total == all, s"labels must tile the corpus: $total of $all")
+  }
+
+  test("vocab_coverage: rates match a direct recompute and are non-trivial") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("lang", "text").collect().map(r => (r.getString(0), r.getString(1)))
+    val freq = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.foreach { case (_, t) => t.split(" ").filter(_.nonEmpty).foreach(w => freq(w) += 1L) }
+    val top = freq.toSeq.sortBy { case (w, f) => (-f, w) }.take(16).map(_._1).toSet
+    val expect = docs.groupBy(_._1).map { case (lang, ds) =>
+      val toks = ds.flatMap(_._2.split(" ").filter(_.nonEmpty))
+      lang -> ((toks.length.toLong, toks.count(top).toLong))
+    }
+    val got = run("vocab_coverage").collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val (n, c) = expect(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_tokens") == n)
+      assert(r.getAs[Long]("n_covered") == c)
+      assert(r.getAs[Long]("coverage_e4") == c * 10000L / n)
+      // K=16 of a 31-word bank: strictly partial coverage everywhere
+      assert(c > 0L && c < n, "coverage must be non-trivial")
+    }
+  }
+
   test("decontaminate_report: fractions bounded, flag is the e4 rule, counts match P1") {
     val rep = run("decontaminate_report").cache()
     assert(rep.filter(col("overlap_e4") < 0L || col("overlap_e4") > 10000L).isEmpty,
