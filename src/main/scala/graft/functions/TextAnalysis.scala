@@ -365,7 +365,17 @@ object TextAnalysis extends OpFamily {
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("wf"))
-    var vocab = words.withColumn("repr",
+      .cache()
+    // size the trainer loop's frames to the VOCAB, not the corpus (the
+    // CC-loop rule: ~500k rows/partition): the distinct-word table is
+    // orders of magnitude smaller than the corpus at any scale, so the
+    // K rounds shouldn't pay the session's full shuffle width per
+    // iteration — coalesce (no shuffle) to ⌈|vocab|/500k⌉ partitions;
+    // the count() doubles as the cache materialization, so the corpus
+    // is scanned exactly once for the whole trainer
+    val vocabRows = words.count()
+    val loopParts = math.max(1L, vocabRows / 500000L).toInt
+    var vocab = words.coalesce(loopParts).withColumn("repr",
       concat(lit("#"), array_join(split(col("w"), ""), "##"), lit("#")))
     for (_ <- 1 to bpeMerges) {
       val withSyms = vocab.withColumn("a",
