@@ -141,6 +141,57 @@ object Pipeline extends OpFamily {
        |  AND COALESCE(h.n_shared, 0) < $contamMin
        |  AND len(string_split(d.text, ' ')) >= $minTokens""".stripMargin
 
+  // P12 `benchmark_leakage`: decontamination's TRANSPOSE — per
+  // benchmark doc, how many corpus docs it leaked into (≥ contamMin
+  // shared shingles), the worst overlap, and the total shared mass.
+  // P1/P10 answer "is this training doc dirty"; an eval owner asks the
+  // dual: "which of MY items are compromised, and how badly" — that
+  // decides whether the benchmark score is still meaningful at all.
+  // Pair-level counts keep the benchmark side BROADCAST (it is tiny at
+  // any corpus scale), the corpus side streams through one shingle
+  // pass unshuffled until the per-(bench,corpus-doc) hash-agg; bench
+  // docs with no confirmed leaks still appear with zeros (left join,
+  // shuffle-hash hinted — the tiny aggregated side builds the table).
+  private def benchmarkLeakage(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.shingled(s, d)
+    val bench = sh.filter(col("doc_id") < benchMax)
+      .select(col("doc_id").as("bdoc"), col("s")).distinct()
+    val corp = sh.filter(col("doc_id") >= benchMax).distinct()
+    val pairs = corp.join(broadcast(bench), "s")
+      .groupBy("bdoc", "doc_id").agg(count(lit(1)).as("shared"))
+    val perBench = pairs.filter(col("shared") >= contamMin)
+      .groupBy("bdoc").agg(
+        count(lit(1)).as("n_docs_hit"),
+        max(col("shared")).as("max_shared"),
+        sum(col("shared")).as("total_shared"))
+    Tables.documents(s, d).filter(col("doc_id") < benchMax)
+      .select(col("doc_id").as("bdoc"))
+      .join(perBench.hint("shuffle_hash"), Seq("bdoc"), "left")
+      .select(col("bdoc"),
+        coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"),
+        coalesce(col("total_shared"), lit(0L)).as("total_shared"))
+  }
+
+  private def benchmarkLeakageSql =
+    s"""WITH $contaminationCtes,
+       |bsh2 AS (SELECT DISTINCT doc_id AS bdoc, s FROM sh WHERE doc_id < $benchMax),
+       |pairs AS (
+       |  SELECT b.bdoc, c.doc_id, count(*) AS shared
+       |  FROM csh c JOIN bsh2 b ON b.s = c.s
+       |  GROUP BY 1, 2),
+       |pb AS (
+       |  SELECT bdoc, count(*) AS n_docs_hit,
+       |    max(shared) AS max_shared,
+       |    CAST(sum(shared) AS BIGINT) AS total_shared
+       |  FROM pairs WHERE shared >= $contamMin GROUP BY 1)
+       |SELECT d.doc_id AS bdoc,
+       |  COALESCE(pb.n_docs_hit, 0) AS n_docs_hit,
+       |  COALESCE(pb.max_shared, 0) AS max_shared,
+       |  COALESCE(pb.total_shared, 0) AS total_shared
+       |FROM documents d LEFT JOIN pb ON pb.bdoc = d.doc_id
+       |WHERE d.doc_id < $benchMax""".stripMargin
+
   // P11 `corpus_funnel`: the pipeline's survival dashboard — docs AND
   // tokens remaining after each gate (raw → dedup survivors →
   // decontaminated → exported), the first artifact any corpus review
@@ -540,6 +591,7 @@ object Pipeline extends OpFamily {
   override def ops: Seq[Op] = Seq(
     Op("decontaminate", contamination, Some(decontaminateSql)),
     Op("decontaminate_report", contaminationReport, Some(contaminationReportSql)),
+    Op("benchmark_leakage", benchmarkLeakage, Some(benchmarkLeakageSql)),
     Op("corpus_export", corpusExport, Some(corpusExportSql)),
     Op("corpus_funnel", corpusFunnel, Some(corpusFunnelSql)),
     Op("corpus_shard", corpusShard, Some(corpusShardSql)),

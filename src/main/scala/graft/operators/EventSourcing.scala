@@ -381,6 +381,34 @@ object EventSourcing extends OpFamily {
        |  CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_value_c
        |FROM events GROUP BY 1""".stripMargin
 
+  // E22 `es_reshard`: the scale-out migration plan — when the shard
+  // count doubles (16 → 32 here), which aggregates move where and how
+  // much log has to be replayed to rebuild their state on the new
+  // owner. Surge computes exactly this view on a rebalance
+  // (`KafkaConsumerStateTrackingActor` / `PartitionAssignments` track
+  // per-partition assignment changes and the engine replays the moved
+  // partitions' state). Mod-hash doubling splits each old shard into
+  // exactly two new ones (uid%32 ∈ {uid%16, uid%16+16}), so the plan
+  // is ≤ 2·nShards rows from ONE hash-agg over one scan — the
+  // n_events column per moving row IS the replay cost of the move.
+  private def reshard(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(
+        pmod(col("user_id"), lit(nShards)).as("old_shard"),
+        pmod(col("user_id"), lit(2L * nShards)).as("new_shard"))
+      .agg(
+        countDistinct(col("user_id")).as("n_aggregates"),
+        count(lit(1)).as("n_events"))
+      .withColumn("moves", col("old_shard") =!= col("new_shard"))
+
+  private val reshardSql =
+    s"""SELECT user_id % $nShards AS old_shard,
+       |  user_id % ${2 * nShards} AS new_shard,
+       |  count(DISTINCT user_id) AS n_aggregates,
+       |  count(*) AS n_events,
+       |  user_id % $nShards <> user_id % ${2 * nShards} AS moves
+       |FROM events GROUP BY 1, 2""".stripMargin
+
   // E15 `es_latest_n`: the recent-events read — the last 5 events per
   // aggregate (the event-log tail a CQRS debugger/UI fetches next to
   // the state). Served by the custom sort-free TopKPerKey operator:
@@ -555,6 +583,7 @@ object EventSourcing extends OpFamily {
       |  SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 3)""".stripMargin
 
   override def ops: Seq[Op] = Seq(
+    Op("es_reshard", reshard, Some(reshardSql)),
     Op("es_running_state", runningState, Some(runningStateSql)),
     Op("es_fold_salted", stateFoldSalted, Some(foldSql(""))),
     Op("es_latest_state", latestState, Some(latestStateSql)),

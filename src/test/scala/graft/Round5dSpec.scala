@@ -147,6 +147,49 @@ class Round5dSpec extends SparkSpec {
     }
   }
 
+  test("es_reshard: mod-doubling splits every shard in two and tiles the log") {
+    val plan = run("es_reshard").cache()
+    val rows = plan.collect()
+    rows.foreach { r =>
+      val (o, n) = (r.getAs[Long]("old_shard"), r.getAs[Long]("new_shard"))
+      assert(n == o || n == o + 16L, s"doubling must split in place: $r")
+      assert(r.getAs[Boolean]("moves") == (n != o))
+      assert(r.getAs[Long]("n_aggregates") > 0L)
+    }
+    // an old shard yields at most its two new halves (at the tiny spec
+    // scale a shard's users can all land in one half), never a dup
+    rows.groupBy(_.getAs[Long]("old_shard")).foreach { case (_, rs) =>
+      assert(rs.length >= 1 && rs.length <= 2)
+      assert(rs.map(_.getAs[Long]("new_shard")).distinct.length == rs.length)
+    }
+    // at sf0.001 every user_id < 16 ⇒ nothing moves; prove the plan
+    // contains real migrations one scale up, where ids exceed 16
+    val at01 = SparkEntry.queries("es_reshard")(spark, "/root/testdata/sf0.01")
+    assert(at01.filter(col("moves")).count() > 0L,
+      "the plan must contain actual migrations at sf0.01")
+    // the plan tiles the log: event and aggregate counts sum to totals
+    val ev = graft.sources.Tables.events(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_events")).sum == ev.count())
+    assert(rows.map(_.getAs[Long]("n_aggregates")).sum ==
+      ev.select(countDistinct(col("user_id"))).head.getLong(0))
+  }
+
+  test("benchmark_leakage: every bench doc reported, stats self-consistent") {
+    val rep = run("benchmark_leakage").collect()
+    assert(rep.length == 20, "one row per benchmark doc, hits or not")
+    rep.foreach { r =>
+      val (h, mx, tot) = (r.getAs[Long]("n_docs_hit"),
+        r.getAs[Long]("max_shared"), r.getAs[Long]("total_shared"))
+      if (h == 0L) assert(mx == 0L && tot == 0L)
+      else {
+        assert(mx >= 5L, "a confirmed leak shares at least contamMin shingles")
+        assert(tot >= h * 5L && mx <= tot)
+      }
+    }
+    assert(rep.exists(_.getAs[Long]("n_docs_hit") > 0L),
+      "the synthetic corpus plants real contamination")
+  }
+
   test("decontaminate_report: fractions bounded, flag is the e4 rule, counts match P1") {
     val rep = run("decontaminate_report").cache()
     assert(rep.filter(col("overlap_e4") < 0L || col("overlap_e4") > 10000L).isEmpty,
