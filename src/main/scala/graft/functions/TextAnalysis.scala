@@ -359,13 +359,14 @@ object TextAnalysis extends OpFamily {
   // after the initial vocab hash-agg.
   private val bpeMerges = 6
 
-  private def bpeEncode(s: SparkSession, d: String): DataFrame = {
+  /** Learn `merges` BPE merges over a (w, wf) vocabulary frame and
+    * return (w, nt): each word's token count under the learned
+    * merges. Factored out so the property spec can drive it with
+    * adversarial generated vocabularies (repeated-char chains are
+    * where greedy-replace schemes break). */
+  private[graft] def bpeLearnEncode(words0: DataFrame, merges: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val words = Tables.documents(s, d)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy("w").agg(count(lit(1)).as("wf"))
-      .cache()
+    val words = words0.cache()
     // size the trainer loop's frames to the VOCAB, not the corpus (the
     // CC-loop rule: ~500k rows/partition): the distinct-word table is
     // orders of magnitude smaller than the corpus at any scale, so the
@@ -377,7 +378,7 @@ object TextAnalysis extends OpFamily {
     val loopParts = math.max(1L, vocabRows / 500000L).toInt
     var vocab = words.coalesce(loopParts).withColumn("repr",
       concat(lit("#"), array_join(split(col("w"), ""), "##"), lit("#")))
-    for (_ <- 1 to bpeMerges) {
+    for (_ <- 1 to merges) {
       val withSyms = vocab.withColumn("a",
         filter(split(col("repr"), "#"), x => x =!= ""))
       val pairs = withSyms.filter(size(col("a")) >= 2)
@@ -402,9 +403,17 @@ object TextAnalysis extends OpFamily {
         .select("w", "wf", "repr")
         .localCheckpoint()
     }
-    val enc = vocab.withColumn("nt",
+    vocab.withColumn("nt",
       size(filter(split(col("repr"), "#"), x => x =!= "")).cast("long"))
       .select("w", "nt")
+  }
+
+  private def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+    val enc = bpeLearnEncode(words, bpeMerges)
     Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
