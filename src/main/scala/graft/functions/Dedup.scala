@@ -244,21 +244,20 @@ object Dedup extends OpFamily {
   // doc_b > T. Oracle = D2's full-corpus candidate set filtered the
   // same way, proving the incremental path EQUALS the full recompute
   // restricted to what a new batch can introduce.
-  private val builtIncIdx =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   private[graft] def incThreshold(s: SparkSession, d: String): Long =
     Tables.documents(s, d).agg(max(col("doc_id"))).head.getLong(0) * 4L / 5L
 
-  /** The D9 probe, shared with D10's admission verdict. */
+  /** The D9 probe, shared with D10's admission verdict. The persisted
+    * band index commits via [[Tables.buildOnce]] (staged write + atomic
+    * rename behind a per-path lock — racing callers block, never read a
+    * half-written index). */
   private[functions] def incPairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val t = incThreshold(s, d)
     val path = s"${Tables.workDir(s)}/dedup_inc_idx_" +
       java.lang.Integer.toHexString(d.hashCode)
-    if (builtIncIdx.add(path))
-      bandsOfDocs(docs.filter(col("doc_id") <= t), nBands, nHashes / nBands)
-        .write.mode("overwrite").parquet(path)
+    Tables.buildOnce(path)(
+      bandsOfDocs(docs.filter(col("doc_id") <= t), nBands, nHashes / nBands))
     val oldIdx = s.read.parquet(path)
     val newBands = bandsOfDocs(docs.filter(col("doc_id") > t),
       nBands, nHashes / nBands).cache()

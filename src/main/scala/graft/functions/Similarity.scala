@@ -131,17 +131,15 @@ object Similarity extends OpFamily {
     * (dynamic partition pruning — spec-asserted). Partition columns are
     * written as INT: partition discovery reads them back as int, and a
     * probe key of the same type keeps the scan-side join key a bare
-    * attribute — a cast there would defeat DPP. */
-  private val builtIdx = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
+    * attribute — a cast there would defeat DPP. Built through
+    * [[Tables.buildOnce]]: staged write + atomic rename behind a
+    * per-path lock, so a concurrent caller blocks until the committed
+    * index exists instead of racing a half-written path. */
   private def persistedIndex(s: SparkSession, d: String, name: String,
       parts: String*)(build: => DataFrame): DataFrame = {
     val path = s"${Tables.workDir(s)}/${name}_" +
       java.lang.Integer.toHexString(d.hashCode)
-    if (builtIdx.add(path)) {
-      val w = build.write.mode("overwrite")
-      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path)
-    }
+    Tables.buildOnce(path, parts)(build)
     s.read.parquet(path)
   }
 

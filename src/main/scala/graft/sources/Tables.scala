@@ -68,6 +68,39 @@ object Tables {
     dir
   }
 
+  /** Build-once materialization with an ATOMIC commit — for persisted
+    * index layouts (ANN buckets/cells/codes, the incremental dedup band
+    * index). The dataset is written to an underscore-prefixed staging
+    * dir (invisible to readers) and published by one atomic rename; a
+    * per-path lock makes a concurrent caller that loses the race BLOCK
+    * until the winner's rename lands instead of reading a half-written
+    * path. A crash mid-build leaves only invisible staging garbage that
+    * the next call overwrites. */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  def buildOnce(path: String, partitionCols: Seq[String] = Nil)(
+      build: => DataFrame): Unit = {
+    val dst = new java.io.File(path)
+    if (dst.exists()) return
+    val lock = buildLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized {
+      if (!dst.exists()) {
+        val stg = new java.io.File(dst.getParentFile, "_staging_" + dst.getName)
+        def rec(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rec)); f.delete(); ()
+        }
+        rec(stg)
+        val w = build.write.mode("overwrite")
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+          .parquet(stg.getPath)
+        java.nio.file.Files.move(stg.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
+      }
+    }
+  }
+
   private val cleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 

@@ -74,12 +74,29 @@ object LiveStore {
 
   /** The committed, live store roots: newest base + deltas past it.
     * `_staging_*` dirs are never listed — uncommitted writes are
-    * invisible to every reader by construction. */
+    * invisible to every reader by construction. Dirs RETIRED by a
+    * compaction (older bases, deltas at or below the newest base's
+    * version) are equally invisible here, but stay on disk for one
+    * grace cycle — see [[staleDirs]]. */
   private def livePaths(dir: String): Seq[String] = {
     val base = baseDirOf(dir)
     val v = base.map(_._1).getOrElse(-1L)
     base.map(_._2.getPath).toSeq ++
       deltaDirs(dir).collect { case (id, f) if id > v => f.getPath }
+  }
+
+  /** Dirs a PREVIOUS compaction retired: every base but the newest,
+    * and deltas already folded into it. New readers never list them
+    * ([[livePaths]] filters by version), but a scan that planned over
+    * the old roots may still be draining — so retirement is deferred
+    * one full compaction cycle instead of deleting inputs the moment
+    * the new base lands (deleting eagerly would hand an in-flight scan
+    * a FileNotFoundException; planning-time atomicity alone doesn't
+    * cover execution). */
+  private def staleDirs(dir: String): Seq[java.io.File] = {
+    val v = baseDirOf(dir).map(_._1).getOrElse(-1L)
+    subdirs(dir, "base_v").filter(_.getName.stripPrefix("base_v").toLong < v) ++
+      deltaDirs(dir).collect { case (id, f) if id <= v => f }
   }
 
   /** base ∪ live deltas, one scan per root (a multi-path read would
@@ -126,7 +143,11 @@ object LiveStore {
     publish(s,
       EventSourcing.packedState(batch).withColumn("shard", shardOf(col("user_id"))),
       dir, s"delta_b$batchId")
-    if (deltaDirs(dir).size > compactEvery) compact(s, dir, purgeTombstones = false)
+    // trigger on LIVE deltas only — retired ones awaiting their grace
+    // deletion don't add read fan-in
+    val v = baseDirOf(dir).map(_._1).getOrElse(-1L)
+    if (deltaDirs(dir).count(_._1 > v) > compactEvery)
+      compact(s, dir, purgeTombstones = false)
   }
 
   /** Fold base + live deltas into a new base and retire the inputs —
@@ -139,6 +160,9 @@ object LiveStore {
     * later batch would resurrect the key the tombstone killed. */
   private[graft] def compact(s: SparkSession, dir: String,
       purgeTombstones: Boolean): Unit = {
+    // drain the grace period: dirs the PREVIOUS compaction retired have
+    // had a full cycle for in-flight scans to finish — delete them now
+    staleDirs(dir).foreach(deleteRec)
     val base = baseDirOf(dir)
     val deltas = deltaDirs(dir).filter { case (id, _) => id > base.map(_._1).getOrElse(-1L) }
     if (deltas.isEmpty && !(purgeTombstones && base.isDefined)) return
@@ -168,12 +192,11 @@ object LiveStore {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       deleteRec(retired)
     } else publish(s, kept, dir, s"base_v$upTo")
-    // inputs retire AFTER the new base is visible (the collision branch
-    // already swapped its old base out); a reader planning in between
-    // sees either (old base + deltas) or the new base — both merge to
-    // the same rows
-    (base.map(_._2).toSeq ++ deltas.map(_._2))
-      .filterNot(_.getName == target.getName).foreach(deleteRec)
+    // inputs are now RETIRED, not deleted: the new base outranks them so
+    // no new reader lists them, while a scan that planned over the old
+    // roots keeps its files until the NEXT compaction's grace drain. (A
+    // reader planning mid-publish sees either (old base + deltas) or
+    // the new base — both merge to the same rows.)
   }
 
   private val tombstoneCode = 1L // evTypes.indexOf("error")

@@ -105,11 +105,14 @@ object Streams extends OpFamily {
     * merges across batches commutatively, but a watermarked stage
     * (stream_dedup) would drop a whole batch that arrived >1h behind
     * the watermark a later-data batch had already advanced. Ascending
-    * names AND mtimes make the file source replay them in order. */
-  private def splitSource(s: SparkSession, d: String): String =
-    splitCache.computeIfAbsent(d, _ => {
-      val base = s"${Tables.workDir(s)}/events_split_" +
-        java.lang.Integer.toHexString(d.hashCode)
+    * names AND mtimes make the file source replay them in order.
+    * Cache key = the full TARGET path (workDir is session-specific): a
+    * second session in this JVM with a different scratch root must
+    * build its own split, not reuse a path another session owns. */
+  private def splitSource(s: SparkSession, d: String): String = {
+    val target = s"${Tables.workDir(s)}/events_split_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    splitCache.computeIfAbsent(target, base => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = s.read.parquet(s"$d/events.parquet")
       // range partition = chronological thirds; ts may be raw int64
@@ -135,6 +138,7 @@ object Streams extends OpFamily {
       }
       base
     })
+  }
 
   /** Streaming source over the driver's events table (file source —
     * stands in for the Kafka source, which carries the same
@@ -595,10 +599,11 @@ object Streams extends OpFamily {
   private val docSplitCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def docSplitSource(s: SparkSession, d: String): String =
-    docSplitCache.computeIfAbsent(d, _ => {
-      val base = s"${Tables.workDir(s)}/docs_split_" +
-        java.lang.Integer.toHexString(d.hashCode)
+  // cache key = full target path (session-specific workDir), like splitSource
+  private def docSplitSource(s: SparkSession, d: String): String = {
+    val target = s"${Tables.workDir(s)}/docs_split_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    docSplitCache.computeIfAbsent(target, base => {
       val t = graft.functions.Dedup.incThreshold(s, d)
       val tagged = Tables.documents(s, d).filter(col("doc_id") > t)
         .repartitionByRange(sourceBatches, col("doc_id"))
@@ -622,11 +627,36 @@ object Streams extends OpFamily {
       }
       base
     })
+  }
 
   // growing stores are per-invocation (append-only across the run's
   // batches, fresh seed on every op call — a rerun must not see the
   // previous run's appends)
   private val admitInvocations = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Append one micro-batch's index rows as a committed `delta_b<id>`
+    * directory (staged write + atomic rename — the LiveStore pattern),
+    * so the growth is IDEMPOTENT under foreachBatch's at-least-once
+    * contract: a redelivered batch finds its committed dir and returns
+    * instead of appending duplicate rows. Readers list the root
+    * recursively; `_staging_*` stays invisible (underscore-prefixed
+    * paths are filtered from every Spark file listing). */
+  private def appendBatchOnce(df: DataFrame, root: String, id: Long): Unit = {
+    val dst = new java.io.File(root, s"delta_b$id")
+    if (dst.exists()) return
+    val stg = new java.io.File(root, s"_staging_b$id")
+    def rec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rec)); f.delete(); ()
+    }
+    rec(stg)
+    df.write.mode("overwrite").parquet(stg.getPath)
+    java.nio.file.Files.move(stg.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  private def readGrown(s: SparkSession, root: String): DataFrame =
+    s.read.option("recursiveFileLookup", "true").parquet(root)
 
   private def streamAdmit(s: SparkSession, d: String): DataFrame = {
     import graft.functions.Dedup
@@ -651,11 +681,11 @@ object Streams extends OpFamily {
             .select(col("doc_id"), md5(col("text")).as("h"))
             .localCheckpoint(true)
           val exact = digests.alias("n")
-            .join(s2.read.parquet(digestPath).unionByName(digests).alias("o"),
+            .join(readGrown(s2, digestPath).unionByName(digests).alias("o"),
               col("o.h") === col("n.h") && col("o.doc_id") < col("n.doc_id"))
             .groupBy(col("n.doc_id").as("doc_id"))
             .agg(min(col("o.doc_id")).as("exact_of"))
-          val near = s2.read.parquet(bandsPath).unionByName(bands).alias("a")
+          val near = readGrown(s2, bandsPath).unionByName(bands).alias("a")
             .join(bands.hint("shuffle_hash").alias("b"),
               col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
                 col("a.doc_id") < col("b.doc_id"))
@@ -672,9 +702,11 @@ object Streams extends OpFamily {
                 .otherwise("keep").as("verdict"),
               coalesce(col("exact_of"), col("near_of")).as("dup_of"))
             .write.mode("overwrite").parquet(s"$outDir/b_$id")
-          // the graded batch is now part of the corpus: grow the index
-          bands.write.mode("append").parquet(bandsPath)
-          digests.write.mode("append").parquet(digestPath)
+          // the graded batch is now part of the corpus: grow the index —
+          // as a committed per-batch delta dir, so a redelivered batch
+          // cannot append its rows twice
+          appendBatchOnce(bands, bandsPath, id)
+          appendBatchOnce(digests, digestPath, id)
           ()
         }
         .start()

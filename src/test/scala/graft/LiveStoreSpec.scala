@@ -96,14 +96,29 @@ class LiveStoreSpec extends SparkSpec {
       .select(want.columns.map(col): _*)
     assert(got.except(want).count() == 0 && want.except(got).count() == 0)
 
-    // compaction folds base+deltas to one base with the same contents
-    LiveStore.compact(spark, dir, purgeTombstones = false)
-    val dirsNow = Option(new java.io.File(dir).listFiles()).get
+    // compaction folds base+deltas to one base with the same contents.
+    // Retired inputs stay on disk for ONE grace cycle (an in-flight
+    // scan that planned over the old roots must be able to drain) but
+    // are INVISIBLE to any new reader — the snapshot comes from the
+    // new base alone.
+    def storeDirs() = Option(new java.io.File(dir).listFiles()).get
       .filter(_.isDirectory).map(_.getName).toSet
-    assert(dirsNow.exists(_.startsWith("base_v")) && !dirsNow.exists(_.startsWith("delta_b")),
-      s"compaction should retire every delta: $dirsNow")
+    LiveStore.compact(spark, dir, purgeTombstones = false)
+    val dirsNow = storeDirs()
+    assert(dirsNow.exists(_.startsWith("base_v")),
+      s"compaction should publish a new base: $dirsNow")
+    assert(dirsNow.exists(_.startsWith("delta_b")),
+      s"retired deltas must survive the grace cycle for in-flight scans: $dirsNow")
     val got2 = LiveStore.snapshot(spark, dir).select(want.columns.map(col): _*)
     assert(got2.except(want).count() == 0 && want.except(got2).count() == 0)
+    // the NEXT compaction cycle drains the grace period: retired dirs
+    // are physically deleted, contents unchanged
+    LiveStore.compact(spark, dir, purgeTombstones = false)
+    val dirsAfter = storeDirs()
+    assert(!dirsAfter.exists(_.startsWith("delta_b")),
+      s"the next cycle must delete dirs retired a cycle ago: $dirsAfter")
+    val got3 = LiveStore.snapshot(spark, dir).select(want.columns.map(col): _*)
+    assert(got3.except(want).count() == 0 && want.except(got3).count() == 0)
     ()
   }
 

@@ -99,11 +99,20 @@ class Round5cSpec extends SparkSpec {
       .listFiles().filter(_.getName.startsWith("admit_bands_"))
     assert(stores.nonEmpty)
     val latest = stores.maxBy(_.lastModified)
-    val storeRows = spark.read.parquet(latest.getPath).count()
+    // seed rows sit at the root, each graded batch under a committed
+    // delta_b<id> dir (the idempotent-append layout) — list recursively
+    val storeRows = spark.read.option("recursiveFileLookup", "true")
+      .parquet(latest.getPath).count()
     val fullRows = graft.functions.Dedup
       .bandRows(graft.sources.Tables.documents(spark, sf)).count()
     assert(storeRows == fullRows,
       s"store holds $storeRows band rows, full corpus has $fullRows")
+    // idempotence: every batch landed as a committed delta dir; a
+    // redelivery would find its dir and not double-append
+    val deltas = Option(latest.listFiles()).get
+      .filter(f => f.isDirectory && f.getName.startsWith("delta_b"))
+    assert(deltas.length == graft.streaming.Streams.sourceBatches,
+      s"expected one committed delta per micro-batch, got ${deltas.map(_.getName).toSeq}")
   }
 
   test("stream_slo_burn: the live paging view equals the batch audit") {
