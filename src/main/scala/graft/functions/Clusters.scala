@@ -154,6 +154,40 @@ object Clusters extends OpFamily {
        |  COALESCE(c.cid, d.doc_id) = d.doc_id AS keep
        |FROM documents d LEFT JOIN cl c ON c.node = d.doc_id""".stripMargin
 
+  // D12 `dedup_stats`: the duplication REPORT over the cluster table —
+  // for each cluster size, how many clusters, how many documents they
+  // hold, and how many are excess copies the dedup pass removes. This
+  // one table answers "how duplicated is this corpus and what does
+  // dedup buy" (the number every pipeline review opens with), and its
+  // tail rows expose pathological mega-clusters (boilerplate explosions)
+  // that warrant a threshold look. Two hash-aggs over the memoized
+  // label table — sizes then the size histogram — so the corpus-scale
+  // work is D6's, already amortized; singleton docs enter as size-1
+  // clusters via the same left join dedup_clusters uses.
+  private def dedupStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(pairLabels(s, d), Seq("doc_id"), "left")
+      .select(coalesce(col("lab"), col("doc_id")).as("cid"))
+      .groupBy("cid").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_excess"))
+
+  private def dedupStatsSql =
+    s"""WITH RECURSIVE $closureCtes,
+       |sz AS (
+       |  SELECT COALESCE(c.cid, d.doc_id) AS cid, count(*) AS sz
+       |  FROM documents d LEFT JOIN cl c ON c.node = d.doc_id
+       |  GROUP BY 1),
+       |h AS (SELECT sz AS cluster_size, count(*) AS n_clusters FROM sz GROUP BY 1)
+       |SELECT cluster_size, n_clusters,
+       |  cluster_size * n_clusters AS n_docs,
+       |  (cluster_size - 1) * n_clusters AS n_excess
+       |FROM h""".stripMargin
+
   override def ops: Seq[Op] = Seq(
-    Op("dedup_clusters", dedupClusters, Some(dedupClustersSql)))
+    Op("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    Op("dedup_stats", dedupStats, Some(dedupStatsSql)))
 }

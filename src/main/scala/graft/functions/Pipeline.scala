@@ -462,6 +462,37 @@ object Pipeline extends OpFamily {
       .filter(col("bucket_e4") < col("rate_e4"))
   }
 
+  // P13 `corpus_split`: the deterministic train/validation/test
+  // assignment (90/5/5) every training run needs before anything else.
+  // The split key is a salted content hash, NOT doc_id or a random()
+  // draw: reruns, engines, and partitionings agree byte-for-byte, and
+  // a re-crawled duplicate of a training document can never leak into
+  // the held-out splits (same bytes ⇒ same bucket — the leakage mode
+  // row-id splits silently have). Pure projection over one scan: zero
+  // shuffles, trivially 100 TB-safe.
+  private def corpusSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        expr("cast(conv(substr(md5(concat('split:', text)), 1, 8), 16, 10) as bigint) % 10000")
+          .as("bucket_e4"))
+      .withColumn("split",
+        when(col("bucket_e4") < 9000, "train")
+          .when(col("bucket_e4") < 9500, "validation")
+          .otherwise("test"))
+
+  private val corpusSplitSql =
+    """WITH b AS (
+      |  SELECT doc_id, lang,
+      |    CAST(list_sum(list_transform(range(1, 9), i ->
+      |      (strpos('0123456789abcdef', substr(md5('split:' || text), CAST(i AS INT), 1)) - 1)
+      |        * CAST(pow(16, 8 - i) AS BIGINT))) AS BIGINT) % 10000 AS bucket_e4
+      |  FROM documents)
+      |SELECT doc_id, lang, bucket_e4,
+      |  CASE WHEN bucket_e4 < 9000 THEN 'train'
+      |       WHEN bucket_e4 < 9500 THEN 'validation'
+      |       ELSE 'test' END AS split
+      |FROM b""".stripMargin
+
   private val corpusMixSql =
     """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
       |m AS (SELECT min(n_lang) AS n_min FROM c),
@@ -558,8 +589,10 @@ object Pipeline extends OpFamily {
       .withColumn("keep", col("reason").isNull)
   }
 
-  private val corpusFilterSql =
-    """WITH base AS (
+  /** P5's verdict CTE chain ending in `v(doc_id, n_tok, reason)` —
+    * shared with the source_quality report's oracle. */
+  private val corpusFilterCtes =
+    """base AS (
       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
       |    CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a'], t))) AS BIGINT) AS n_stop
       |  FROM documents),
@@ -585,10 +618,68 @@ object Pipeline extends OpFamily {
       |         WHEN (n_tri - n_tri_d) * 20 > n_tri THEN 'repetitive'
       |         WHEN n_rare * 10 > n_bi THEN 'rare_heavy'
       |         WHEN n_stop * 20 < n_tok THEN 'low_stopword' END AS reason
-      |  FROM j)
-      |SELECT doc_id, n_tok, reason, reason IS NULL AS keep FROM v""".stripMargin
+      |  FROM j)""".stripMargin
+
+  private val corpusFilterSql =
+    s"""WITH $corpusFilterCtes
+       |SELECT doc_id, n_tok, reason, reason IS NULL AS keep FROM v""".stripMargin
+
+  // P14 `source_quality`: the per-SOURCE scorecard — for every crawl
+  // source: volume (docs, tokens), exact-duplication rate, and the P5
+  // quality-gate failure rate, both as exact e4 shares. This is the
+  // table a data team reads to decide which sources to keep, re-crawl,
+  // or drop ("is source X worth its storage?") — the per-source
+  // transpose of the per-doc verdicts P5 and D1 already compute.
+  // Plan: the dup probe is the T8 pre-aggregated shape (digest counts
+  // hash-agg, shuffle-hash joined back — uniform md5 key, no skew);
+  // the verdict join reuses P5's frame; one final hash-agg to
+  // |sources| rows. The corpus is scanned, never sorted.
+  private def sourceQuality(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dupCounts = docs.select(md5(col("text")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("hn"))
+      .filter(col("hn") > 1)
+    val flags = docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        md5(col("text")).as("h"))
+      .join(dupCounts.hint("shuffle_hash"), Seq("h"), "left")
+    flags.join(corpusFilter(s, d).select(col("doc_id"), col("keep"))
+        .hint("shuffle_hash"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("hn").isNotNull, 1L).otherwise(0L)).as("n_dup"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_fail"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_dup"), col("n_fail"),
+        expr("(10000 * n_dup) div n_docs").as("dup_share_e4"),
+        expr("(10000 * n_fail) div n_docs").as("fail_share_e4"))
+  }
+
+  private val sourceQualitySql =
+    s"""WITH $corpusFilterCtes,
+       |hs AS (SELECT md5(text) AS h, count(*) AS hn FROM documents GROUP BY 1),
+       |fl AS (
+       |  SELECT d.source, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+       |    hs.hn > 1 AS is_dup, v.reason IS NULL AS keep
+       |  FROM documents d
+       |  JOIN hs ON hs.h = md5(d.text)
+       |  JOIN v ON v.doc_id = d.doc_id),
+       |g AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |    CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_fail
+       |  FROM fl GROUP BY 1)
+       |SELECT source, n_docs, n_tokens, n_dup, n_fail,
+       |  CAST((10000 * n_dup) // n_docs AS BIGINT) AS dup_share_e4,
+       |  CAST((10000 * n_fail) // n_docs AS BIGINT) AS fail_share_e4
+       |FROM g""".stripMargin
 
   override def ops: Seq[Op] = Seq(
+    Op("source_quality", sourceQuality, Some(sourceQualitySql)),
     Op("decontaminate", contamination, Some(decontaminateSql)),
     Op("decontaminate_report", contaminationReport, Some(contaminationReportSql)),
     Op("benchmark_leakage", benchmarkLeakage, Some(benchmarkLeakageSql)),
@@ -598,6 +689,7 @@ object Pipeline extends OpFamily {
     Op("corpus_manifest", corpusManifest, Some(corpusManifestSql)),
     Op("corpus_interleave", corpusInterleave, Some(corpusInterleaveSql)),
     Op("corpus_pack", corpusPack, Some(corpusPackSql)),
+    Op("corpus_split", corpusSplit, Some(corpusSplitSql)),
     Op("corpus_mix", corpusMix, Some(corpusMixSql)),
     Op("corpus_upsample", corpusUpsample, Some(corpusUpsampleSql)),
     Op("corpus_filter", corpusFilter, Some(corpusFilterSql)))

@@ -698,7 +698,56 @@ object TextAnalysis extends OpFamily {
        |       ELSE 'tail' END AS band
        |FROM sc""".stripMargin
 
+  // T17 `text_keywords`: the characteristic terms per language — the
+  // tf/df keyword ranking a corpus review uses to see WHAT each slice
+  // is actually about (domain drift, crawl contamination, spam vocab
+  // all show up here first). The score is the exact e4 relevance
+  // ratio (10000·tf) div df — term frequency in the slice against
+  // corpus-wide document frequency. (The classic log-idf form is
+  // available via T12's floor-log2 trick, but on a BOUNDED vocabulary
+  // it collapses to idf ∈ {0,1} and ranks nothing; the linear ratio
+  // orders the same way where log-idf discriminates and keeps
+  // discriminating where it doesn't — and stays pure int64: tf ≤ 1e12
+  // tokens × 1e4 fits long.) Plan shape at 100 TB: two bucketed
+  // corpus hash-aggs (term freq per language, doc freq over the
+  // corpus) joined on the VOCAB-sized key (shuffle-hash — never
+  // sorts), then the custom sort-free TopKPerKey heap for the
+  // per-language top-10. Ties break on the md5-derived token id
+  // (engine-neutral — raw string collation is not).
+  private def textKeywords(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val dfreq = tok.select(col("doc_id"), col("token")).distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val tf = tok.groupBy("lang", "token").agg(count(lit(1)).as("tf"))
+    val scored = tf.join(dfreq.hint("shuffle_hash"), "token")
+      .withColumn("score_e4", expr("(10000 * tf) div df"))
+      .withColumn("tid", expr("cast(conv(substr(md5(token), 1, 15), 16, 10) as bigint)"))
+    graft.plans.TopK.topKPerKey(scored, 10, "lang", "score_e4", "tid")
+      .select("lang", "token", "tf", "df", "score_e4")
+  }
+
+  private val textKeywordsSql =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tk AS (SELECT * FROM tok WHERE token <> ''),
+      |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tk GROUP BY 1),
+      |tf AS (SELECT lang, token, count(*) AS tf FROM tk GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT lang, t.token, tf, df,
+      |    CAST((10000 * tf) // df AS BIGINT) AS score_e4,
+      |    CAST(list_sum(list_transform(range(0, 15), i ->
+      |      (strpos('0123456789abcdef', substr(md5(t.token), 1 + CAST(i AS INT), 1)) - 1)
+      |        * CAST(pow(16, 14 - i) AS BIGINT))) AS BIGINT) AS tid
+      |  FROM tf t JOIN dfreq f ON f.token = t.token),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score_e4 DESC, tid) AS rn
+      |  FROM sc)
+      |SELECT lang, token, tf, df, score_e4 FROM r WHERE rn <= 10""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("text_keywords", textKeywords, Some(textKeywordsSql)),
     Op("text_perplexity", perplexity, Some(perplexitySql)),
     Op("text_pii", pii, Some(piiSql)),
     Op("text_clean", clean, Some(cleanSql)),

@@ -176,9 +176,44 @@ object Behavioral extends OpFamily {
       |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 AS converted
       |FROM h GROUP BY user_id, sid""".stripMargin
 
+  // B5: the next-event transition matrix — P(next event | this event)
+  // per user stream, the first-order Markov view product analytics
+  // builds "what do users do next" and anomaly baselines from. One
+  // lead() window (per-user sort, the partition key is the shuffle
+  // key) feeding ONE hash-agg over the ≤|types|² transition grid;
+  // share_e4 is an exact integer cross-multiply attached by a window
+  // over that tiny grid, never the corpus. Ordering ties break on
+  // event_id (same-second ties are real from sf0.1 up).
+  private def transitions(s: SparkSession, d: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val steps = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(ord))
+      .filter(col("to_type").isNotNull)
+    steps.groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("from_total",
+        sum(col("n")).over(Window.partitionBy("from_type")))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(10000 * n) div from_total").as("share_e4"))
+  }
+
+  private val transitionsSql =
+    """WITH e AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |c AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM e WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST((10000 * n) // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS BIGINT) AS share_e4
+      |FROM c""".stripMargin
+
   override def ops: Seq[Op] = Seq(
     Op("asof_forward", asofForward, Some(asofForwardSql)),
     Op("retention", retention, Some(retentionSql)),
     Op("funnel_detect", funnel, Some(funnelSql)),
+    Op("behavior_transitions", transitions, Some(transitionsSql)),
     Op("session_attribution", sessionAttribution, Some(sessionAttributionSql)))
 }

@@ -582,7 +582,42 @@ object EventSourcing extends OpFamily {
       |WHERE user_id NOT IN (
       |  SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 3)""".stripMargin
 
+  // E23 `es_lateness`: the out-of-order-delivery report — per
+  // aggregate, how many events arrived (in log-offset order: event_id
+  // is the Kafka offset analog) with an event time BEHIND the
+  // aggregate's high-water mark, and by how much at worst. This is THE
+  // input to every watermark decision downstream (stream_dedup's 1 h,
+  // the W5 window watermark, the live store's out-of-order tombstone
+  // rule): you size a watermark from measured lateness, not folklore.
+  // Plan: one per-user running-max window (the partition key is the
+  // single shuffle's key) feeding one hash-agg; exact µs integers.
+  private def lateness(s: SparkSession, d: String): DataFrame = {
+    val hwm = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("hwm_us", max(col("us")).over(hwm))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("us") < col("hwm_us"), 1L).otherwise(0L)).as("n_late"),
+        max(when(col("us") < col("hwm_us"), col("hwm_us") - col("us"))
+          .otherwise(0L)).as("max_late_us"))
+  }
+
+  private val latenessSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |    max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm_us
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN us < hwm_us THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(max(CASE WHEN us < hwm_us THEN hwm_us - us ELSE 0 END) AS BIGINT) AS max_late_us
+      |FROM e GROUP BY user_id""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("es_lateness", lateness, Some(latenessSql)),
     Op("es_reshard", reshard, Some(reshardSql)),
     Op("es_running_state", runningState, Some(runningStateSql)),
     Op("es_fold_salted", stateFoldSalted, Some(foldSql(""))),

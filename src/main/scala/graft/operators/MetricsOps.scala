@@ -356,7 +356,31 @@ object MetricsOps extends OpFamily {
       |WHERE (CAST(c.cc AS HUGEINT) * s.mn - s.ms) * (CAST(c.cc AS HUGEINT) * s.mn - s.ms)
       |  > 9 * (s.mn * s.mq - s.ms * s.ms)""".stripMargin
 
+  // M15 `metric_heatmap`: the latency/value heatmap grid behind every
+  // ops dashboard — occupancy per (sensor, hour-of-day, $50 value
+  // band). M4's histogram collapses value; this keeps the 2-D shape
+  // that makes bimodal behavior visible (the grid a UI renders
+  // directly). ONE conditional-free hash-agg over one scan; the band
+  // is exact integer cents div 5000 capped at 9, so the grid is
+  // bounded (|types|·24·10) at any corpus size. The agg body is reused
+  // verbatim by the streaming twin (M16 complete mode).
+  private[graft] def heatmapAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hour_of_day"),
+        least(expr("cast(round(value*100,0) as bigint) div 5000"), lit(9L)).as("vband"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_c"))
+
+  private def heatmap(s: SparkSession, d: String): DataFrame =
+    heatmapAgg(Tables.events(s, d))
+
+  private[graft] val heatmapSql =
+    """SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+      |  least(CAST(round(value*100,0) AS BIGINT) // 5000, 9) AS vband,
+      |  count(*) AS n, CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_c
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("metric_heatmap", heatmap, Some(heatmapSql)),
     Op("metric_anomaly", anomaly, Some(anomalySql)),
     Op("metric_apdex", apdex, Some(apdexSql)),
     Op("metric_slo_burn", sloBurn, Some(sloBurnSql)),

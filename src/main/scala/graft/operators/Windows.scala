@@ -248,7 +248,57 @@ object Windows extends OpFamily {
        |r AS (SELECT *, row_number() OVER (PARTITION BY bucket_s ORDER BY prio) AS rn FROM p)
        |SELECT bucket_s, user_id, matcher, n FROM r WHERE rn <= $throttleN""".stripMargin
 
+  // W15 `signal_debounce`: the alert-fatigue gate every paging system
+  // runs in front of humans — after a signal FIRES for a key, suppress
+  // that key's signals for a cooldown; the next fire re-arms the
+  // window. This is greedy and stateful (whether a signal emits
+  // depends on which earlier signals emitted), so unlike the throttle
+  // (W13: top-N per fixed window) it is NOT window-expressible — it is
+  // surge's per-aggregate sequential semantics (the A2 mailbox walk)
+  // applied to the signal stream. O(1) state per key; the per-key sort
+  // is bounded by the aggregate's own history, the same contract every
+  // per-actor fold in the reference has. The oracle replays the
+  // identical walk as a recursive CTE over row-numbered signals.
+  private val debounceCoolUs = 3600000000L // 1 h cooldown, exact µs
+
+  private def signalDebounce(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cool = debounceCoolUs
+    Tables.events(s, d).filter(col("event_type") === "error")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid: Long, it: Iterator[(Long, Long, Long)]) =>
+        val evs = it.toArray.sortBy(e => (e._2, e._3))
+        val out = Seq.newBuilder[(Long, Long, Long)]
+        var last = Long.MinValue
+        for ((_, us, eid) <- evs)
+          if (last == Long.MinValue || us >= last + cool) {
+            out += ((uid, eid, us)); last = us
+          }
+        out.result().iterator
+      }
+      .toDF("user_id", "event_id", "ts_us")
+  }
+
+  private val signalDebounceSql =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+       |  FROM events WHERE event_type = 'error'),
+       |walk AS (
+       |  SELECT user_id, event_id, us, rn, TRUE AS emitted, us AS last_us
+       |  FROM e WHERE rn = 1
+       |  UNION ALL
+       |  SELECT e.user_id, e.event_id, e.us, e.rn,
+       |    e.us >= w.last_us + $debounceCoolUs AS emitted,
+       |    CASE WHEN e.us >= w.last_us + $debounceCoolUs THEN e.us ELSE w.last_us END
+       |  FROM walk w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+       |SELECT user_id, event_id, CAST(us AS BIGINT) AS ts_us
+       |FROM walk WHERE emitted""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("signal_debounce", signalDebounce, Some(signalDebounceSql)),
     Op("signal_throttle", signalThrottle, Some(signalThrottleSql)),
     Op("win_tumbling", tumbling, Some(tumblingSql)),
     Op("win_sliding", sliding, Some(slidingSql)),

@@ -555,6 +555,16 @@ object Streams extends OpFamily {
       graft.operators.MetricsOps.consumerLagAgg(eventStream(s, d).toDF()),
       "graft_stream_consumer_lag", "complete")
 
+  // M15's streaming twin: the ops heatmap is a dashboard tile — it
+  // exists to be CURRENT. The same bounded-grid hash-agg runs on the
+  // streaming engine in complete mode (each refresh repaints the whole
+  // ≤|types|·24·10 grid — tiny, so complete mode costs nothing);
+  // oracle = M15's ⇒ batch/stream heatmap parity.
+  private def streamHeatmap(s: SparkSession, d: String): DataFrame =
+    runToTable(s,
+      graft.operators.MetricsOps.heatmapAgg(eventStream(s, d).toDF()),
+      "graft_stream_heatmap", "complete")
+
   // M11's streaming twin: an SLO burn-rate page is only a page while
   // the monitor is RUNNING — the batch form is the audit, this is the
   // alert. The same one-conditional-hash-agg runs on the streaming
@@ -722,6 +732,8 @@ object Streams extends OpFamily {
   override def ops: Seq[Op] = Seq(
     Op("stream_consumer_lag", streamConsumerLag,
       Some(graft.operators.MetricsOps.consumerLagSql)),
+    Op("stream_heatmap", streamHeatmap,
+      Some(graft.operators.MetricsOps.heatmapSql)),
     Op("stream_admit", streamAdmit, Some(graft.functions.Dedup.admitSql)),
     Op("stream_slo_burn", streamSloBurn,
       Some(graft.operators.MetricsOps.sloBurnSql)),
