@@ -122,7 +122,7 @@ object Clusters extends OpFamily {
   // (true iff it is the cluster's canonical min-doc_id survivor).
   private def dedupClusters(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"))
-      .join(pairLabels(s, d), Seq("doc_id"), "left")
+      .join(pairLabels(s, d).hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("lab"), col("doc_id")).as("cluster_id"),
         (coalesce(col("lab"), col("doc_id")) === col("doc_id")).as("keep"))
@@ -166,7 +166,7 @@ object Clusters extends OpFamily {
   // clusters via the same left join dedup_clusters uses.
   private def dedupStats(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"))
-      .join(pairLabels(s, d), Seq("doc_id"), "left")
+      .join(pairLabels(s, d).hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(coalesce(col("lab"), col("doc_id")).as("cid"))
       .groupBy("cid").agg(count(lit(1)).as("sz"))
       .groupBy(col("sz").as("cluster_size"))

@@ -196,7 +196,11 @@ object LiveStore {
     // no new reader lists them, while a scan that planned over the old
     // roots keeps its files until the NEXT compaction's grace drain. (A
     // reader planning mid-publish sees either (old base + deltas) or
-    // the new base — both merge to the same rows.)
+    // the new base — both merge to the same rows.) The log-CLEANER pass
+    // (tombstone purge) is the exception: it runs post-stream with no
+    // concurrent readers by contract, and "physically purges dead keys"
+    // must mean the store's FILES — so it drains its own inputs now.
+    if (purgeTombstones) staleDirs(dir).foreach(deleteRec)
   }
 
   private val tombstoneCode = 1L // evTypes.indexOf("error")
