@@ -473,7 +473,59 @@ object Dedup extends OpFamily {
        |SELECT s.doc_id, s.n_spans, s.max_span_tokens, c.dup_tokens
        |FROM spans s JOIN cov c ON s.doc_id = c.doc_id""".stripMargin
 
+  // D13 `dedup_sweep`: the threshold-TUNING table — before anyone
+  // commits to "near-dup means Jaccard ≥ τ", they ask what each τ
+  // would do: pairs surviving and docs that would drop (the later doc
+  // of each surviving pair), per candidate τ. One pass over D3's
+  // verified candidate overlaps (already semi-join-reduced and
+  // amortized), similarity as the exact e4 integer (10000·∩) div ∪,
+  // a 5-way threshold explode of that TINY pair table, one hash-agg;
+  // a broadcast left join from the 5-row threshold list keeps
+  // zero-survivor thresholds visible (a sweep with holes misleads).
+  private val sweepThresholds = Seq(5000L, 6000L, 7000L, 8000L, 9000L)
+
+  private def dedupSweep(s: SparkSession, d: String): DataFrame = {
+    val pairs = pairOverlap(s, d)
+      .select(col("doc_b"),
+        expr("(10000 * inter_n) div (na + nb - inter_n)").as("j_e4"))
+    val surv = pairs
+      .select(explode(array(sweepThresholds.map(lit): _*)).as("threshold_e4"),
+        col("j_e4"), col("doc_b"))
+      .filter(col("j_e4") >= col("threshold_e4"))
+      .groupBy("threshold_e4")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_docs_dropped"))
+    import s.implicits._
+    // the preserved side of a left join cannot broadcast; hint the tiny
+    // aggregated build side shuffle_hash instead (the E19/R17 shape)
+    sweepThresholds.toDF("threshold_e4")
+      .join(surv.hint("shuffle_hash"), Seq("threshold_e4"), "left")
+      .select(col("threshold_e4"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"))
+  }
+
+  private def dedupSweepSql =
+    s"""WITH $candCtes,
+       |dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+       |sz AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+       |i AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter_n
+       |  FROM cand c JOIN dsh x ON x.doc_id = c.doc_a JOIN dsh y ON y.doc_id = c.doc_b AND y.s = x.s
+       |  GROUP BY 1, 2),
+       |p AS (
+       |  SELECT i.doc_b, CAST((10000 * i.inter_n) // (sa.n + sb.n - i.inter_n) AS BIGINT) AS j_e4
+       |  FROM i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b),
+       |th AS (SELECT CAST(unnest([${sweepThresholds.mkString(", ")}]) AS BIGINT) AS threshold_e4),
+       |g AS (
+       |  SELECT th.threshold_e4, count(p.doc_b) AS n_pairs,
+       |    count(DISTINCT p.doc_b) AS n_docs_dropped
+       |  FROM th LEFT JOIN p ON p.j_e4 >= th.threshold_e4
+       |  GROUP BY 1)
+       |SELECT threshold_e4, n_pairs, n_docs_dropped FROM g""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("dedup_sweep", dedupSweep, Some(dedupSweepSql)),
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
     Op("dedup_minhash_lsh", dedupMinhash, Some(candSql)),
     Op("dedup_incremental", dedupIncremental, Some(incrementalSql)),

@@ -778,7 +778,53 @@ object Similarity extends OpFamily {
        |  CAST(sum(n2) AS BIGINT) AS sum_n2
        |FROM n GROUP BY 1""".stripMargin
 
+  // S8 `embedding_drift`: the BETWEEN-BATCH intake check S7's
+  // single-snapshot QC can't make — did the embedding distribution
+  // shift between the old corpus and the new batch? A silently
+  // re-scaled or re-normalized encoder poisons every ANN structure
+  // downstream while each snapshot looks individually healthy. Old =
+  // vec_id ≤ max/2, new = the rest (the D9 snapshot/delta convention);
+  // per label: counts + exact int64 norm² sums per half, drift when
+  // the mean norm² moved > 10% — as the exact cross-multiply
+  // 10·|s_new·n_old − s_old·n_new| > s_old·n_new in decimal(38,0) /
+  // HUGEINT (no FP means, no overflow at 100 TB counts). ONE scan,
+  // ONE conditional hash-agg.
+  private def embeddingDrift(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.embeddings(s, d).agg(max(col("vec_id"))).head.getLong(0) / 2
+    val dec = "decimal(38,0)"
+    Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id"),
+        sqNorm(quantize(col("embedding"))).as("n2"))
+      .groupBy("label").agg(
+        sum(when(col("vec_id") <= t, 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("vec_id") > t, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("vec_id") <= t, col("n2")).otherwise(0L)).as("sumsq_old"),
+        sum(when(col("vec_id") > t, col("n2")).otherwise(0L)).as("sumsq_new"))
+      .withColumn("drift",
+        abs(col("sumsq_new").cast(dec) * col("n_old") -
+          col("sumsq_old").cast(dec) * col("n_new")) * lit(10) >
+          col("sumsq_old").cast(dec) * col("n_new"))
+  }
+
+  private def embeddingDriftSql = {
+    val t = "(SELECT max(vec_id) // 2 FROM embeddings)"
+    s"""WITH q AS (SELECT label, vec_id, ${quantizeSql("embedding")} AS v FROM embeddings),
+       |n AS (SELECT label, vec_id, ${sqNormSql("v")} AS n2 FROM q),
+       |g AS (
+       |  SELECT label,
+       |    CAST(sum(CASE WHEN vec_id <= $t THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+       |    CAST(sum(CASE WHEN vec_id > $t THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       |    CAST(sum(CASE WHEN vec_id <= $t THEN n2 ELSE 0 END) AS BIGINT) AS sumsq_old,
+       |    CAST(sum(CASE WHEN vec_id > $t THEN n2 ELSE 0 END) AS BIGINT) AS sumsq_new
+       |  FROM n GROUP BY 1)
+       |SELECT label, n_old, n_new, sumsq_old, sumsq_new,
+       |  abs(CAST(sumsq_new AS HUGEINT) * n_old - CAST(sumsq_old AS HUGEINT) * n_new) * 10
+       |    > CAST(sumsq_old AS HUGEINT) * n_new AS drift
+       |FROM g""".stripMargin
+  }
+
   override def ops: Seq[Op] = Seq(
+    Op("embedding_drift", embeddingDrift, Some(embeddingDriftSql)),
     Op("embedding_qc", embeddingQc, Some(embeddingQcSql)),
     Op("cosine_topk", cosineTopK, Some(cosineTopKSql)),
     Op("ann_lsh", annLsh, Some(annLshSql)),

@@ -746,8 +746,32 @@ object TextAnalysis extends OpFamily {
       |  FROM sc)
       |SELECT lang, token, tf, df, score_e4 FROM r WHERE rn <= 10""".stripMargin
 
+  // T18 `text_length_hist`: the doc-length distribution per language in
+  // power-of-2 buckets — the first histogram anyone plots over a new
+  // corpus slice (truncation spikes, boilerplate floods, and packing
+  // efficiency all read straight off it). The bucket is the T12
+  // floor-log2 trick — length(bin(n_tok)) − 1 is pure int64 in both
+  // engines — so the log-scaled histogram every corpus report uses
+  // hash-compares exactly. ONE hash-agg over one scan; the grid is
+  // bounded (|langs| × ~40 buckets) at any corpus size.
+  private def textLengthHist(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("log2_tokens", (length(bin(col("n_tok"))) - 1).cast("long"))
+      .groupBy("lang", "log2_tokens")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+
+  private val textLengthHistSql =
+    """WITH t AS (
+      |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents)
+      |SELECT lang, CAST(len(bin(n_tok)) - 1 AS BIGINT) AS log2_tokens,
+      |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      |FROM t GROUP BY 1, 2""".stripMargin
+
   override def ops: Seq[Op] = Seq(
     Op("text_keywords", textKeywords, Some(textKeywordsSql)),
+    Op("text_length_hist", textLengthHist, Some(textLengthHistSql)),
     Op("text_perplexity", perplexity, Some(perplexitySql)),
     Op("text_pii", pii, Some(piiSql)),
     Op("text_clean", clean, Some(cleanSql)),

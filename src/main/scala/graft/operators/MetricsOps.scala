@@ -379,7 +379,56 @@ object MetricsOps extends OpFamily {
       |  count(*) AS n, CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_c
       |FROM events GROUP BY 1, 2, 3""".stripMargin
 
+  // M17 `metric_downsample`: retention downsampling — the
+  // open/close/min/max/sum candle per (sensor, hour) every TSDB rolls
+  // raw points into when the fine-grained window expires (Kafka
+  // metrics → long-term store is exactly this pass). Open and close
+  // are packed-decimal argmin/argmax ([[Packed]] — first/last by
+  // (ts, event_id) with the cents payload riding in the key), so the
+  // WHOLE candle is ONE HashAggregate over one scan: no window, no
+  // sort, no first()/last() order-dependence hazard.
+  private def downsample(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("bucket_s",
+        expr("(cast(floor(unix_timestamp(ts)) as bigint) div 3600) * 3600"))
+      .groupBy("event_type", "bucket_s")
+      .agg(
+        count(lit(1)).as("n"),
+        min(Packed.latest(col("ts"), col("event_id"), cents(col("value")))).as("opk"),
+        max(Packed.latest(col("ts"), col("event_id"), cents(col("value")))).as("cpk"),
+        min(cents(col("value"))).as("min_c"),
+        max(cents(col("value"))).as("max_c"),
+        sum(cents(col("value"))).as("sum_c"))
+      .select(col("event_type"), col("bucket_s"), col("n"),
+        Packed.payload(col("opk")).as("open_c"),
+        Packed.payload(col("cpk")).as("close_c"),
+        col("min_c"), col("max_c"), col("sum_c"))
+
+  private val downsampleSql =
+    """WITH e AS (
+      |  SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_s,
+      |    CAST(round(value*100,0) AS BIGINT) AS c, ts, event_id
+      |  FROM events),
+      |a AS (
+      |  SELECT event_type, bucket_s, count(*) AS n,
+      |    CAST(min(c) AS BIGINT) AS min_c, CAST(max(c) AS BIGINT) AS max_c,
+      |    CAST(sum(c) AS BIGINT) AS sum_c
+      |  FROM e GROUP BY 1, 2),
+      |o AS (
+      |  SELECT event_type, bucket_s, c AS open_c FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY event_type, bucket_s
+      |      ORDER BY ts, event_id) AS rn FROM e) WHERE rn = 1),
+      |cl AS (
+      |  SELECT event_type, bucket_s, c AS close_c FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY event_type, bucket_s
+      |      ORDER BY ts DESC, event_id DESC) AS rn FROM e) WHERE rn = 1)
+      |SELECT a.event_type, a.bucket_s, a.n, o.open_c, cl.close_c,
+      |  a.min_c, a.max_c, a.sum_c
+      |FROM a JOIN o USING (event_type, bucket_s)
+      |       JOIN cl USING (event_type, bucket_s)""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("metric_downsample", downsample, Some(downsampleSql)),
     Op("metric_heatmap", heatmap, Some(heatmapSql)),
     Op("metric_anomaly", anomaly, Some(anomalySql)),
     Op("metric_apdex", apdex, Some(apdexSql)),

@@ -297,7 +297,47 @@ object Windows extends OpFamily {
        |SELECT user_id, event_id, CAST(us AS BIGINT) AS ts_us
        |FROM walk WHERE emitted""".stripMargin
 
+  // W16 `signal_flap`: the flapping detector — a component bouncing
+  // between error and healthy states is a DIFFERENT pathology than one
+  // that is simply down, and paging on every bounce is how alert
+  // fatigue starts (the anti-flap rule every supervisor ships:
+  // Alertmanager's group_interval, Nagios's flap detection; surge's
+  // health supervisor faces the same stream). Per (aggregate, hour):
+  // state transitions counted via one lag() window (partition keys =
+  // the single shuffle's keys), flapping when ≥ 4 transitions. Exact
+  // integers; one window + one hash-agg.
+  private def signalFlap(s: SparkSession, d: String): DataFrame = {
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "bucket_s").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("(cast(floor(unix_timestamp(ts)) as bigint) div 3600) * 3600").as("bucket_s"),
+        (col("event_type") === "error").cast("int").as("is_err"))
+      .withColumn("chg",
+        when(lag(col("is_err"), 1).over(ord).isNotNull &&
+          lag(col("is_err"), 1).over(ord) =!= col("is_err"), 1L).otherwise(0L))
+      .groupBy("user_id", "bucket_s")
+      .agg(count(lit(1)).as("n"), sum(col("chg")).as("n_transitions"))
+      .withColumn("flapping", col("n_transitions") >= 4L)
+  }
+
+  private val signalFlapSql =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_s,
+      |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, bucket_s, is_err,
+      |    lag(is_err) OVER (PARTITION BY user_id, bucket_s ORDER BY ts, event_id) AS prev
+      |  FROM e)
+      |SELECT user_id, bucket_s, count(*) AS n,
+      |  CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> is_err THEN 1 ELSE 0 END) AS BIGINT) AS n_transitions,
+      |  CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> is_err THEN 1 ELSE 0 END) AS BIGINT) >= 4 AS flapping
+      |FROM f GROUP BY 1, 2""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("signal_flap", signalFlap, Some(signalFlapSql)),
     Op("signal_debounce", signalDebounce, Some(signalDebounceSql)),
     Op("signal_throttle", signalThrottle, Some(signalThrottleSql)),
     Op("win_tumbling", tumbling, Some(tumblingSql)),
