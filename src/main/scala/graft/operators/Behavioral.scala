@@ -130,7 +130,7 @@ object Behavioral extends OpFamily {
     val ord = Window.partitionBy("user_id").orderBy("us", "event_id")
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
-        unix_micros(col("ts")).as("us"), Tables.cents(col("value")).as("c"))
+        Tables.microsOf(col("ts")).as("us"), Tables.cents(col("value")).as("c"))
     val sess = ev
       .withColumn("brk",
         when(lag(col("us"), 1).over(ord).isNull ||

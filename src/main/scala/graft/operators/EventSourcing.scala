@@ -567,10 +567,10 @@ object EventSourcing extends OpFamily {
   private def erasureRequests(s: SparkSession, d: String): DataFrame = {
     val path = s"${Tables.workDir(s)}/erasure_requests_" +
       java.lang.Integer.toHexString(d.hashCode)
-    if (!new java.io.File(path, "_SUCCESS").exists) {
+    Tables.buildOnce(path) {
       Tables.events(s, d).select(col("user_id")).distinct()
         .filter(pmod(col("user_id"), lit(37L)) === 3) // the flagged keys
-        .coalesce(1).write.mode("overwrite").parquet(path)
+        .coalesce(1)
     }
     s.read.parquet(path)
   }
@@ -595,7 +595,7 @@ object EventSourcing extends OpFamily {
     val hwm = Window.partitionBy("user_id").orderBy("event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .select(col("user_id"), col("event_id"), Tables.microsOf(col("ts")).as("us"))
       .withColumn("hwm_us", max(col("us")).over(hwm))
       .groupBy("user_id")
       .agg(

@@ -45,7 +45,7 @@ object Packed {
 
   /** The packed argmax key; aggregate with plain `max(...)`. */
   def latest(ts: Column, eventId: Column, payload: Column): Column =
-    unix_micros(ts).cast(D38) * lit(TsShift) +
+    graft.sources.Tables.microsOf(ts).cast(D38) * lit(TsShift) +
       (eventId * lit(PayloadBase) + payload).cast(D38)
 
   /** Recover the payload from a packed key. */

@@ -265,7 +265,7 @@ object Windows extends OpFamily {
     import s.implicits._
     val cool = debounceCoolUs
     Tables.events(s, d).filter(col("event_type") === "error")
-      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .select(col("user_id"), Tables.microsOf(col("ts")).as("us"), col("event_id"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (uid: Long, it: Iterator[(Long, Long, Long)]) =>

@@ -26,17 +26,43 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps,
-    * which Spark has no native type for — read them as int64 nanos and
-    * convert with exact integer division (micros = nanos div 1000,
-    * matching DuckDB's nanos→micros truncation). Never divide these in
-    * doubles: 1.7e18 ns exceeds 2^53. */
+  /** The events table's `ts` has shipped in THREE parquet physical
+    * forms across driver testdata generations, and the engine contract
+    * is one canonical arrival type: TimestampType at microsecond
+    * precision, interpreted under the UTC session.
+    *
+    *  - TIMESTAMP(NANOS): Spark has no native type — read as int64
+    *    nanos (`nanosAsLong`) and convert with exact integer division
+    *    (micros = nanos div 1000, matching DuckDB's nanos→micros
+    *    truncation). Never divide these in doubles: 1.7e18 ns exceeds
+    *    2^53.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+    *    TimestampNTZType. Cast to TimestampType — under the UTC
+    *    session the wall-clock micros map 1:1 to epoch micros, so the
+    *    cast is value-preserving and the DuckDB `epoch_us(ts)` oracle
+    *    is unchanged.
+    *  - TIMESTAMP(MICROS, adjusted): already TimestampType, pass
+    *    through.
+    *
+    * Anything else fails loudly — silent type drift cost 14 operators
+    * a round (see VERDICT r6). */
+  def normalizeTs(raw: DataFrame, tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema(tsCol).dataType match {
+      case LongType =>
+        raw.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.$tsCol arrived as unsupported type $other — " +
+          "extend Tables.normalizeTs for the new testdata generation")
+    }
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    normalizeTs(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
@@ -54,6 +80,13 @@ object Tables {
 
   /** Epoch seconds (UTC session) — the cross-engine-stable time key. */
   def epochS(c: Column): Column = unix_timestamp(c)
+
+  /** Epoch MICROseconds — the one µs-extraction call site in main
+    * source. Every packed key / lag / watermark-adjacent computation
+    * routes through here, so the next testdata type drift (nanos ↔
+    * µs-NTZ ↔ µs, see [[normalizeTs]]) is a one-line fix rather than a
+    * five-file sweep. Input must already be normalized TimestampType. */
+  def microsOf(c: Column): Column = unix_micros(c)
 
   /** Session-scoped scratch root for snapshots/sinks. Keyed by the
     * Spark applicationId (overridable via `graft.workdir`) so two

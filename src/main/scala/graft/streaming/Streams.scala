@@ -113,10 +113,12 @@ object Streams extends OpFamily {
     val target = s"${Tables.workDir(s)}/events_split_" +
       java.lang.Integer.toHexString(d.hashCode)
     splitCache.computeIfAbsent(target, base => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.parquet(s"$d/events.parquet")
-      // range partition = chronological thirds; ts may be raw int64
-      // nanos here, which ranges identically to the decoded timestamp
+      // Write the split files ALREADY normalized (Tables.normalizeTs →
+      // TimestampType micros) so the readStream schema carries a real
+      // event-time type: watermarks reject TIMESTAMP_NTZ, and the raw
+      // parquet has shipped as nanos-int64 AND µs-NTZ across testdata
+      // generations.
+      val raw = Tables.events(s, d)
       val tagged = raw.repartitionByRange(sourceBatches, col("ts"), col("event_id"))
         .withColumn("_p", org.apache.spark.sql.functions.spark_partition_id())
         .localCheckpoint(true) // one shuffle, then three cheap filters
@@ -146,15 +148,13 @@ object Streams extends OpFamily {
     * chronological micro-batches. */
   def eventStream(s: SparkSession, d: String): Dataset[Ev] = {
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$d/events.parquet")
-    val stream = s.readStream.schema(raw.schema)
-      .option("maxFilesPerTrigger", "1").parquet(splitSource(s, d))
-    val conv =
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else stream
-    conv.select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+    // The split files are written post-normalization, so their schema
+    // (ts: TimestampType micros) IS the stream schema — no per-arrival
+    // conversion here.
+    val src = splitSource(s, d)
+    val stream = s.readStream.schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    stream.select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
   }
 
   /** Run a streaming DF to completion through a `foreachBatch` parquet
@@ -533,7 +533,7 @@ object Streams extends OpFamily {
         col("v_ts") <= col("p_ts") &&
         col("v_ts") >= col("p_ts") - expr("INTERVAL 15 MINUTES"))
       .select(col("p_event_id"), col("v_event_id"), col("user_id"),
-        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+        (Tables.microsOf(col("p_ts")) - Tables.microsOf(col("v_ts"))).as("lag_us"))
     runToTable(s, joined, "graft_stream_join", "append").drop("_batch_id")
   }
 
