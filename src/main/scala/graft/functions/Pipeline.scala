@@ -678,7 +678,66 @@ object Pipeline extends OpFamily {
        |  CAST((10000 * n_fail) // n_docs AS BIGINT) AS fail_share_e4
        |FROM g""".stripMargin
 
+  // P15 `corpus_token_budget`: quality-first budget selection — "I can
+  // afford N training tokens per language; which documents make the
+  // cut?" Docs are ranked by lexical diversity (distinct-token share,
+  // exact e2 integer — the cheap quality proxy every curation pass
+  // starts with) and admitted best-first until the per-language token
+  // budget fills. Every doc is emitted with its cut position and the
+  // kept verdict, so the op doubles as the budget-sensitivity report.
+  //
+  // Scale shape: the running token sum in quality order is the P3
+  // exclusive scan with the score BAND as the range bucket — scores
+  // are integers in [0,100], so the per-(lang, band) offsets aggregate
+  // is ≤101 rows per language (tiny window), and the corpus-side
+  // window partitions on (lang, band) — never a global sort, never a
+  // single-partition window, exactly the structure that survives a
+  // 100 TB corpus.
+  private val budgetTokens = 2000L // per-language token budget
+
+  private def corpusTokenBudget(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_uniq"))
+      .withColumn("div_e2", expr("(100 * n_uniq) div n_tok"))
+      .withColumn("band", lit(100L) - col("div_e2")) // ascending = best-first
+      .cache()
+    val offsets = docs.groupBy("lang", "band")
+      .agg(sum(col("n_tok")).as("band_tok"))
+      .withColumn("offset",
+        coalesce(sum(col("band_tok")).over(
+          Window.partitionBy("lang").orderBy("band")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("lang", "band", "offset")
+    val wIn = Window.partitionBy("lang", "band").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.join(offsets.hint("shuffle_hash"), Seq("lang", "band"))
+      .withColumn("before", col("offset") + coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("div_e2"), col("n_tok"),
+        col("before"), (col("before") < budgetTokens).as("kept"))
+  }
+
+  private val corpusTokenBudgetSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    CAST((100 * len(list_distinct(string_split(text, ' '))))
+       |      // len(string_split(text, ' ')) AS BIGINT) AS div_e2
+       |  FROM documents)
+       |SELECT doc_id, lang, div_e2, n_tok,
+       |  COALESCE(CAST(sum(n_tok) OVER (
+       |    PARTITION BY lang ORDER BY 100 - div_e2, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS before,
+       |  COALESCE(CAST(sum(n_tok) OVER (
+       |    PARTITION BY lang ORDER BY 100 - div_e2, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |    < $budgetTokens AS kept
+       |FROM t""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("corpus_token_budget", corpusTokenBudget, Some(corpusTokenBudgetSql)),
     Op("source_quality", sourceQuality, Some(sourceQualitySql)),
     Op("decontaminate", contamination, Some(decontaminateSql)),
     Op("decontaminate_report", contaminationReport, Some(contaminationReportSql)),

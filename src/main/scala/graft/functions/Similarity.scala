@@ -823,7 +823,54 @@ object Similarity extends OpFamily {
        |FROM g""".stripMargin
   }
 
+  // S9 `ann_recall`: the recall@k evaluation every ANN deployment runs
+  // before trusting an index — per query, what fraction of the TRUE
+  // top-5 (S1's brute-force ranking) the IVF probe (S3) returns.
+  // Recall is THE dial that justifies probe count and cell count; a
+  // production pipeline recomputes it on every index rebuild. Both
+  // sides are the already-verified operators (ground truth is one
+  // broadcast-query corpus scan; the ANN side reads the persisted
+  // DPP-pruned index), so the comparison itself is a tiny
+  // per-query join + hash-agg — exact integer recall_e4, no new
+  // corpus-scale work.
+  private def annRecall(s: SparkSession, d: String): DataFrame = {
+    val gt = cosineTopK(s, d).filter(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    val ann = annIvf(s, d)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    gt.join(ann.hint("shuffle_hash"), Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_e4", expr("(10000 * n_hit) div n_true"))
+  }
+
+  private val annRecallSql =
+    s"""WITH $ivfCellofCtes,
+       |gx AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id,
+       |    ${cosineSql("q.v", "c.v", "q.nn", "c.nn")} AS cos_sim
+       |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id >= 5),
+       |gr AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+       |    FROM gx) WHERE rn <= 5),
+       |ax AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id,
+       |    ${cosineSql("q.v", "c.v", "q.nn", "c.nn")} AS cos_sim
+       |  FROM cellof q JOIN cellof c ON q.cell = c.cell AND q.vec_id < 5 AND c.vec_id >= 5),
+       |ar AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+       |    FROM ax) WHERE rn <= 5)
+       |SELECT g.q_id, count(*) AS n_true,
+       |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST((10000 * sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS recall_e4
+       |FROM gr g LEFT JOIN ar a ON a.q_id = g.q_id AND a.vec_id = g.vec_id
+       |GROUP BY 1""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("ann_recall", annRecall, Some(annRecallSql)),
     Op("embedding_drift", embeddingDrift, Some(embeddingDriftSql)),
     Op("embedding_qc", embeddingQc, Some(embeddingQcSql)),
     Op("cosine_topk", cosineTopK, Some(cosineTopKSql)),

@@ -769,7 +769,38 @@ object TextAnalysis extends OpFamily {
       |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
       |FROM t GROUP BY 1, 2""".stripMargin
 
+  // T19 `text_ngram_novelty`: per-document novelty score — what share
+  // of a doc's distinct 3-gram shingles appears in NO earlier document
+  // (doc_id order = ingest order). This is the curation dial between
+  // D7's binary substring verdicts and nothing: low-novelty docs are
+  // recombinations of already-ingested text and get deprioritized in
+  // budget/mixture passes (P15/P4). Reuses D2's shared shingle
+  // pipeline. Plan at 100 TB: distinct (doc, shingle) pairs, a
+  // min-doc_id hash-agg per shingle (first owner), and a join back on
+  // the shingle key that reuses the aggregate's own shuffle
+  // (shuffle_hash on the aggregated side) — everything is keyed by
+  // shingle or doc, O(corpus tokens) rows, no sort anywhere.
+  private def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.shingled(s, d).select(col("doc_id"), col("s")).distinct()
+    val firsts = sh.groupBy("s").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firsts.hint("shuffle_hash"), Seq("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_e4", expr("(10000 * n_novel) div n_shingles"))
+  }
+
+  private def ngramNoveltySql =
+    s"""WITH ${Dedup.shingleCte},
+       |ds AS (SELECT DISTINCT doc_id, s FROM sh),
+       |f AS (SELECT s, min(doc_id) AS first_doc FROM ds GROUP BY 1)
+       |SELECT d.doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  CAST((10000 * sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS novelty_e4
+       |FROM ds d JOIN f USING (s) GROUP BY 1""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("text_ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
     Op("text_keywords", textKeywords, Some(textKeywordsSql)),
     Op("text_length_hist", textLengthHist, Some(textLengthHistSql)),
     Op("text_perplexity", perplexity, Some(perplexitySql)),

@@ -210,10 +210,45 @@ object Behavioral extends OpFamily {
       |  CAST((10000 * n) // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS BIGINT) AS share_e4
       |FROM c""".stripMargin
 
+  // B6 `behavior_cohort`: the COHORT MATRIX — users grouped by
+  // first-seen day, activity counted per (cohort, age-in-days). B2's
+  // retention gives one diagonal of this table; the full matrix is
+  // what product analytics actually charts (each cohort's decay
+  // curve). Plan at 100 TB: per-user first-day is one hash-agg keyed
+  // by user; the join back is keyed by user TOO, so with the
+  // aggregated side shuffle-hash-hinted the fact side reuses its own
+  // shuffle (the E19/R17 shape) and no sort appears; the final
+  // distinct-users-per-cell agg shuffles the (cohort, day) pairs —
+  // bounded by |users|·|active days|, never event volume.
+  private def cohort(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), expr(s"${epochSql} div 86400").as("day"))
+    val first = ev.groupBy("user_id").agg(min(col("day")).as("cohort_d"))
+    ev.join(first.hint("shuffle_hash"), Seq("user_id"))
+      .groupBy(col("cohort_d"), col("day"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(col("cohort_d"), (col("day") - col("cohort_d")).as("age_d"),
+        col("n_users"))
+  }
+
+  // epoch-day bucketing shared by the Spark and oracle sides: exact
+  // integer floor of epoch seconds (UTC session on both engines)
+  private val epochSql = "unix_timestamp(ts)"
+
+  private val cohortSql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      |  FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort_d FROM e GROUP BY 1)
+      |SELECT f.cohort_d, e.day - f.cohort_d AS age_d,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin
+
   override def ops: Seq[Op] = Seq(
     Op("asof_forward", asofForward, Some(asofForwardSql)),
     Op("retention", retention, Some(retentionSql)),
     Op("funnel_detect", funnel, Some(funnelSql)),
     Op("behavior_transitions", transitions, Some(transitionsSql)),
+    Op("behavior_cohort", cohort, Some(cohortSql)),
     Op("session_attribution", sessionAttribution, Some(sessionAttributionSql)))
 }

@@ -380,7 +380,32 @@ object Relational extends OpFamily {
       |  FROM orders JOIN customer ON o_custkey = c_custkey)
       |WHERE rn <= 3""".stripMargin
 
+  // R20 `grouping_sets`: arbitrary grouping-set aggregation — the
+  // general form R7's ROLLUP and R13's CUBE are special cases of. The
+  // set list ((rf,ls),(ls),()) is deliberately NOT a rollup chain
+  // (rollup would descend (rf,ls)→(rf)→()): it pins Spark's native
+  // GROUPING SETS path (one Expand + one hash-agg — each input row is
+  // replicated once per set, partial-agg map-side, no sort, no
+  // re-scan) against the equivalent DuckDB sets. Exact integer cents.
+  private def groupingSetsAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        cents(col("l_quantity")).as("qty_c"))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("qty_c")).as("sum_qty_c"), count(lit(1)).as("n"))
+
+  private val groupingSetsSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("grouping_sets", groupingSetsAgg, Some(groupingSetsSql)),
     Op("topk_custom", topkCustom, Some(topkCustomSql)),
     Op("outer_join", outerJoin, Some(outerJoinSql)),
     Op("cube", cubeAgg, Some(cubeSql)),

@@ -336,7 +336,43 @@ object Windows extends OpFamily {
       |  CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> is_err THEN 1 ELSE 0 END) AS BIGINT) >= 4 AS flapping
       |FROM f GROUP BY 1, 2""".stripMargin
 
+  // W17 `signal_gaps`: the SILENCE detector — the dual of W16's
+  // flapping. A healthy aggregate emits continuously; the longest gap
+  // between consecutive events per aggregate (and how often it exceeds
+  // the heartbeat SLA) is exactly what surge's health checks watch for
+  // (`modules/common/src/main/scala/surge/internal/health/HealthSignalStreamProvider.scala`
+  // — a stream that stops signaling IS the failure), and downstream it
+  // is the second input (beside E23's lateness) to watermark and
+  // passivation-timeout sizing. Plan: one per-key lag() window (the
+  // partition key is the single shuffle's key) feeding one hash-agg;
+  // the gap multiset depends only on each key's sorted event times, so
+  // same-µs ties cannot perturb the answer. Exact µs integers.
+  private val gapSlaUs = 3600000000L // 1 h heartbeat SLA, exact µs
+
+  private def signalGaps(s: SparkSession, d: String): DataFrame = {
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), Tables.microsOf(col("ts")).as("us"), col("event_id"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(ord))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        coalesce(max(col("gap")), lit(0L)).as("max_gap_us"),
+        sum(when(col("gap") >= gapSlaUs, 1L).otherwise(0L)).as("n_sla_gaps"))
+  }
+
+  private val signalGapsSql =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS us,
+       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+       |  FROM events)
+       |SELECT user_id, count(*) AS n_events,
+       |  COALESCE(CAST(max(us - prev) AS BIGINT), 0) AS max_gap_us,
+       |  CAST(sum(CASE WHEN us - prev >= $gapSlaUs THEN 1 ELSE 0 END) AS BIGINT) AS n_sla_gaps
+       |FROM e GROUP BY 1""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("signal_gaps", signalGaps, Some(signalGapsSql)),
     Op("signal_flap", signalFlap, Some(signalFlapSql)),
     Op("signal_debounce", signalDebounce, Some(signalDebounceSql)),
     Op("signal_throttle", signalThrottle, Some(signalThrottleSql)),

@@ -18,6 +18,8 @@ class PlanLintSpec extends SparkSpec {
     "ann_ivf",      // corpus × k-centroid broadcast (intentional, tiny side)
     "ann_ivfpq",    // same k-centroid broadcast feeding the composed index
     "cosine_topk",  // brute-force baseline: corpus × 5 broadcast queries
+    "ann_recall",   // composes cosine_topk (ground truth) + ann_ivf —
+                    //   inherits exactly their allowlisted broadcasts
     "ann_lsh",      // queries broadcast against bucket-partitioned corpus
     "dedup_embedding", // truth-set style candidate re-attach, broadcast side
     "mm_embed_ann",
