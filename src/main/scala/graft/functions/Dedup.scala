@@ -524,7 +524,134 @@ object Dedup extends OpFamily {
        |  GROUP BY 1)
        |SELECT threshold_e4, n_pairs, n_docs_dropped FROM g""".stripMargin
 
+  // ---- D14: EXACT similarity self-join via prefix filtering ----
+  //
+  // The ground truth LSH approximates: every pair with 3-shingle
+  // Jaccard ≥ 0.5, found WITHOUT all-pairs comparison and WITHOUT
+  // probabilistic misses. Prefix filtering (the ssjoin/PPJoin family):
+  // under any fixed total order of shingles, two docs with J ≥ τ must
+  // share a shingle within each doc's first ⌊(1−τ)·n⌋+1 shingles —
+  // order by ASCENDING document frequency so the prefixes that drive
+  // the candidate join are the RAREST shingles (smallest buckets, the
+  // opposite of the boilerplate hot keys a naive inverted index dies
+  // on). Verification is then D3's exact intersection shape over the
+  // pruned candidate set. τ = 0.5 ⇒ prefix length n div 2 + 1 and the
+  // keep test is the exact integer cross-multiply 2·inter ≥ union.
+  //
+  // Every stage is keyed by doc or shingle (rank window partitions on
+  // doc_id; the pair join's buckets are rare-shingle-sized by
+  // construction) — no global sort, no quadratic blowup.
+  private[functions] def exactJoinTruth(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dsh = shingled(s, d).distinct().cache()
+    val sz = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfq = dsh.groupBy("s").agg(count(lit(1)).as("df"))
+    val wr = Window.partitionBy("doc_id").orderBy("df", "s")
+    val pfx = dsh.join(dfq.hint("shuffle_hash"), Seq("s"))
+      .withColumn("rk", row_number().over(wr))
+      .join(sz.hint("shuffle_hash"), Seq("doc_id"))
+      .filter(col("rk") <= expr("n div 2 + 1"))
+      .select("doc_id", "s")
+      .cache()
+    val cp = pfx.alias("a").join(pfx.alias("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cp
+      .join(dsh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(dsh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter_n"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(lit(2L) * col("inter_n") >= col("na") + col("nb") - col("inter_n"))
+      .select(col("doc_a"), col("doc_b"), col("inter_n"),
+        (col("na") + col("nb") - col("inter_n")).as("union_n"))
+  }
+
+  private def dedupExactJoin(s: SparkSession, d: String): DataFrame =
+    exactJoinTruth(s, d)
+      .withColumn("jaccard",
+        col("inter_n").cast("double") / col("union_n").cast("double"))
+
+  /** CTE chain ending in `truth(doc_a, doc_b, inter_n, union_n)` —
+    * the exact J ≥ 0.5 pair set; requires `sh` (the shingle CTE) in
+    * scope. Shared with the D15 recall oracle. */
+  private def exactJoinCtes: String =
+    """dshx AS (SELECT DISTINCT doc_id, s FROM sh),
+      |szx AS (SELECT doc_id, count(*) AS n FROM dshx GROUP BY 1),
+      |dfq AS (SELECT s, count(*) AS df FROM dshx GROUP BY 1),
+      |rkx AS (
+      |  SELECT d.doc_id, d.s,
+      |    row_number() OVER (PARTITION BY d.doc_id ORDER BY f.df, d.s) AS rk
+      |  FROM dshx d JOIN dfq f USING (s)),
+      |pfx AS (
+      |  SELECT r.doc_id, r.s FROM rkx r JOIN szx USING (doc_id)
+      |  WHERE r.rk <= szx.n // 2 + 1),
+      |cpx AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM pfx a JOIN pfx b ON a.s = b.s AND a.doc_id < b.doc_id),
+      |ix AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS inter_n
+      |  FROM cpx c JOIN dshx x ON x.doc_id = c.doc_a
+      |             JOIN dshx y ON y.doc_id = c.doc_b AND y.s = x.s
+      |  GROUP BY 1, 2),
+      |truth AS (
+      |  SELECT i.doc_a, i.doc_b, i.inter_n,
+      |    sa.n + sb.n - i.inter_n AS union_n
+      |  FROM ix i JOIN szx sa ON sa.doc_id = i.doc_a
+      |            JOIN szx sb ON sb.doc_id = i.doc_b
+      |  WHERE 2*i.inter_n >= sa.n + sb.n - i.inter_n)""".stripMargin
+
+  private def dedupExactJoinSql =
+    s"""WITH $shingleCte,
+       |$exactJoinCtes
+       |SELECT doc_a, doc_b, inter_n, union_n,
+       |  CAST(inter_n AS DOUBLE)/CAST(union_n AS DOUBLE) AS jaccard
+       |FROM truth""".stripMargin
+
+  // D15 `dedup_recall`: the LSH TUNING eval — recall and precision of
+  // the D2 band candidates against D14's exact J ≥ 0.5 truth. This is
+  // the dedup analog of S9's ann_recall and the number that justifies
+  // the (bands × rows) shape: 4×4 sits at τ≈0.7, so its recall against
+  // a 0.5 truth quantifies exactly what the knee costs (D13 sweeps the
+  // verify threshold; THIS measures the candidate generator itself).
+  // One full-outer join of two small pair sets (shuffle-hash, the E19
+  // shape) + one global hash-agg to a single exact-integer row.
+  private def dedupRecall(s: SparkSession, d: String): DataFrame = {
+    val t = exactJoinTruth(s, d)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_t"))
+    val c = candidatePairs(s, d)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_c"))
+    t.join(c.hint("shuffle_hash"), Seq("doc_a", "doc_b"), "full")
+      .agg(sum(coalesce(col("in_t"), lit(0L))).as("n_true"),
+        sum(coalesce(col("in_c"), lit(0L))).as("n_cand"),
+        sum(coalesce(col("in_t"), lit(0L)) * coalesce(col("in_c"), lit(0L))).as("n_hit"))
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        expr("(10000 * n_hit) div n_true").as("recall_e4"),
+        expr("(10000 * n_hit) div n_cand").as("precision_e4"))
+  }
+
+  private def dedupRecallSql =
+    s"""WITH $candCtes,
+       |$exactJoinCtes,
+       |fx AS (
+       |  SELECT t.doc_a IS NOT NULL AS in_t, c.doc_a IS NOT NULL AS in_c
+       |  FROM truth t FULL JOIN cand c
+       |    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+       |SELECT
+       |  CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       |  CAST(sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+       |  CAST(sum(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST((10000 * sum(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END))
+       |    // sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS recall_e4,
+       |  CAST((10000 * sum(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END))
+       |    // sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT) AS precision_e4
+       |FROM fx""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("dedup_exact_join", dedupExactJoin, Some(dedupExactJoinSql)),
+    Op("dedup_recall", dedupRecall, Some(dedupRecallSql)),
     Op("dedup_sweep", dedupSweep, Some(dedupSweepSql)),
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
     Op("dedup_minhash_lsh", dedupMinhash, Some(candSql)),

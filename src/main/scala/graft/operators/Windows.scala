@@ -347,7 +347,7 @@ object Windows extends OpFamily {
   // partition key is the single shuffle's key) feeding one hash-agg;
   // the gap multiset depends only on each key's sorted event times, so
   // same-µs ties cannot perturb the answer. Exact µs integers.
-  private val gapSlaUs = 3600000000L // 1 h heartbeat SLA, exact µs
+  private[graft] val gapSlaUs = 3600000000L // 1 h heartbeat SLA, exact µs
 
   private def signalGaps(s: SparkSession, d: String): DataFrame = {
     val ord = org.apache.spark.sql.expressions.Window
@@ -361,7 +361,7 @@ object Windows extends OpFamily {
         sum(when(col("gap") >= gapSlaUs, 1L).otherwise(0L)).as("n_sla_gaps"))
   }
 
-  private val signalGapsSql =
+  private[graft] val signalGapsSql =
     s"""WITH e AS (
        |  SELECT user_id, epoch_us(ts) AS us,
        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev

@@ -40,6 +40,14 @@ final case class TailOut(user_id: Long, event_id: Long, event_type: String, ts_s
 /** Streaming-EWMA emission — schema-identical to the batch M2 metric. */
 final case class EwmaOut(user_id: Long, n_used: Long, ewma_scaled: Long, ewma: Double)
 
+/** Per-key silence-tracking state for the W17 stream twin: the last
+  * seen event time plus three counters — O(1) per key at any stream
+  * length. */
+final case class GapState(last_us: Long, n: Long, max_gap: Long, n_sla: Long)
+
+/** stream_gaps emission — schema-identical to the batch W17 view. */
+final case class GapOut(user_id: Long, n_events: Long, max_gap_us: Long, n_sla_gaps: Long)
+
 /** Structured-Streaming re-expression of surge's core loop.
   *
   * Reference: surge keeps one `PersistentActor` per aggregate, routed by
@@ -307,6 +315,52 @@ object Streams extends OpFamily {
           state.update(EwmaState(buf))
           Iterator.single(ewmaOf(uid, buf))
       }
+  }
+
+  // W17's streaming twin `stream_gaps`: the silence detector as the
+  // LIVE health monitor it is in production — a stream that stops
+  // signaling IS the failure, so this number only means anything while
+  // the monitor runs. O(1) state per key (last seen µs + three
+  // counters); each micro-batch folds its slice in (µs, event_id)
+  // order onto the carried state. Chronological batches keep
+  // cross-batch order, and same-µs ties straddling a batch boundary
+  // contribute zero-gaps in any order — the folded gap multiset is
+  // exactly the batch lag-window's. Oracle = W17's ⇒ batch/stream
+  // parity.
+  private[graft] def gapStream(ds: Dataset[Ev]): Dataset[GapOut] = {
+    import ds.sparkSession.implicits._
+    val slaUs = graft.operators.Windows.gapSlaUs
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapState, GapOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[GapState]) =>
+          var st = state.getOption.getOrElse(GapState(0L, 0L, 0L, 0L))
+          val evs = it.map { e =>
+            val i = e.ts.toInstant
+            (i.getEpochSecond * 1000000L + i.getNano / 1000L, e.event_id)
+          }.toArray.sorted
+          for ((us, _) <- evs) {
+            if (st.n > 0L) {
+              val gap = us - st.last_us
+              st = GapState(us, st.n + 1L, math.max(st.max_gap, gap),
+                st.n_sla + (if (gap >= slaUs) 1L else 0L))
+            } else st = GapState(us, 1L, 0L, 0L)
+          }
+          state.update(st)
+          Iterator.single(GapOut(uid, st.n, st.max_gap, st.n_sla))
+      }
+  }
+
+  private def streamGaps(s: SparkSession, d: String): DataFrame = {
+    val out = gapStream(eventStream(s, d)).toDF()
+    val t = runToTable(s, out, "graft_stream_gaps", "update")
+    // keep each key's emission from its LAST batch (the one that has
+    // seen the whole log); tiny one-row-per-key harness table
+    t.groupBy("user_id")
+      .agg(max_by(struct(col("n_events"), col("max_gap_us"), col("n_sla_gaps")),
+        col("_batch_id")).as("st"))
+      .select(col("user_id"), col("st.n_events"), col("st.max_gap_us"),
+        col("st.n_sla_gaps"))
   }
 
   // M2 twin as a driver-verifiable query; oracle = the batch metric_ewma
@@ -755,6 +809,8 @@ object Streams extends OpFamily {
       Some(graft.operators.Windows.sessionSql)),
     Op("stream_dedup", streamDedup, Some(streamDedupSql)),
     Op("stream_ewma", streamEwma, Some(streamEwmaSql)),
+    Op("stream_gaps", streamGaps,
+      Some(graft.operators.Windows.signalGapsSql)),
     Op("stream_join", streamJoin, Some(streamJoinSql)),
     Op("stream_signal", streamSignal, Some(graft.operators.Windows.signalPatternSql)))
 }
