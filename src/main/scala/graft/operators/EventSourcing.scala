@@ -616,7 +616,77 @@ object EventSourcing extends OpFamily {
       |  CAST(max(CASE WHEN us < hwm_us THEN hwm_us - us ELSE 0 END) AS BIGINT) AS max_late_us
       |FROM e GROUP BY user_id""".stripMargin
 
+  // E24 `es_watermark_sweep`: the watermark SIZING decision, made from
+  // measured data instead of folklore. Spark's watermark is GLOBAL —
+  // eviction trails the maximum event time seen so far in ARRIVAL
+  // order — so the number that matters is each event's lateness behind
+  // the global arrival-order high-water mark (E23's per-aggregate view
+  // answers a different question: per-key reorder depth). For a ladder
+  // of candidate watermarks this op reports exactly how many events
+  // each setting would drop — the table you read before picking
+  // stream_dedup's 1 h.
+  //
+  // The global running max is the scale trap: `max() OVER (ORDER BY
+  // event_id)` is a single-partition window. Here it is the P3
+  // exclusive-scan shape with MAX as the monoid: range-bucket the log
+  // by offset, per-bucket max (hash-agg), prefix-max across the tiny
+  // bucket table (window over |buckets| rows), within-bucket running
+  // max (window partitioned BY bucket) — every corpus-side stage is
+  // keyed, nothing global. One pass, one conditional hash-agg, an
+  // |thresholds|-row unpivot.
+  private val wmSweepS: Seq[Long] = Seq(60L, 300L, 900L, 3600L, 21600L)
+  private val wmRange = 4096L // log offsets per scan bucket
+
+  private def watermarkSweep(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), Tables.microsOf(col("ts")).as("us"),
+        expr(s"event_id div $wmRange").as("rb"))
+    val bmax = ev.groupBy("rb").agg(max(col("us")).as("bm"))
+      .withColumn("prev_bm",
+        max(col("bm")).over(Window.orderBy("rb")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select("rb", "prev_bm")
+    val wIn = Window.partitionBy("rb").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // the bucket-offset table is |log|/wmRange rows — broadcast it so
+    // the log side never shuffles for the scan
+    val late = ev.join(broadcast(bmax), Seq("rb"))
+      .withColumn("hwm", greatest(
+        coalesce(max(col("us")).over(wIn), lit(Long.MinValue)),
+        coalesce(col("prev_bm"), lit(Long.MinValue))))
+      .select(col("us"),
+        when(col("hwm") > col("us"), col("hwm") - col("us")).otherwise(0L)
+          .as("late_us"))
+    val dropSums = wmSweepS.map(t =>
+      sum(when(col("late_us") > t * 1000000L, 1L).otherwise(0L)).as(s"d_$t"))
+    val agg = late.agg(count(lit(1)).as("n_events"), dropSums: _*)
+    agg.select(col("n_events"), explode(array(wmSweepS.map(t =>
+        struct(lit(t).as("wm_s"), col(s"d_$t").as("n_dropped"))): _*)).as("e"))
+      .select(col("e.wm_s").as("wm_s"), col("e.n_dropped").as("n_dropped"),
+        col("n_events"),
+        expr("(1000000 * e.n_dropped) div n_events").as("drop_e6"))
+  }
+
+  private val watermarkSweepSql =
+    s"""WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+       |h AS (
+       |  SELECT us, max(us) OVER (ORDER BY event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+       |  FROM e),
+       |l AS (
+       |  SELECT CASE WHEN hwm IS NOT NULL AND hwm > us THEN hwm - us
+       |         ELSE 0 END AS late_us
+       |  FROM h),
+       |t AS (SELECT unnest([${wmSweepS.mkString(", ")}]) AS wm_s)
+       |SELECT CAST(t.wm_s AS BIGINT) AS wm_s,
+       |  CAST(sum(CASE WHEN l.late_us > CAST(t.wm_s AS BIGINT) * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  count(*) AS n_events,
+       |  CAST((1000000 * sum(CASE WHEN l.late_us > CAST(t.wm_s AS BIGINT) * 1000000 THEN 1 ELSE 0 END))
+       |    // count(*) AS BIGINT) AS drop_e6
+       |FROM l CROSS JOIN t GROUP BY 1""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("es_watermark_sweep", watermarkSweep, Some(watermarkSweepSql)),
     Op("es_lateness", lateness, Some(latenessSql)),
     Op("es_reshard", reshard, Some(reshardSql)),
     Op("es_running_state", runningState, Some(runningStateSql)),

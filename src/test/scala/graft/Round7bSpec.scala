@@ -49,6 +49,34 @@ class Round7bSpec extends SparkSpec {
     assert(nCand > nHit, "LSH candidates should include sub-threshold pairs")
   }
 
+  test("es_watermark_sweep: monotone in the watermark and equal to a driver-side replay") {
+    val rows = run("es_watermark_sweep").collect()
+      .map(r => (r.getAs[Long]("wm_s"), r.getAs[Long]("n_dropped"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("drop_e6")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(60L, 300L, 900L, 3600L, 21600L))
+    assert(rows.map(_._3).distinct.size == 1, "n_events must be constant across rows")
+    // a larger watermark can only drop fewer events
+    rows.map(_._2).sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(1) <= w(0), s"drop counts not monotone: $rows")
+    }
+    rows.foreach { case (_, d, n, e6) => assert(e6 == 1000000L * d / n) }
+    // independent replay: global running max in arrival (event_id) order
+    val log = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var hwm = Long.MinValue
+    val late = log.map { case (_, us) =>
+      val l = if (hwm > us) hwm - us else 0L
+      hwm = math.max(hwm, us); l
+    }
+    rows.foreach { case (wm, d, n, _) =>
+      assert(n == log.length.toLong)
+      assert(d == late.count(_ > wm * 1000000L).toLong,
+        s"watermark ${wm}s drop count mismatch")
+    }
+  }
+
   test("stream_gaps equals the batch signal_gaps view row-for-row") {
     val batch = run("signal_gaps").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
