@@ -126,7 +126,43 @@ object Multimodal extends OpFamily {
        |FROM q""".stripMargin
   }
 
+  // X6 `mm_dedup`: the exact-binary-dedup STORAGE LEDGER per source —
+  // the blob-store accounting every multimodal ingest runs first
+  // (identical images/audio re-crawled under different ids dominate
+  // raw media corpora). Unlike D1 (text identity) this keys on the
+  // content DIGEST of the opaque bytes: per source — payloads, unique
+  // blobs, duplicate copies, and the byte volume dedup reclaims. Two
+  // hash-aggs: (source, sha) then source; the first's 256-bit digest
+  // key is uniform so the shuffle cannot skew no matter how
+  // duplicated the corpus is, the second's output is |sources| rows.
+  private def mmDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), sha2(col("text").cast("binary"), 256).as("sha"),
+        length(col("text").cast("binary")).cast("long").as("byte_len"))
+      .groupBy("source", "sha")
+      .agg(count(lit(1)).as("n"), max(col("byte_len")).as("blen"))
+      .groupBy("source")
+      .agg(sum(col("n")).as("n_payloads"),
+        count(lit(1)).as("n_unique"),
+        sum(col("n") - 1).as("n_dup_copies"),
+        sum(col("n") * col("blen")).as("total_bytes"),
+        sum((col("n") - 1) * col("blen")).as("reclaimable_bytes"))
+
+  private val mmDedupSql =
+    """WITH g AS (
+      |  SELECT source, sha256(text) AS sha, count(*) AS n,
+      |    max(CAST(octet_length(encode(text)) AS BIGINT)) AS blen
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT source,
+      |  CAST(sum(n) AS BIGINT) AS n_payloads,
+      |  count(*) AS n_unique,
+      |  CAST(sum(n - 1) AS BIGINT) AS n_dup_copies,
+      |  CAST(sum(n * blen) AS BIGINT) AS total_bytes,
+      |  CAST(sum((n - 1) * blen) AS BIGINT) AS reclaimable_bytes
+      |FROM g GROUP BY 1""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("mm_dedup", mmDedup, Some(mmDedupSql)),
     Op("mm_binary_meta", binaryMeta, Some(binaryMetaSql)),
     Op("mm_frame_sample", frameSample, Some(frameSampleSql)),
     Op("mm_feature_extract", featureExtract, Some(featureExtractSql)),

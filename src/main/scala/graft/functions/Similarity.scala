@@ -869,7 +869,50 @@ object Similarity extends OpFamily {
        |FROM gr g LEFT JOIN ar a ON a.q_id = g.q_id AND a.vec_id = g.vec_id
        |GROUP BY 1""".stripMargin
 
+  // S10 `knn_graph`: the k-nearest-neighbor GRAPH over the whole
+  // embedding corpus — each vector's top-3 in-bucket neighbors. This
+  // is the data structure semantic dedup (SemDeDup-style), diversity
+  // sampling, and graph-based clustering all start from, and the
+  // all-pairs form is O(n²) — the one shape that cannot ship at
+  // 100 TB. LSH-bucketing makes the self-join block-diagonal: with
+  // 2^p buckets the candidate volume is Σ b² ≈ n²/2^p with p sized to
+  // the corpus (see lshBucket's banded form), and each block joins as
+  // an ordinary equi-join on the bucket key — no broadcast of the
+  // corpus, no global sort; the per-vector top-3 ranks inside a
+  // window PARTITIONED BY the left vector id (its candidate list is
+  // bucket-bounded). Cosines are IEEE doubles computed from exact
+  // int64 dots/norms — identical in both engines — with vec_id as the
+  // deterministic tiebreak.
+  private def knnGraph(s: SparkSession, d: String): DataFrame = {
+    val b = quantized(s, d)
+      .withColumn("bucket", lshBucket(col("v")).cast("int"))
+    val cand = b.select(col("bucket"), col("vec_id"), col("v"), col("nn"))
+      .alias("a")
+      .join(b.select(col("bucket"), col("vec_id").as("nbr_id"),
+        col("v").as("nv"), col("nn").as("nnn")).alias("c"), Seq("bucket"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cos_sim").desc, col("nbr_id"))
+    cand
+      .select(col("vec_id"), col("nbr_id"),
+        cosine(col("v"), col("nv"), col("nn"), col("nnn")).as("cos_sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+  }
+
+  private val knnGraphSql =
+    s"""WITH $quantizedCte,
+       |b AS (SELECT vec_id, v, nn, ${lshBucketSql("v")} AS bucket FROM n),
+       |x AS (
+       |  SELECT a.vec_id, c.vec_id AS nbr_id,
+       |    ${cosineSql("a.v", "c.v", "a.nn", "c.nn")} AS cos_sim
+       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+       |  ORDER BY cos_sim DESC, nbr_id) AS BIGINT) AS rn FROM x)
+       |SELECT vec_id, nbr_id, cos_sim, rn FROM r WHERE rn <= 3""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("knn_graph", knnGraph, Some(knnGraphSql)),
     Op("ann_recall", annRecall, Some(annRecallSql)),
     Op("embedding_drift", embeddingDrift, Some(embeddingDriftSql)),
     Op("embedding_qc", embeddingQc, Some(embeddingQcSql)),

@@ -102,6 +102,43 @@ object TextAnalysis extends OpFamily {
       |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_vocab
       |FROM documents""".stripMargin
 
+  // T20 `text_hapax`: hapax-legomena profile per language — how much
+  // of each slice's VOCABULARY occurs exactly once, and how much of
+  // its token MASS those singletons carry. The hapax share is the
+  // vocabulary-growth (Heaps'-law) proxy corpus reviews read for
+  // noise: OCR garbage, hash-like spam, and concatenated IDs all
+  // inflate it, while heavy boilerplate crushes it. Two hash-aggs —
+  // (lang, token) frequency, then per-lang conditional sums — both
+  // keyed, corpus-size-independent output (|langs| rows); shares are
+  // exact e4 cross-multiplies.
+  private def hapax(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tk"))
+      .filter(col("tk") =!= "")
+      .groupBy("lang", "tk").agg(count(lit(1)).as("f"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(when(col("f") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("f")).as("n_tokens"))
+      .select(col("lang"), col("n_vocab"), col("n_hapax"), col("n_tokens"),
+        expr("(10000 * n_hapax) div n_vocab").as("hapax_vocab_e4"),
+        expr("(10000 * n_hapax) div n_tokens").as("hapax_mass_e4"))
+
+  private val hapaxSql =
+    """WITH t AS (
+      |  SELECT lang, tk, count(*) AS f FROM (
+      |    SELECT lang, unnest(string_split(text, ' ')) AS tk FROM documents)
+      |  WHERE tk <> '' GROUP BY 1, 2),
+      |a AS (
+      |  SELECT lang, count(*) AS n_vocab,
+      |    CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |    CAST(sum(f) AS BIGINT) AS n_tokens
+      |  FROM t GROUP BY 1)
+      |SELECT lang, n_vocab, n_hapax, n_tokens,
+      |  CAST((10000 * n_hapax) // n_vocab AS BIGINT) AS hapax_vocab_e4,
+      |  CAST((10000 * n_hapax) // n_tokens AS BIGINT) AS hapax_mass_e4
+      |FROM a""".stripMargin
+
   // T4: document fingerprint — min-hash over character 5-grams with two
   // salts (winnowing-lite). A stable content fingerprint for shard-local
   // dedup indexes.
@@ -812,6 +849,7 @@ object TextAnalysis extends OpFamily {
     Op("text_langid", langId, Some(langIdSql)),
     Op("text_quality", quality, Some(qualitySql)),
     Op("text_tokens", tokens, Some(tokensSql)),
+    Op("text_hapax", hapax, Some(hapaxSql)),
     Op("text_fingerprint", fingerprint, Some(fingerprintSql)),
     Op("text_repetition", repetition, Some(repetitionSql)),
     Op("vocab_topk", vocabTopK, Some(vocabTopKSql)),

@@ -244,7 +244,41 @@ object Behavioral extends OpFamily {
       |  count(DISTINCT e.user_id) AS n_users
       |FROM e JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin
 
+  // B7 `behavior_pathing`: the 3-step PATH matrix — B5's transition
+  // view extended one hop: which (step1 → step2 → step3) sequences do
+  // user streams actually walk, and how many distinct users walk each.
+  // The length-3 window is where pathing analyses start (2 steps can't
+  // separate "view→click→purchase" from "view→click→view" loops).
+  // Both lead() columns ride ONE window spec (one shuffle on user_id,
+  // one per-user sort bounded by the user's own history — the same
+  // per-aggregate contract as B5); the path grid is ≤|types|³ rows, so
+  // the closing hash-agg with its distinct-user count is corpus-size
+  // independent.
+  private def pathing(s: SparkSession, d: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("step2", lead(col("event_type"), 1).over(ord))
+      .withColumn("step3", lead(col("event_type"), 2).over(ord))
+      .filter(col("step3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n_paths"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private val pathingSql =
+    """WITH t AS (
+      |  SELECT user_id, event_type AS step1,
+      |    lead(event_type, 1) OVER w AS step2,
+      |    lead(event_type, 2) OVER w AS step3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT step1, step2, step3, count(*) AS n_paths,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM t WHERE step3 IS NOT NULL GROUP BY 1, 2, 3""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("behavior_pathing", pathing, Some(pathingSql)),
     Op("asof_forward", asofForward, Some(asofForwardSql)),
     Op("retention", retention, Some(retentionSql)),
     Op("funnel_detect", funnel, Some(funnelSql)),

@@ -685,7 +685,37 @@ object EventSourcing extends OpFamily {
        |    // count(*) AS BIGINT) AS drop_e6
        |FROM l CROSS JOIN t GROUP BY 1""".stripMargin
 
+  // E25 `es_offset_audit`: the log-integrity audit a consumer runs
+  // before trusting its replay — per 1024-offset range: record count,
+  // missing offsets (gaps mean lost events ⇒ a fold from this log is
+  // wrong), duplicated offsets (redelivery that slipped past dedup),
+  // and the range's actual id bounds. The reference trusts Kafka's
+  // offset contract (KafkaConsumerStateTrackingActor tracks exactly
+  // these watermarks); an offline log must CHECK it. One hash-agg
+  // keyed by the offset range — count/min/max/distinct are all
+  // partial-aggregable, so the corpus-side work is map-side and the
+  // shuffle carries |log|/1024 rows.
+  private def offsetAudit(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(expr("event_id div 1024").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("event_id")).as("nd"),
+        min(col("event_id")).as("first_id"),
+        max(col("event_id")).as("last_id"))
+      .select(col("bucket"), col("n"),
+        (col("last_id") - col("first_id") + 1 - col("nd")).as("n_missing"),
+        (col("n") - col("nd")).as("n_dups"),
+        col("first_id"), col("last_id"))
+
+  private val offsetAuditSql =
+    """SELECT event_id // 1024 AS bucket, count(*) AS n,
+      |  CAST(max(event_id) - min(event_id) + 1 - count(DISTINCT event_id) AS BIGINT) AS n_missing,
+      |  CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS n_dups,
+      |  min(event_id) AS first_id, max(event_id) AS last_id
+      |FROM events GROUP BY 1""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("es_offset_audit", offsetAudit, Some(offsetAuditSql)),
     Op("es_watermark_sweep", watermarkSweep, Some(watermarkSweepSql)),
     Op("es_lateness", lateness, Some(latenessSql)),
     Op("es_reshard", reshard, Some(reshardSql)),

@@ -387,8 +387,10 @@ object MetricsOps extends OpFamily {
   // (ts, event_id) with the cents payload riding in the key), so the
   // WHOLE candle is ONE HashAggregate over one scan: no window, no
   // sort, no first()/last() order-dependence hazard.
-  private def downsample(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+  // The agg body is reused verbatim by the streaming twin
+  // (stream_downsample, complete mode) — same split as heatmapAgg.
+  private[graft] def downsampleAgg(events: DataFrame): DataFrame =
+    events
       .withColumn("bucket_s",
         expr("(cast(floor(unix_timestamp(ts)) as bigint) div 3600) * 3600"))
       .groupBy("event_type", "bucket_s")
@@ -404,7 +406,10 @@ object MetricsOps extends OpFamily {
         Packed.payload(col("cpk")).as("close_c"),
         col("min_c"), col("max_c"), col("sum_c"))
 
-  private val downsampleSql =
+  private def downsample(s: SparkSession, d: String): DataFrame =
+    downsampleAgg(Tables.events(s, d))
+
+  private[graft] val downsampleSql =
     """WITH e AS (
       |  SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_s,
       |    CAST(round(value*100,0) AS BIGINT) AS c, ts, event_id

@@ -404,7 +404,46 @@ object Relational extends OpFamily {
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin
 
+  // R21 `q18_having`: the HAVING-driven semi-reduction, TPC-H Q18
+  // shape — "large-volume orders": aggregate the fact FIRST, keep the
+  // tiny qualifying-key set, and only then join the dimensions. The
+  // order matters at 100 TB: the lineitem hash-agg (map-side partial)
+  // collapses the corpus to |orders| rows and the HAVING filter cuts
+  // that to ~1%, so the orders join probes a small pre-aggregated,
+  // already-hash-partitioned build side — shuffle_hash hinted (the
+  // E19/R17 shape; SMJ would re-sort the orders side for nothing) —
+  // and customer rides in as a broadcast. The quantity sum is already
+  // computed by the reduction, so lineitem is scanned exactly once.
+  private def q18Having(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"))
+      .filter(col("sum_qty_c") > lit(25000L))
+    val ord = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_name")
+    ord.join(big.hint("shuffle_hash"), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), cents(col("o_totalprice")).as("total_price_c"),
+        col("sum_qty_c"))
+  }
+
+  private val q18Sql =
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+      |  CAST(round(o_totalprice*100,0) AS BIGINT) AS total_price_c,
+      |  b.sum_qty_c
+      |FROM orders
+      |JOIN (
+      |  SELECT l_orderkey,
+      |    CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sum_qty_c
+      |  FROM lineitem GROUP BY 1
+      |  HAVING sum(CAST(round(l_quantity*100,0) AS BIGINT)) > 25000) b
+      |  ON o_orderkey = b.l_orderkey
+      |JOIN customer ON c_custkey = o_custkey""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("q18_having", q18Having, Some(q18Sql)),
     Op("grouping_sets", groupingSetsAgg, Some(groupingSetsSql)),
     Op("topk_custom", topkCustom, Some(topkCustomSql)),
     Op("outer_join", outerJoin, Some(outerJoinSql)),

@@ -619,6 +619,19 @@ object Streams extends OpFamily {
       graft.operators.MetricsOps.heatmapAgg(eventStream(s, d).toDF()),
       "graft_stream_heatmap", "complete")
 
+  // M17's streaming twin `stream_downsample`: the TSDB roll-up as the
+  // retention job actually runs it — candles maintained live while
+  // raw points stream in, the fine-grained data free to expire behind
+  // them. The WHOLE candle (open/close via packed-decimal argmin/
+  // argmax, min/max/sum/count) is min/max/sum monoids, so the
+  // streaming engine keeps O(1) state per (sensor, hour) cell and the
+  // complete-mode emission equals the batch candle exactly; oracle =
+  // M17's ⇒ batch/stream parity for every candle field.
+  private def streamDownsample(s: SparkSession, d: String): DataFrame =
+    runToTable(s,
+      graft.operators.MetricsOps.downsampleAgg(eventStream(s, d).toDF()),
+      "graft_stream_downsample", "complete")
+
   // M11's streaming twin: an SLO burn-rate page is only a page while
   // the monitor is RUNNING — the batch form is the audit, this is the
   // alert. The same one-conditional-hash-agg runs on the streaming
@@ -788,6 +801,8 @@ object Streams extends OpFamily {
       Some(graft.operators.MetricsOps.consumerLagSql)),
     Op("stream_heatmap", streamHeatmap,
       Some(graft.operators.MetricsOps.heatmapSql)),
+    Op("stream_downsample", streamDownsample,
+      Some(graft.operators.MetricsOps.downsampleSql)),
     Op("stream_admit", streamAdmit, Some(graft.functions.Dedup.admitSql)),
     Op("stream_slo_burn", streamSloBurn,
       Some(graft.operators.MetricsOps.sloBurnSql)),
