@@ -193,7 +193,45 @@ object Clusters extends OpFamily {
        |  (cluster_size - 1) * n_clusters AS n_excess
        |FROM h""".stripMargin
 
+  // D16 `dedup_semantic`: SemDeDup-style SEMANTIC dedup closed over
+  // the embedding space — D5 finds cos ≥ τ near-dup PAIRS; this op
+  // resolves them into clusters (the same transitive-closure step D6
+  // performs for the lexical graph: near-dup is not transitive, so
+  // pair-level keeps are inconsistent — A≈B, B≈C must not keep both
+  // A,C while dropping B) and emits the per-vector verdict: cluster
+  // id + canonical min-vec_id survivor flag. Reuses the distributed
+  // CC machinery (min-label propagation + pointer jumping, O(log
+  // diameter) checkpointed rounds) over D5's bucketed pair set; the
+  // final left join keys on vec_id. Oracle = WITH RECURSIVE closure
+  // over D5's own CTE bundle ⇒ both engines pin the SAME clustering.
+  private def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val edges = Dedup.dedupEmbeddingWith(s, d, Dedup.embPlanes, Dedup.embBands)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val labels = components(edges).withColumnRenamed("node", "vec_id")
+    Tables.embeddings(s, d).select(col("vec_id"))
+      .join(labels.hint("shuffle_hash"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("lab"), col("vec_id")).as("cluster_id"),
+        (coalesce(col("lab"), col("vec_id")) === col("vec_id")).as("keep"))
+  }
+
+  private def dedupSemanticSql =
+    s"""WITH RECURSIVE ${Dedup.embPairsCtes},
+       |esym AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM ep
+       |  UNION SELECT vec_b, vec_a FROM ep),
+       |ereach(node, lab) AS (
+       |  SELECT src, src FROM esym
+       |  UNION
+       |  SELECT s.src, r.lab FROM esym s JOIN ereach r ON r.node = s.dst),
+       |ecl AS (SELECT node, CAST(min(lab) AS BIGINT) AS cid FROM ereach GROUP BY node)
+       |SELECT e.vec_id,
+       |  COALESCE(c.cid, e.vec_id) AS cluster_id,
+       |  COALESCE(c.cid, e.vec_id) = e.vec_id AS keep
+       |FROM embeddings e LEFT JOIN ecl c ON c.node = e.vec_id""".stripMargin
+
   override def ops: Seq[Op] = Seq(
     Op("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    Op("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
     Op("dedup_stats", dedupStats, Some(dedupStatsSql)))
 }

@@ -381,24 +381,33 @@ object Dedup extends OpFamily {
   private def dedupEmbedding(s: SparkSession, d: String): DataFrame =
     dedupEmbeddingWith(s, d, embPlanes, embBands)
 
-  private val dedupEmbeddingSql = {
+  /** CTE bundle ending in `ep(vec_a, vec_b, cos_sim)` — the D5
+    * embedding near-dup pairs (cos ≥ 0.4). CTE names are prefixed
+    * (qv/nv/ebk/ecand) so the bundle composes into larger oracles
+    * (the D16 semantic-closure CTE chain). */
+  private[functions] val embPairsCtes: String = {
     val bandCtes = (0 until embBands).map(b =>
-      s"bk$b AS (SELECT vec_id, ${Similarity.lshBucketSql("v", embPlanes, b)} AS bk FROM n)")
+      s"ebk$b AS (SELECT vec_id, ${Similarity.lshBucketSql("v", embPlanes, b)} AS bk FROM nv)")
       .mkString(",\n")
     val bandJoins = (0 until embBands).map(b =>
-      s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM bk$b a JOIN bk$b b ON a.bk = b.bk AND a.vec_id < b.vec_id")
+      s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM ebk$b a JOIN ebk$b b ON a.bk = b.bk AND a.vec_id < b.vec_id")
       .mkString("\nUNION\n")
-    s"""WITH q AS (
+    s"""qv AS (
        |  SELECT vec_id, ${Similarity.quantizeSql("embedding")} AS v FROM embeddings),
-       |n AS (SELECT vec_id, v, ${Similarity.sqNormSql("v")} AS nn FROM q),
+       |nv AS (SELECT vec_id, v, ${Similarity.sqNormSql("v")} AS nn FROM qv),
        |$bandCtes,
-       |cand AS ($bandJoins),
-       |p AS (
-       |  SELECT c.vec_a, c.vec_b,
-       |    ${Similarity.cosineSql("x.v", "y.v", "x.nn", "y.nn")} AS cos_sim
-       |  FROM cand c JOIN n x ON x.vec_id = c.vec_a JOIN n y ON y.vec_id = c.vec_b)
-       |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.4""".stripMargin
+       |ecand AS ($bandJoins),
+       |ep AS (
+       |  SELECT * FROM (
+       |    SELECT c.vec_a, c.vec_b,
+       |      ${Similarity.cosineSql("x.v", "y.v", "x.nn", "y.nn")} AS cos_sim
+       |    FROM ecand c JOIN nv x ON x.vec_id = c.vec_a JOIN nv y ON y.vec_id = c.vec_b)
+       |  WHERE cos_sim >= 0.4)""".stripMargin
   }
+
+  private val dedupEmbeddingSql =
+    s"""WITH $embPairsCtes
+       |SELECT vec_a, vec_b, cos_sim FROM ep""".stripMargin
 
   // D7 `dedup_substring`: EXACT-substring dedup — the pass document-level
   // MinHash cannot express (the "duplicated ≥k-token span" pass of
@@ -541,7 +550,19 @@ object Dedup extends OpFamily {
   // Every stage is keyed by doc or shingle (rank window partitions on
   // doc_id; the pair join's buckets are rare-shingle-sized by
   // construction) — no global sort, no quadratic blowup.
+  // Persisted through Tables.buildOnce like pairLabels: the truth
+  // table is an INDEX consumed by two ops (dedup_exact_join emits it,
+  // dedup_recall grades LSH against it) and the prefix-filter join is
+  // the expensive stage — recomputing it per consumer doubled its cost
+  // in the bench (5.2 s + 5.4 s as two cold runs).
   private[functions] def exactJoinTruth(s: SparkSession, d: String): DataFrame = {
+    val path = s"${Tables.workDir(s)}/exact_truth_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    Tables.buildOnce(path)(exactJoinTruthBuild(s, d))
+    s.read.parquet(path)
+  }
+
+  private def exactJoinTruthBuild(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dsh = shingled(s, d).distinct().cache()
     val sz = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))

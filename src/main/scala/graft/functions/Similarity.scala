@@ -911,7 +911,48 @@ object Similarity extends OpFamily {
        |  ORDER BY cos_sim DESC, nbr_id) AS BIGINT) AS rn FROM x)
        |SELECT vec_id, nbr_id, cos_sim, rn FROM r WHERE rn <= 3""".stripMargin
 
+  // S11 `ann_filtered`: FILTERED vector search — top-5 by cosine among
+  // corpus vectors carrying the query's label (the "metadata filter +
+  // similarity" query every production vector store serves; post-hoc
+  // filtering of an unfiltered top-k silently under-returns when the
+  // label is selective, so the filter must join the search). The label
+  // IS the blocking key: corpus×queries becomes an equi-join on label
+  // (each query scans only its label's slice — at 100 TB the persisted
+  // index layout partitions by label exactly like the S2 buckets, and
+  // the probe prunes to one label directory); ranking windows
+  // partition per query over the label-bounded candidate list.
+  private def annFiltered(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("v"))
+      .withColumn("nn", sqNorm(col("v")))
+    val queries = broadcast(all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("label"),
+        col("v").as("qv"), col("nn").as("qnn")))
+    val corpus = all.filter(col("vec_id") >= 5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    corpus.join(queries, Seq("label"))
+      .select(col("q_id"), col("label"), col("vec_id"),
+        cosine(col("qv"), col("v"), col("qnn"), col("nn")).as("cos_sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+  }
+
+  private val annFilteredSql =
+    s"""WITH qa AS (
+       |  SELECT vec_id, label, ${quantizeSql("embedding")} AS v FROM embeddings),
+       |na AS (SELECT vec_id, label, v, ${sqNormSql("v")} AS nn FROM qa),
+       |x AS (
+       |  SELECT q.vec_id AS q_id, q.label, c.vec_id,
+       |    ${cosineSql("q.v", "c.v", "q.nn", "c.nn")} AS cos_sim
+       |  FROM na q JOIN na c ON q.label = c.label
+       |  WHERE q.vec_id < 5 AND c.vec_id >= 5),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |  ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rn FROM x)
+       |SELECT q_id, label, vec_id, cos_sim, rn FROM r WHERE rn <= 5""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("ann_filtered", annFiltered, Some(annFilteredSql)),
     Op("knn_graph", knnGraph, Some(knnGraphSql)),
     Op("ann_recall", annRecall, Some(annRecallSql)),
     Op("embedding_drift", embeddingDrift, Some(embeddingDriftSql)),

@@ -714,7 +714,53 @@ object EventSourcing extends OpFamily {
       |  min(event_id) AS first_id, max(event_id) AS last_id
       |FROM events GROUP BY 1""".stripMargin
 
+  // E26 `es_audit_chain`: tamper-evident hash chain per aggregate —
+  // c₀ = md5(seed:id), cᵢ = md5(cᵢ₋₁:event_id), head = c_n. An
+  // event-sourced log is an AUDIT record; the chain head is the
+  // commitment a compliance check re-derives to prove no event was
+  // inserted, dropped, or reordered since the head was notarized
+  // (surge's journal plays this role; the chain makes it checkable
+  // offline). Inherently sequential per aggregate — same per-key walk
+  // contract as A1/A2/W15 (one shuffle on the aggregate id, per-key
+  // memory bounded by that aggregate's own history); the oracle
+  // replays the identical chain as a recursive CTE, so the head is
+  // hash-checked byte-for-byte.
+  private def auditChain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("user_id"), Tables.microsOf(col("ts")).as("us"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (uid: Long, it: Iterator[(Long, Long, Long)]) =>
+        def md5Hex(x: String): String =
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val evs = it.toArray.sortBy(e => (e._2, e._3))
+        var c = md5Hex(s"seed:$uid")
+        evs.foreach { case (_, _, eid) => c = md5Hex(s"$c:$eid") }
+        (uid, evs.length.toLong, c)
+      }
+      .toDF("user_id", "n_events", "chain_head")
+  }
+
+  private val auditChainSql =
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id, event_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events),
+      |chain AS (
+      |  SELECT user_id, CAST(0 AS BIGINT) AS rn,
+      |    md5('seed:' || CAST(user_id AS VARCHAR)) AS c
+      |  FROM (SELECT DISTINCT user_id FROM e)
+      |  UNION ALL
+      |  SELECT e.user_id, e.rn, md5(ch.c || ':' || CAST(e.event_id AS VARCHAR))
+      |  FROM chain ch JOIN e ON e.user_id = ch.user_id AND e.rn = ch.rn + 1),
+      |m AS (SELECT user_id, max(rn) AS n FROM chain GROUP BY 1)
+      |SELECT ch.user_id, CAST(m.n AS BIGINT) AS n_events, ch.c AS chain_head
+      |FROM chain ch JOIN m ON ch.user_id = m.user_id AND ch.rn = m.n""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("es_audit_chain", auditChain, Some(auditChainSql)),
     Op("es_offset_audit", offsetAudit, Some(offsetAuditSql)),
     Op("es_watermark_sweep", watermarkSweep, Some(watermarkSweepSql)),
     Op("es_lateness", lateness, Some(latenessSql)),

@@ -371,7 +371,55 @@ object Windows extends OpFamily {
        |  CAST(sum(CASE WHEN us - prev >= $gapSlaUs THEN 1 ELSE 0 END) AS BIGINT) AS n_sla_gaps
        |FROM e GROUP BY 1""".stripMargin
 
+  // W19 `signal_correlation`: which signal types FIRE TOGETHER — per
+  // type pair, the number of (aggregate, hour) cells where both
+  // occurred, with each type's own cell count and the exact Jaccard
+  // co-occurrence. This is the alert-correlation table an operator
+  // reads to collapse cascading pages into one incident (the
+  // supervisor's registration patterns in W11 are hand-written; this
+  // MEASURES which signals actually travel together). The self-join
+  // is keyed on (aggregate, hour) where each block holds at most
+  // |types| rows — bounded at any corpus size — and the output grid
+  // is ≤|types|²; both closing aggs are tiny. One distinct pass over
+  // the log, no sort anywhere.
+  private def signalCorrelation(s: SparkSession, d: String): DataFrame = {
+    val u = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_timestamp(ts) div 3600").as("hr"), col("event_type"))
+      .distinct()
+      .cache()
+    val tot = u.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val pairs = u.alias("a")
+      .join(u.alias("b"),
+        col("a.user_id") === col("b.user_id") && col("a.hr") === col("b.hr") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_cooccur"))
+    pairs
+      .join(broadcast(tot.select(col("event_type").as("type_a"), col("n").as("n_a"))), "type_a")
+      .join(broadcast(tot.select(col("event_type").as("type_b"), col("n").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_cooccur"), col("n_a"), col("n_b"),
+        expr("(10000 * n_cooccur) div (n_a + n_b - n_cooccur)").as("jaccard_e4"))
+  }
+
+  private val signalCorrelationSql =
+    """WITH u AS (
+      |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+      |    event_type
+      |  FROM events),
+      |t AS (SELECT event_type, count(*) AS n FROM u GROUP BY 1),
+      |p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_cooccur
+      |  FROM u a JOIN u b
+      |    ON a.user_id = b.user_id AND a.hr = b.hr AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_cooccur, ta.n AS n_a, tb.n AS n_b,
+      |  CAST((10000 * n_cooccur) // (ta.n + tb.n - n_cooccur) AS BIGINT) AS jaccard_e4
+      |FROM p JOIN t ta ON ta.event_type = type_a
+      |       JOIN t tb ON tb.event_type = type_b""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("signal_correlation", signalCorrelation, Some(signalCorrelationSql)),
     Op("signal_gaps", signalGaps, Some(signalGapsSql)),
     Op("signal_flap", signalFlap, Some(signalFlapSql)),
     Op("signal_debounce", signalDebounce, Some(signalDebounceSql)),
