@@ -35,17 +35,22 @@ object TextAnalysis extends OpFamily {
 
   // T1: argmax marker scoring (lang-ID mechanism). Ties break to the
   // alphabetically-first group via the >=-chain evaluation order.
-  private def langId(s: SparkSession, d: String): DataFrame = {
-    val scored = Tables.documents(s, d).select(
-      col("doc_id") +: groups.map { case (g, ws) => score(ws).as(s"s_$g") }: _*)
+  /** Arg-max over the marker-group score columns s_<g> (first group
+    * winning ties, matching the oracle's CASE order) — shared by T1
+    * and the T21 confusion grid. */
+  private def predCol: org.apache.spark.sql.Column = {
     val names = groups.map(_._1)
-    val pred = names.tail.foldLeft(when(
+    names.tail.foldLeft(when(
       names.tail.map(o => col(s"s_${names.head}") >= col(s"s_$o")).reduce(_ && _),
       names.head)) { (acc, g) =>
       acc.when(names.filter(_ != g).map(o => col(s"s_$g") >= col(s"s_$o")).reduce(_ && _), g)
     }
-    scored.withColumn("pred", pred)
   }
+
+  private def langId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id") +: groups.map { case (g, ws) => score(ws).as(s"s_$g") }: _*)
+      .withColumn("pred", predCol)
 
   private val langIdSql = {
     val names = groups.map(_._1)
@@ -61,6 +66,44 @@ object TextAnalysis extends OpFamily {
        |SELECT doc_id, s_g_agg, s_g_join, s_g_scan, s_g_sql, s_g_stream,
        |  CASE $cases END AS pred
        |FROM sc""".stripMargin
+  }
+
+  // T21 `text_lang_confusion`: the CLASSIFIER-EVAL harness — T1's
+  // marker-group predictions graded against the corpus's own `lang`
+  // labels as a confusion grid with per-cell share of the label's
+  // mass. This is how any labeling model (lang-id, quality, topic)
+  // gets certified before gating a pipeline on it; on THIS synthetic
+  // corpus it also documents that T1's marker groups do not track the
+  // `lang` column — exactly what an eval harness exists to reveal.
+  // One scan scores and predicts; the grid is ≤ |langs|·|groups| rows
+  // and the share window runs over that grid only.
+  private def langConfusion(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d).select(
+      col("lang") +: groups.map { case (g, ws) => score(ws).as(s"s_$g") }: _*)
+    scored.withColumn("pred", predCol)
+      .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      .withColumn("lang_total",
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+      .select(col("lang"), col("pred"), col("n"),
+        expr("(10000 * n) div lang_total").as("share_e4"))
+  }
+
+  private val langConfusionSql = {
+    val names = groups.map(_._1)
+    val scores = groups.map { case (g, ws) => s"  ${scoreSql(ws)} AS s_$g" }.mkString(",\n")
+    val cases = names.map { g =>
+      val conds = names.filter(_ != g).map(o => s"s_$g >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$g'"
+    }.mkString(" ")
+    s"""WITH sc AS (
+       |SELECT lang,
+       |$scores
+       |FROM documents),
+       |p AS (SELECT lang, CASE $cases END AS pred FROM sc),
+       |g AS (SELECT lang, pred, count(*) AS n FROM p GROUP BY 1, 2)
+       |SELECT lang, pred, n,
+       |  CAST((10000 * n) // CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS BIGINT) AS share_e4
+       |FROM g""".stripMargin
   }
 
   // T2: quality scoring — length / stopword ratio / mean word length.
@@ -847,6 +890,7 @@ object TextAnalysis extends OpFamily {
     Op("corpus_stats", corpusStats, Some(corpusStatsSql)),
     Op("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     Op("text_langid", langId, Some(langIdSql)),
+    Op("text_lang_confusion", langConfusion, Some(langConfusionSql)),
     Op("text_quality", quality, Some(qualitySql)),
     Op("text_tokens", tokens, Some(tokensSql)),
     Op("text_hapax", hapax, Some(hapaxSql)),

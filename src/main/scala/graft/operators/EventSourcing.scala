@@ -759,7 +759,59 @@ object EventSourcing extends OpFamily {
       |SELECT ch.user_id, CAST(m.n AS BIGINT) AS n_events, ch.c AS chain_head
       |FROM chain ch JOIN m ON ch.user_id = m.user_id AND ch.rn = m.n""".stripMargin
 
+  // E27 `es_retention_policy`: the compliance/retention sweep — per
+  // (event type, shard), how much of the retained log is PAST its
+  // type's retention window and due for deletion (the day-granular
+  // policy real retention runs on: ops events expire in days, business
+  // records are kept ~forever; E20's erasure deletes by aggregate,
+  // this expires by AGE). One corpus scan collapses to the bounded
+  // (type, shard, day) grid — |types|·|shards|·|days| rows at any
+  // corpus size — and everything after (the global head day via a
+  // window over the tiny grid, the broadcast TTL attach, the expiry
+  // verdict) runs on that grid, never the log.
+  private val retentionTtlDays: Seq[(String, Long)] = Seq(
+    "error" -> 7L, "view" -> 14L, "click" -> 14L,
+    "signup" -> 90L, "purchase" -> 90L)
+
+  private def retentionPolicy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ttl = broadcast(retentionTtlDays.toDF("event_type", "ttl_d"))
+    val grid = Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr(s"user_id % $nShards").as("shard"),
+        expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("head_day",
+        max(col("day")).over(Window.partitionBy()))
+    grid.join(ttl, Seq("event_type"))
+      .groupBy("event_type", "shard")
+      .agg(sum(col("n")).as("n_events"),
+        sum(when(col("day") < col("head_day") - col("ttl_d"), col("n"))
+          .otherwise(0L)).as("n_expired"))
+      .select(col("event_type"), col("shard"), col("n_events"), col("n_expired"),
+        expr("(10000 * n_expired) div n_events").as("expired_e4"))
+  }
+
+  private val retentionPolicySql = {
+    val ttlRows = retentionTtlDays
+      .map { case (t, v) => s"('$t', $v)" }.mkString(", ")
+    s"""WITH ttl(event_type, ttl_d) AS (VALUES $ttlRows),
+       |g AS (
+       |  SELECT event_type, user_id % $nShards AS shard,
+       |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day, count(*) AS n
+       |  FROM events GROUP BY 1, 2, 3),
+       |h AS (SELECT *, max(day) OVER () AS head_day FROM g)
+       |SELECT h.event_type, h.shard,
+       |  CAST(sum(n) AS BIGINT) AS n_events,
+       |  CAST(sum(CASE WHEN day < head_day - ttl_d THEN n ELSE 0 END) AS BIGINT) AS n_expired,
+       |  CAST((10000 * sum(CASE WHEN day < head_day - ttl_d THEN n ELSE 0 END))
+       |    // sum(n) AS BIGINT) AS expired_e4
+       |FROM h JOIN ttl ON ttl.event_type = h.event_type
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   override def ops: Seq[Op] = Seq(
+    Op("es_retention_policy", retentionPolicy, Some(retentionPolicySql)),
     Op("es_audit_chain", auditChain, Some(auditChainSql)),
     Op("es_offset_audit", offsetAudit, Some(offsetAuditSql)),
     Op("es_watermark_sweep", watermarkSweep, Some(watermarkSweepSql)),

@@ -442,7 +442,36 @@ object Relational extends OpFamily {
       |  ON o_orderkey = b.l_orderkey
       |JOIN customer ON c_custkey = o_custkey""".stripMargin
 
+  // R22 `q16_distinct_agg`: distinct-aggregation under an exclusion
+  // anti-join, TPC-H Q16 shape — "how many DISTINCT suppliers serve
+  // each (brand, type, size), excluding blacklisted suppliers". The
+  // composition matters: the anti-join must run BEFORE the distinct
+  // agg (filtering after would need the full supplier set per group
+  // anyway), and both dims ride as broadcasts so the only shuffle is
+  // the distinct-agg's own — which Spark expands to two hash-aggs
+  // ((keys, supp) dedup then count), both partial-aggregable
+  // map-side. The exclusion set is tiny by nature (complaint lists
+  // are curated), the part dim is a standard broadcast dim.
+  private def q16DistinctAgg(s: SparkSession, d: String): DataFrame = {
+    val excl = Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val pt = Tables.part(s, d).select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  private val q16Sql =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("q16_distinct_agg", q16DistinctAgg, Some(q16Sql)),
     Op("q18_having", q18Having, Some(q18Sql)),
     Op("grouping_sets", groupingSetsAgg, Some(groupingSetsSql)),
     Op("topk_custom", topkCustom, Some(topkCustomSql)),
