@@ -736,7 +736,56 @@ object Pipeline extends OpFamily {
        |    < $budgetTokens AS kept
        |FROM t""".stripMargin
 
+  // P16 `corpus_card`: the DATA CARD — the one-column stat list that
+  // fronts every published dataset (docs, tokens, chars, languages,
+  // sources, exact-duplicate docs, mean doc length). P11's funnel
+  // answers "where did the data go"; the card answers "what IS this
+  // corpus" and is the artifact a consumer reads first. ONE corpus
+  // scan: a single agg computes the sums and all three distinct
+  // counts (Spark plans the multi-distinct through one Expand), the
+  // dup count falls out as docs − distinct digests (uniform md5 key),
+  // and stack() unpivots the one-row result — no per-stat scans.
+  private def corpusCard(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_chars"),
+        md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("d"), sum(col("n_tok")).as("t"),
+        sum(col("n_chars")).as("ch"),
+        countDistinct(col("lang")).as("nl"),
+        countDistinct(col("source")).as("ns"),
+        countDistinct(col("h")).as("nh"))
+      .selectExpr(
+        "stack(7, " +
+          "'n_docs', d, " +
+          "'n_tokens', t, " +
+          "'n_chars', ch, " +
+          "'n_langs', nl, " +
+          "'n_sources', ns, " +
+          "'n_exact_dup_docs', d - nh, " +
+          "'mean_doc_tokens', t div d) " +
+          "AS (stat, value)")
+
+  private val corpusCardSql =
+    """WITH b AS (
+      |  SELECT count(*) AS d,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t,
+      |    CAST(sum(length(text)) AS BIGINT) AS ch,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS nl,
+      |    CAST(count(DISTINCT source) AS BIGINT) AS ns,
+      |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS nh
+      |  FROM documents)
+      |SELECT 'n_docs' AS stat, d AS value FROM b
+      |UNION ALL SELECT 'n_tokens', t FROM b
+      |UNION ALL SELECT 'n_chars', ch FROM b
+      |UNION ALL SELECT 'n_langs', nl FROM b
+      |UNION ALL SELECT 'n_sources', ns FROM b
+      |UNION ALL SELECT 'n_exact_dup_docs', d - nh FROM b
+      |UNION ALL SELECT 'mean_doc_tokens', t // d FROM b""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("corpus_card", corpusCard, Some(corpusCardSql)),
     Op("corpus_token_budget", corpusTokenBudget, Some(corpusTokenBudgetSql)),
     Op("source_quality", sourceQuality, Some(sourceQualitySql)),
     Op("decontaminate", contamination, Some(decontaminateSql)),

@@ -743,7 +743,7 @@ object EventSourcing extends OpFamily {
       .toDF("user_id", "n_events", "chain_head")
   }
 
-  private val auditChainSql =
+  private[graft] val auditChainSql =
     """WITH RECURSIVE e AS (
       |  SELECT user_id, event_id,
       |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn

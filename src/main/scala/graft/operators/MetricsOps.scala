@@ -432,7 +432,60 @@ object MetricsOps extends OpFamily {
       |FROM a JOIN o USING (event_type, bucket_s)
       |       JOIN cl USING (event_type, bucket_s)""".stripMargin
 
+  // M19 `metric_forecast`: the seasonal-baseline forecast eval — train
+  // a per-(sensor, hour-of-day) mean on the first 20 days, grade it on
+  // the rest (n, exact sum-absolute-error, MAE, signed bias mass).
+  // This is the capacity-planning / anomaly-threshold baseline every
+  // metrics store grows ("what does Tuesday 14:00 normally look
+  // like"), and the eval harness is the part that matters: a baseline
+  // nobody scores drifts silently. Model = one hash-agg over the
+  // train window collapsed to the bounded (sensor, hod) grid and
+  // BROADCAST; scoring = one conditional pass over the eval window
+  // joined to that grid (the T8/M13 pre-aggregated-probe shape — the
+  // log never shuffles); all error mass exact integer cents (signed
+  // bias emitted as a SUM, not a mean — integer division of negatives
+  // rounds differently across engines).
+  private val forecastCut = "2024-01-21 00:00:00"
+
+  private def forecast(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"),
+      hour(col("ts")).cast("long").as("hour_of_day"),
+      cents(col("value")).as("c"), col("ts"))
+    val model = ev.filter(col("ts") < lit(forecastCut).cast("timestamp"))
+      .groupBy("event_type", "hour_of_day")
+      .agg(sum(col("c")).as("ts_sum"), count(lit(1)).as("n"))
+      .select(col("event_type"), col("hour_of_day"),
+        expr("ts_sum div n").as("pred_c"))
+    ev.filter(col("ts") >= lit(forecastCut).cast("timestamp"))
+      .join(broadcast(model), Seq("event_type", "hour_of_day"))
+      .groupBy("event_type", "hour_of_day", "pred_c")
+      .agg(count(lit(1)).as("n_test"),
+        sum(abs(col("c") - col("pred_c"))).as("sae_c"),
+        sum(col("c") - col("pred_c")).as("bias_sum_c"))
+      .select(col("event_type"), col("hour_of_day"), col("pred_c"),
+        col("n_test"), col("sae_c"),
+        expr("sae_c div n_test").as("mae_c"), col("bias_sum_c"))
+  }
+
+  private val forecastSql =
+    s"""WITH e AS (
+       |  SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+       |    CAST(round(value*100,0) AS BIGINT) AS c, ts
+       |  FROM events),
+       |m AS (
+       |  SELECT event_type, hour_of_day,
+       |    CAST(CAST(sum(c) AS BIGINT) // count(*) AS BIGINT) AS pred_c
+       |  FROM e WHERE ts < TIMESTAMP '$forecastCut' GROUP BY 1, 2)
+       |SELECT e.event_type, e.hour_of_day, m.pred_c, count(*) AS n_test,
+       |  CAST(sum(abs(c - pred_c)) AS BIGINT) AS sae_c,
+       |  CAST(CAST(sum(abs(c - pred_c)) AS BIGINT) // count(*) AS BIGINT) AS mae_c,
+       |  CAST(sum(c - pred_c) AS BIGINT) AS bias_sum_c
+       |FROM e JOIN m USING (event_type, hour_of_day)
+       |WHERE e.ts >= TIMESTAMP '$forecastCut'
+       |GROUP BY 1, 2, 3""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("metric_forecast", forecast, Some(forecastSql)),
     Op("metric_downsample", downsample, Some(downsampleSql)),
     Op("metric_heatmap", heatmap, Some(heatmapSql)),
     Op("metric_anomaly", anomaly, Some(anomalySql)),

@@ -48,6 +48,13 @@ final case class GapState(last_us: Long, n: Long, max_gap: Long, n_sla: Long)
 /** stream_gaps emission — schema-identical to the batch W17 view. */
 final case class GapOut(user_id: Long, n_events: Long, max_gap_us: Long, n_sla_gaps: Long)
 
+/** Per-key audit-chain state: the rolling md5 head + chain length —
+  * O(1) per key at any stream length. */
+final case class ChainState(head: String, n: Long)
+
+/** stream_audit_chain emission — schema-identical to the batch E26. */
+final case class ChainOut(user_id: Long, n_events: Long, chain_head: String)
+
 /** Structured-Streaming re-expression of surge's core loop.
   *
   * Reference: surge keeps one `PersistentActor` per aggregate, routed by
@@ -365,6 +372,45 @@ object Streams extends OpFamily {
 
   // M2 twin as a driver-verifiable query; oracle = the batch metric_ewma
   // oracle, proving streaming/batch metric parity.
+  // E26's streaming twin `stream_audit_chain`: the tamper-evidence
+  // commitment maintained LIVE — each micro-batch extends every
+  // touched aggregate's chain, so the notarizable head exists at all
+  // times instead of once per offline sweep. The hash chain is a
+  // LEFT FOLD, so O(1) state (head + length) suffices; the split
+  // source's range partitioning on (ts, event_id) guarantees batches
+  // arrive in exactly the order the batch op folds, making the
+  // streamed head equal E26's byte-for-byte (oracle = E26's).
+  def chainStream(ds: Dataset[Ev]): Dataset[ChainOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ChainState, ChainOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[ChainState]) =>
+          def md5Hex(x: String): String =
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          val evs = it.toArray.sortBy { e =>
+            val i = e.ts.toInstant
+            (i.getEpochSecond * 1000000L + i.getNano / 1000L, e.event_id)
+          }
+          val st = state.getOption.getOrElse(ChainState(md5Hex(s"seed:$uid"), 0L))
+          val next = evs.foldLeft(st) { (acc, e) =>
+            ChainState(md5Hex(s"${acc.head}:${e.event_id}"), acc.n + 1)
+          }
+          state.update(next)
+          Iterator.single(ChainOut(uid, next.n, next.head))
+      }
+  }
+
+  private def streamAuditChain(s: SparkSession, d: String): DataFrame = {
+    val out = chainStream(eventStream(s, d)).toDF()
+    val t = runToTable(s, out, "graft_stream_audit_chain", "update")
+    t.groupBy("user_id")
+      .agg(max_by(struct(col("n_events"), col("chain_head")),
+        col("_batch_id")).as("st"))
+      .select(col("user_id"), col("st.n_events"), col("st.chain_head"))
+  }
+
   private def streamEwma(s: SparkSession, d: String): DataFrame = {
     val out = ewmaStream(eventStream(s, d)).toDF()
     val t = runToTable(s, out, "graft_stream_ewma", "update")
@@ -826,6 +872,8 @@ object Streams extends OpFamily {
     Op("stream_ewma", streamEwma, Some(streamEwmaSql)),
     Op("stream_gaps", streamGaps,
       Some(graft.operators.Windows.signalGapsSql)),
+    Op("stream_audit_chain", streamAuditChain,
+      Some(graft.operators.EventSourcing.auditChainSql)),
     Op("stream_join", streamJoin, Some(streamJoinSql)),
     Op("stream_signal", streamSignal, Some(graft.operators.Windows.signalPatternSql)))
 }
