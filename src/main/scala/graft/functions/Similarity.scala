@@ -951,7 +951,66 @@ object Similarity extends OpFamily {
        |  ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rn FROM x)
        |SELECT q_id, label, vec_id, cos_sim, rn FROM r WHERE rn <= 5""".stripMargin
 
+  // S12 `ann_probe_sweep`: S9 gives ONE recall point; this op draws
+  // the CURVE — recall@5 per probe count over the same persisted IVF
+  // index (the dedup analog is D13's threshold sweep). The
+  // probes-vs-recall curve is the tuning artifact an ANN rollout
+  // actually decides from: where it flattens is where probe I/O stops
+  // buying accuracy. The index builds once (all probe levels read the
+  // same persisted cells); each level re-runs only the tiny probe +
+  // per-query join; ground truth is computed once and reused.
+  private def annProbeSweep(s: SparkSession, d: String): DataFrame = {
+    val gt = cosineTopK(s, d).filter(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    Seq(1, 2, 4).map { p =>
+      val ann = ivf(s, d, 16, p)
+        .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+      gt.join(ann.hint("shuffle_hash"), Seq("q_id", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(lit(p.toLong).as("probes"), col("n_true"), col("n_hit"),
+          expr("(10000 * n_hit) div n_true").as("recall_e4"))
+    }.reduce(_ unionAll _)
+  }
+
+  private def annProbeSweepSql = {
+    val centDist = "q.nn + c.cnn - 2 * CAST(list_sum(list_transform(" +
+      "range(1, len(q.v)+1), i -> q.v[i] * c.cv[i])) AS BIGINT)"
+    s"""WITH $ivfCellofCtes,
+       |qcr AS (
+       |  SELECT q.vec_id AS q_id, q.v AS qv, q.nn AS qnn, c.cid AS cell,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY $centDist, c.cid) AS rnq
+       |  FROM n q, cent c WHERE q.vec_id < 5),
+       |prs AS (SELECT unnest([1, 2, 4]) AS p),
+       |ax AS (
+       |  SELECT prs.p, qc.q_id, c.vec_id,
+       |    ${cosineSql("qc.qv", "c.v", "qc.qnn", "c.nn")} AS cos_sim
+       |  FROM prs JOIN qcr qc ON qc.rnq <= prs.p
+       |  JOIN cellof c ON c.cell = qc.cell AND c.vec_id >= 5),
+       |arx AS (
+       |  SELECT p, q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY p, q_id
+       |      ORDER BY cos_sim DESC, vec_id) AS rn FROM ax) WHERE rn <= 5),
+       |gx AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id,
+       |    ${cosineSql("q.v", "c.v", "q.nn", "c.nn")} AS cos_sim
+       |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id >= 5),
+       |gr AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, vec_id) AS rn FROM gx) WHERE rn <= 5)
+       |SELECT CAST(prs.p AS BIGINT) AS probes, count(*) AS n_true,
+       |  CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST((10000 * sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END))
+       |    // count(*) AS BIGINT) AS recall_e4
+       |FROM prs CROSS JOIN gr g
+       |LEFT JOIN arx a ON a.p = prs.p AND a.q_id = g.q_id AND a.vec_id = g.vec_id
+       |GROUP BY 1""".stripMargin
+  }
+
   override def ops: Seq[Op] = Seq(
+    Op("ann_probe_sweep", annProbeSweep, Some(annProbeSweepSql)),
     Op("ann_filtered", annFiltered, Some(annFilteredSql)),
     Op("knn_graph", knnGraph, Some(knnGraphSql)),
     Op("ann_recall", annRecall, Some(annRecallSql)),

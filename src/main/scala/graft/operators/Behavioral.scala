@@ -277,7 +277,57 @@ object Behavioral extends OpFamily {
       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM t WHERE step3 IS NOT NULL GROUP BY 1, 2, 3""".stripMargin
 
+  // B8 `behavior_anomaly`: per-USER burst detection — which of a
+  // user's active days carry event volume more than 3σ above their
+  // OWN baseline (account compromise, scraping, and runaway clients
+  // surface as exactly this; M13's 3-sigma flags sensor READINGS
+  // against the fleet, this flags days against the aggregate's own
+  // history). The corpus collapses to the (user, day) activity grid
+  // in one hash-agg; the per-user moments are a second agg over that
+  // grid joined back on the user key (the grid reuses its own
+  // shuffle, shuffle_hash on the aggregated side); the verdict is
+  // M13's integer cross-multiply — (n·D − S)² > 9·(D·Q − S²) over
+  // exact int64 — no FP, no sort, nothing corpus-scale after the
+  // first agg. Baseline = ACTIVE days only (zero-days are absent
+  // rows by construction; documented contract).
+  /** The burst verdict over any (user_id, day, n) activity grid —
+    * separated so specs can drive it with synthetic bursts of known
+    * arithmetic (the real corpus has none at spec scale). */
+  private[graft] def anomalyDays(grid: DataFrame): DataFrame = {
+    val mom = grid.groupBy("user_id")
+      .agg(count(lit(1)).as("dd"), sum(col("n")).as("ss"),
+        sum(col("n") * col("n")).as("qq"))
+    grid.join(mom.hint("shuffle_hash"), Seq("user_id"))
+      .filter((col("n") * col("dd") - col("ss")) * (col("n") * col("dd") - col("ss"))
+        > lit(9L) * (col("dd") * col("qq") - col("ss") * col("ss")))
+      .filter(col("n") * col("dd") > col("ss"))
+      .select(col("user_id"), col("day"), col("n").as("n_events"),
+        col("dd").as("n_active_days"), col("ss").as("total_events"))
+  }
+
+  private def behaviorAnomaly(s: SparkSession, d: String): DataFrame =
+    anomalyDays(Tables.events(s, d)
+      .groupBy(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(count(lit(1)).as("n")))
+
+  private val behaviorAnomalySql =
+    """WITH g AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT user_id, count(*) AS dd, CAST(sum(n) AS BIGINT) AS ss,
+      |    CAST(sum(n * n) AS BIGINT) AS qq
+      |  FROM g GROUP BY 1)
+      |SELECT g.user_id, g.day, g.n AS n_events,
+      |  m.dd AS n_active_days, m.ss AS total_events
+      |FROM g JOIN m USING (user_id)
+      |WHERE (g.n * m.dd - m.ss) * (g.n * m.dd - m.ss)
+      |        > 9 * (m.dd * m.qq - m.ss * m.ss)
+      |  AND g.n * m.dd > m.ss""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("behavior_anomaly", behaviorAnomaly, Some(behaviorAnomalySql)),
     Op("behavior_pathing", pathing, Some(pathingSql)),
     Op("asof_forward", asofForward, Some(asofForwardSql)),
     Op("retention", retention, Some(retentionSql)),

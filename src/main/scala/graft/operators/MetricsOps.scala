@@ -445,18 +445,28 @@ object MetricsOps extends OpFamily {
   // log never shuffles); all error mass exact integer cents (signed
   // bias emitted as a SUM, not a mean — integer division of negatives
   // rounds differently across engines).
-  private val forecastCut = "2024-01-21 00:00:00"
+  private[graft] val forecastCut = "2024-01-21 00:00:00"
 
-  private def forecast(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d).select(col("event_type"),
+  private def hodProjected(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
       hour(col("ts")).cast("long").as("hour_of_day"),
       cents(col("value")).as("c"), col("ts"))
-    val model = ev.filter(col("ts") < lit(forecastCut).cast("timestamp"))
+
+  /** The (sensor, hour-of-day) floor-mean model over the train window
+    * — tiny, broadcast by every consumer. */
+  private[graft] def forecastModel(events: DataFrame): DataFrame =
+    hodProjected(events)
+      .filter(col("ts") < lit(forecastCut).cast("timestamp"))
       .groupBy("event_type", "hour_of_day")
       .agg(sum(col("c")).as("ts_sum"), count(lit(1)).as("n"))
       .select(col("event_type"), col("hour_of_day"),
         expr("ts_sum div n").as("pred_c"))
-    ev.filter(col("ts") >= lit(forecastCut).cast("timestamp"))
+
+  /** Scoring agg over the eval window — reused verbatim by the
+    * streaming twin (stream_forecast, complete mode). */
+  private[graft] def forecastEvalAgg(events: DataFrame, model: DataFrame): DataFrame =
+    hodProjected(events)
+      .filter(col("ts") >= lit(forecastCut).cast("timestamp"))
       .join(broadcast(model), Seq("event_type", "hour_of_day"))
       .groupBy("event_type", "hour_of_day", "pred_c")
       .agg(count(lit(1)).as("n_test"),
@@ -465,9 +475,13 @@ object MetricsOps extends OpFamily {
       .select(col("event_type"), col("hour_of_day"), col("pred_c"),
         col("n_test"), col("sae_c"),
         expr("sae_c div n_test").as("mae_c"), col("bias_sum_c"))
+
+  private def forecast(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    forecastEvalAgg(ev, forecastModel(ev))
   }
 
-  private val forecastSql =
+  private[graft] val forecastSql =
     s"""WITH e AS (
        |  SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
        |    CAST(round(value*100,0) AS BIGINT) AS c, ts

@@ -678,6 +678,23 @@ object Streams extends OpFamily {
       graft.operators.MetricsOps.downsampleAgg(eventStream(s, d).toDF()),
       "graft_stream_downsample", "complete")
 
+  // M19's streaming twin `stream_forecast`: baseline scoring as live
+  // monitoring actually runs it — the model is TRAINED offline (one
+  // tiny batch agg over the historical train window, broadcast as a
+  // static frame, the stream_anomaly pattern) and INCOMING eval-window
+  // readings are graded against it continuously; each complete-mode
+  // refresh re-emits the whole bounded (sensor, hod) error grid. The
+  // stream replays the full log, so the stateless ts >= cut filter
+  // inside the shared agg selects exactly the batch op's eval rows;
+  // oracle = M19's ⇒ batch/stream parity for every error statistic.
+  private def streamForecast(s: SparkSession, d: String): DataFrame = {
+    val model = graft.operators.MetricsOps
+      .forecastModel(Tables.events(s, d))
+    runToTable(s,
+      graft.operators.MetricsOps.forecastEvalAgg(eventStream(s, d).toDF(), model),
+      "graft_stream_forecast", "complete")
+  }
+
   // M11's streaming twin: an SLO burn-rate page is only a page while
   // the monitor is RUNNING — the batch form is the audit, this is the
   // alert. The same one-conditional-hash-agg runs on the streaming
@@ -849,6 +866,8 @@ object Streams extends OpFamily {
       Some(graft.operators.MetricsOps.heatmapSql)),
     Op("stream_downsample", streamDownsample,
       Some(graft.operators.MetricsOps.downsampleSql)),
+    Op("stream_forecast", streamForecast,
+      Some(graft.operators.MetricsOps.forecastSql)),
     Op("stream_admit", streamAdmit, Some(graft.functions.Dedup.admitSql)),
     Op("stream_slo_burn", streamSloBurn,
       Some(graft.operators.MetricsOps.sloBurnSql)),

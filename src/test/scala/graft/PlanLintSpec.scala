@@ -20,6 +20,8 @@ class PlanLintSpec extends SparkSpec {
     "cosine_topk",  // brute-force baseline: corpus × 5 broadcast queries
     "ann_recall",   // composes cosine_topk (ground truth) + ann_ivf —
                     //   inherits exactly their allowlisted broadcasts
+    "ann_probe_sweep", // the same composition per probe level — the
+                       //   k-centroid broadcast ×3 probe settings
     "ann_lsh",      // queries broadcast against bucket-partitioned corpus
     "dedup_embedding", // truth-set style candidate re-attach, broadcast side
     "mm_embed_ann",
