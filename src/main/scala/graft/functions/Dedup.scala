@@ -355,20 +355,29 @@ object Dedup extends OpFamily {
   private[graft] val embPlanes = 16
   private[graft] val embBands = 6
 
-  private[graft] def dedupEmbeddingWith(
+  /** The banded-LSH candidate id pairs alone (no cosine verify) — the
+    * generator the D17 band-shape sweep grades per configuration. */
+  private[graft] def embCandidates(
       s: SparkSession, d: String, planes: Int, bands: Int): DataFrame = {
     val q = Tables.embeddings(s, d).select(col("vec_id"),
       Similarity.quantize(col("embedding")).as("v"))
-    val n = (0 until bands).foldLeft(q.withColumn("nn", Similarity.sqNorm(col("v")))) {
+    val n = (0 until bands).foldLeft(q) {
       (df, b) => df.withColumn(s"bk$b", Similarity.lshBucket(col("v"), planes, b))
-    }.cache()
-    // narrow candidate list first (ids only), OR'd across bands…
-    val cand = (0 until bands).map { b =>
+    }.drop("v").cache()
+    (0 until bands).map { b =>
       n.select(col("vec_id").as("vec_a"), col(s"bk$b").as("bk")).alias("a")
         .join(n.select(col("vec_id").as("vec_b"), col(s"bk$b").as("bk")).alias("b"), "bk")
         .filter(col("vec_a") < col("vec_b"))
         .select("vec_a", "vec_b")
     }.reduce(_ union _).distinct()
+  }
+
+  private[graft] def dedupEmbeddingWith(
+      s: SparkSession, d: String, planes: Int, bands: Int): DataFrame = {
+    val q = Tables.embeddings(s, d).select(col("vec_id"),
+      Similarity.quantize(col("embedding")).as("v"))
+    val n = q.withColumn("nn", Similarity.sqNorm(col("v"))).cache()
+    val cand = embCandidates(s, d, planes, bands)
     // …then one vector re-attach per side for the exact cosine check
     val va = n.select(col("vec_id").as("vec_a"), col("v").as("av"), col("nn").as("an"))
     val vb = n.select(col("vec_id").as("vec_b"), col("v").as("bv"), col("nn").as("bn"))
@@ -670,7 +679,80 @@ object Dedup extends OpFamily {
        |    // sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT) AS precision_e4
        |FROM fx""".stripMargin
 
+  // D17 `dedup_band_sweep`: the band-SHAPE tuning table for the
+  // embedding LSH — D15 grades ONE candidate generator; this grades
+  // the (planes × bands) ladder against exhaustive cos ≥ 0.4 ground
+  // truth: candidates, hits, recall, precision per shape. The code
+  // comment above embPlanes ("16×6 matches the old single band's
+  // recall at ~0.65× the candidates") becomes a measured TABLE — the
+  // artifact that decision is audited from. Ground truth is the
+  // EVAL's deliberate cost (all-pairs over the exact int64 kernel);
+  // in production it runs over a sample, never the corpus — the
+  // operators under test stay bucketed.
+  private val bandSweepConfigs = Seq((4, 2), (8, 4), (16, 6))
+
+  private def dedupBandSweep(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.embeddings(s, d)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("v"))
+      .withColumn("nn", Similarity.sqNorm(col("v")))
+    val truth = n.alias("a").join(n.alias("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Similarity.cosine(col("a.v"), col("b.v"), col("a.nn"), col("b.nn"))
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), lit(1L).as("in_t"))
+      .cache()
+    bandSweepConfigs.map { case (p, b) =>
+      val cand = embCandidates(s, d, p, b)
+        .select(col("vec_a"), col("vec_b"), lit(1L).as("in_c"))
+      truth.join(cand.hint("shuffle_hash"), Seq("vec_a", "vec_b"), "full")
+        .agg(sum(coalesce(col("in_t"), lit(0L))).as("n_true"),
+          sum(coalesce(col("in_c"), lit(0L))).as("n_cand"),
+          sum(coalesce(col("in_t"), lit(0L)) * coalesce(col("in_c"), lit(0L)))
+            .as("n_hit"))
+        .select(lit(s"${p}x$b").as("config"), col("n_true"), col("n_cand"),
+          col("n_hit"),
+          expr("(10000 * n_hit) div n_true").as("recall_e4"),
+          expr("(10000 * n_hit) div n_cand").as("precision_e4"))
+    }.reduce(_ unionAll _)
+  }
+
+  private def dedupBandSweepSql = {
+    val truthCtes =
+      s"""qv2 AS (SELECT vec_id, ${Similarity.quantizeSql("embedding")} AS v FROM embeddings),
+         |nv2 AS (SELECT vec_id, v, ${Similarity.sqNormSql("v")} AS nn FROM qv2),
+         |trx AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM nv2 a JOIN nv2 b ON a.vec_id < b.vec_id
+         |  WHERE ${Similarity.cosineSql("a.v", "b.v", "a.nn", "b.nn")} >= 0.4)""".stripMargin
+    val parts = bandSweepConfigs.zipWithIndex.map { case ((p, b), i) =>
+      val bandCtes = (0 until b).map(j =>
+        s"sb${i}_$j AS (SELECT vec_id, ${Similarity.lshBucketSql("v", p, j)} AS bk FROM nv2)")
+        .mkString(",\n")
+      val joins = (0 until b).map(j =>
+        s"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM sb${i}_$j a " +
+          s"JOIN sb${i}_$j b ON a.bk = b.bk AND a.vec_id < b.vec_id")
+        .mkString("\nUNION\n")
+      val cte = s"$bandCtes,\ncd$i AS ($joins)"
+      val row =
+        s"""SELECT '${p}x$b' AS config,
+           |  (SELECT count(*) FROM trx) AS n_true,
+           |  (SELECT count(*) FROM cd$i) AS n_cand,
+           |  (SELECT count(*) FROM trx t JOIN cd$i c
+           |     ON t.vec_a = c.vec_a AND t.vec_b = c.vec_b) AS n_hit""".stripMargin
+      (cte, row)
+    }
+    s"""WITH $truthCtes,
+       |${parts.map(_._1).mkString(",\n")}
+       |SELECT config, n_true, n_cand, n_hit,
+       |  CAST((10000 * n_hit) // n_true AS BIGINT) AS recall_e4,
+       |  CAST((10000 * n_hit) // n_cand AS BIGINT) AS precision_e4
+       |FROM (${parts.map(_._2).mkString("\nUNION ALL\n")}) z""".stripMargin
+  }
+
   override def ops: Seq[Op] = Seq(
+    Op("dedup_band_sweep", dedupBandSweep, Some(dedupBandSweepSql)),
     Op("dedup_exact_join", dedupExactJoin, Some(dedupExactJoinSql)),
     Op("dedup_recall", dedupRecall, Some(dedupRecallSql)),
     Op("dedup_sweep", dedupSweep, Some(dedupSweepSql)),

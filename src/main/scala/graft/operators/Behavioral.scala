@@ -266,7 +266,7 @@ object Behavioral extends OpFamily {
         countDistinct(col("user_id")).as("n_users"))
   }
 
-  private val pathingSql =
+  private[graft] val pathingSql =
     """WITH t AS (
       |  SELECT user_id, event_type AS step1,
       |    lead(event_type, 1) OVER w AS step2,

@@ -55,6 +55,12 @@ final case class ChainState(head: String, n: Long)
 /** stream_audit_chain emission — schema-identical to the batch E26. */
 final case class ChainOut(user_id: Long, n_events: Long, chain_head: String)
 
+/** Per-key pathing state: the last two event types — O(1) per key. */
+final case class PathState(e1: String, e2: String)
+
+/** One emitted 3-step path (aggregated to the B7 grid by the harness). */
+final case class PathOut(user_id: Long, step1: String, step2: String, step3: String)
+
 /** Structured-Streaming re-expression of surge's core loop.
   *
   * Reference: surge keeps one `PersistentActor` per aggregate, routed by
@@ -409,6 +415,43 @@ object Streams extends OpFamily {
       .agg(max_by(struct(col("n_events"), col("chain_head")),
         col("_batch_id")).as("st"))
       .select(col("user_id"), col("st.n_events"), col("st.chain_head"))
+  }
+
+  // B7's streaming twin `stream_pathing`: the 3-step path matrix
+  // maintained while events arrive. Each key's state is just its last
+  // TWO event types (O(1)); every incoming event completes at most one
+  // new trigram, emitted append-style exactly once. The split source's
+  // (ts, event_id) range order makes the emitted trigram multiset
+  // equal the batch lead()-window view, so the closing grid equals
+  // B7's; oracle = B7's ⇒ batch/stream path parity.
+  def pathStream(ds: Dataset[Ev]): Dataset[PathOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[PathState, PathOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[PathState]) =>
+          val evs = it.toArray.sortBy { e =>
+            val i = e.ts.toInstant
+            (i.getEpochSecond * 1000000L + i.getNano / 1000L, e.event_id)
+          }
+          var st = state.getOption.getOrElse(PathState(null, null))
+          val out = Seq.newBuilder[PathOut]
+          evs.foreach { e =>
+            if (st.e1 != null)
+              out += PathOut(uid, st.e1, st.e2, e.event_type)
+            st = PathState(st.e2, e.event_type)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  private def streamPathing(s: SparkSession, d: String): DataFrame = {
+    val out = pathStream(eventStream(s, d)).toDF()
+    runToTable(s, out, "graft_stream_pathing", "append")
+      .groupBy("step1", "step2", "step3")
+      .agg(count(lit(1)).as("n_paths"),
+        countDistinct(col("user_id")).as("n_users"))
   }
 
   private def streamEwma(s: SparkSession, d: String): DataFrame = {
@@ -893,6 +936,8 @@ object Streams extends OpFamily {
       Some(graft.operators.Windows.signalGapsSql)),
     Op("stream_audit_chain", streamAuditChain,
       Some(graft.operators.EventSourcing.auditChainSql)),
+    Op("stream_pathing", streamPathing,
+      Some(graft.operators.Behavioral.pathingSql)),
     Op("stream_join", streamJoin, Some(streamJoinSql)),
     Op("stream_signal", streamSignal, Some(graft.operators.Windows.signalPatternSql)))
 }
