@@ -784,7 +784,37 @@ object Pipeline extends OpFamily {
       |UNION ALL SELECT 'n_exact_dup_docs', d - nh FROM b
       |UNION ALL SELECT 'mean_doc_tokens', t // d FROM b""".stripMargin
 
+  // P17 `corpus_eval_holdout`: the EVAL-SET builder — exactly 20 docs
+  // per language, selected by a salted content-independent hash order.
+  // Every training run needs a frozen held-out set; the selection must
+  // be (a) stratified so small languages are represented, (b) a pure
+  // function of the data so reruns/engines/partitionings freeze the
+  // SAME set, (c) sort-free at corpus scale. The deterministic
+  // md5-derived rank rides the custom TopKPerKey heap operator (one
+  // hash shuffle on lang, bounded 20-entry heaps — the full-order
+  // window form would sort every language's slice); oracle = the
+  // row_number() window over the identical hash.
+  private def evalHoldout(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("lang"), col("doc_id"),
+      expr("cast(conv(substr(md5(concat('holdout:', cast(doc_id as string))), 1, 15), 16, 10) as bigint)")
+        .as("hid"))
+    graft.plans.TopK.topKPerKey(base, 20, "lang", "hid", "doc_id")
+      .select("lang", "doc_id", "hid")
+  }
+
+  private val evalHoldoutSql =
+    """WITH b AS (
+      |  SELECT lang, doc_id,
+      |    CAST(list_sum(list_transform(range(0, 15), i ->
+      |      (strpos('0123456789abcdef',
+      |         substr(md5('holdout:' || CAST(doc_id AS VARCHAR)), 1 + CAST(i AS INT), 1)) - 1)
+      |        * CAST(pow(16, 14 - i) AS BIGINT))) AS BIGINT) AS hid
+      |  FROM documents),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY hid DESC, doc_id) AS rn FROM b)
+      |SELECT lang, doc_id, hid FROM r WHERE rn <= 20""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("corpus_eval_holdout", evalHoldout, Some(evalHoldoutSql)),
     Op("corpus_card", corpusCard, Some(corpusCardSql)),
     Op("corpus_token_budget", corpusTokenBudget, Some(corpusTokenBudgetSql)),
     Op("source_quality", sourceQuality, Some(sourceQualitySql)),

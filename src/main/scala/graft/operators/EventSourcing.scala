@@ -810,7 +810,44 @@ object EventSourcing extends OpFamily {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  // E29 `es_command_dedup`: idempotency-key deduplication — the
+  // at-least-once ingestion contract every command gateway enforces
+  // (surge's commands carry client-supplied idempotency ids; redelivery
+  // must not double-apply). Key = (aggregate, idempotency key from the
+  // envelope's JSON props); the FIRST arrival by (ts, event_id) wins,
+  // later attempts are duplicates. ONE packed-decimal argmin hash-agg
+  // per key — the winner's event_id rides the packed key's own offset
+  // digits (no payload field needed, no join-back), attempts counted
+  // in the same agg. One shuffle, no sort, no window.
+  private def commandDedup(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("idem_key"),
+        col("ts"), col("event_id"))
+      .groupBy("user_id", "idem_key")
+      .agg(count(lit(1)).as("n_attempts"),
+        min(Packed.latest(col("ts"), col("event_id"), lit(0L))).as("pk"))
+      .select(col("user_id"), col("idem_key"), col("n_attempts"),
+        Packed.eventId(col("pk")).as("accepted_event_id"),
+        (col("n_attempts") - 1).as("n_duplicates"))
+
+  private val commandDedupSql =
+    """WITH c AS (
+      |  SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS idem_key,
+      |    ts, event_id
+      |  FROM events),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, idem_key
+      |    ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM c),
+      |a AS (SELECT user_id, idem_key, count(*) AS n_attempts FROM c GROUP BY 1, 2)
+      |SELECT a.user_id, a.idem_key, a.n_attempts,
+      |  r.event_id AS accepted_event_id,
+      |  CAST(a.n_attempts - 1 AS BIGINT) AS n_duplicates
+      |FROM a JOIN r ON r.user_id = a.user_id AND r.idem_key = a.idem_key AND r.rn = 1""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("es_command_dedup", commandDedup, Some(commandDedupSql)),
     Op("es_retention_policy", retentionPolicy, Some(retentionPolicySql)),
     Op("es_audit_chain", auditChain, Some(auditChainSql)),
     Op("es_offset_audit", offsetAudit, Some(offsetAuditSql)),
