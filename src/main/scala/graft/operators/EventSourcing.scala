@@ -831,7 +831,7 @@ object EventSourcing extends OpFamily {
         Packed.eventId(col("pk")).as("accepted_event_id"),
         (col("n_attempts") - 1).as("n_duplicates"))
 
-  private val commandDedupSql =
+  private[graft] val commandDedupSql =
     """WITH c AS (
       |  SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS idem_key,
       |    ts, event_id

@@ -470,7 +470,36 @@ object Relational extends OpFamily {
       |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
       |GROUP BY 1, 2, 3""".stripMargin
 
+  // R23 `q4_priority`: aggregate over a correlated-EXISTS semi-join,
+  // TPC-H Q4 shape — order counts per priority among orders with at
+  // least one SLOW lineitem (shipped > 60 days after the order). The
+  // semi-join carries the equi key plus the non-equi date residual in
+  // one pass (Spark hashes on the key and applies the residual in the
+  // probe — no second scan, no dedup step a plain join would force);
+  // the closing agg is over the tiny priority dimension.
+  private def q4Priority(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  private val q4Sql =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey
+      |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY 1""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("q4_priority", q4Priority, Some(q4Sql)),
     Op("q16_distinct_agg", q16DistinctAgg, Some(q16Sql)),
     Op("q18_having", q18Having, Some(q18Sql)),
     Op("grouping_sets", groupingSetsAgg, Some(groupingSetsSql)),

@@ -418,7 +418,50 @@ object Windows extends OpFamily {
       |FROM p JOIN t ta ON ta.event_type = type_a
       |       JOIN t tb ON tb.event_type = type_b""".stripMargin
 
+  // W21 `signal_escalation`: the PERSISTENCE-based escalation policy —
+  // a signal that keeps firing hour after hour is an incident, not an
+  // alert (page it); an isolated fire is a ticket. Per aggregate:
+  // hours with ≥1 error collapse to consecutive RUNS (gaps-and-islands
+  // on the hour index — the W3 construction on a bounded per-user
+  // hour grid instead of raw events), each run emitted with its
+  // length and the run_hours ≥ 3 escalation verdict. Every window
+  // partitions on user_id (the single shuffle's key) over the tiny
+  // fired-hour grid, never the log; the log itself collapses to that
+  // grid in ONE hash-agg.
+  private def signalEscalation(s: SparkSession, d: String): DataFrame = {
+    val fired = Tables.events(s, d)
+      .filter(col("event_type") === "error")
+      .groupBy(col("user_id"),
+        expr("unix_timestamp(ts) div 3600").as("hr"))
+      .agg(count(lit(1)).as("n_errors"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("hr")
+    fired
+      .withColumn("grp", col("hr") - row_number().over(ord))
+      .groupBy("user_id", "grp")
+      .agg(min(col("hr")).as("start_hr"), count(lit(1)).as("run_hours"),
+        sum(col("n_errors")).as("n_errors"))
+      .select(col("user_id"), (col("start_hr") * 3600).as("start_s"),
+        col("run_hours"), col("n_errors"),
+        (col("run_hours") >= 3).as("escalated"))
+  }
+
+  private val signalEscalationSql =
+    """WITH f AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+      |    count(*) AS n_errors
+      |  FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+      |g AS (
+      |  SELECT *, hr - row_number() OVER (PARTITION BY user_id ORDER BY hr) AS grp
+      |  FROM f)
+      |SELECT user_id, CAST(min(hr) * 3600 AS BIGINT) AS start_s,
+      |  count(*) AS run_hours,
+      |  CAST(sum(n_errors) AS BIGINT) AS n_errors,
+      |  count(*) >= 3 AS escalated
+      |FROM g GROUP BY user_id, grp""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("signal_escalation", signalEscalation, Some(signalEscalationSql)),
     Op("signal_correlation", signalCorrelation, Some(signalCorrelationSql)),
     Op("signal_gaps", signalGaps, Some(signalGapsSql)),
     Op("signal_flap", signalFlap, Some(signalFlapSql)),

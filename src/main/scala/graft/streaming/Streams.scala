@@ -721,6 +721,33 @@ object Streams extends OpFamily {
       graft.operators.MetricsOps.downsampleAgg(eventStream(s, d).toDF()),
       "graft_stream_downsample", "complete")
 
+  // E29's streaming twin `stream_command_dedup`: the idempotency gate
+  // where it actually lives — in front of the live command stream. The
+  // verdict per (aggregate, key) is a packed-decimal argmin plus an
+  // attempt count — both commutative monoids, so the complete-mode
+  // streaming agg keeps one fixed-width buffer per key and the final
+  // emission equals the batch verdict exactly. The raw stream (with
+  // the JSON envelope column the typed Ev projection drops) comes
+  // straight off the split source; oracle = E29's ⇒ batch/stream
+  // parity for every verdict field.
+  private def streamCommandDedup(s: SparkSession, d: String): DataFrame = {
+    val src = splitSource(s, d)
+    val raw = s.readStream.schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val agg = raw
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("idem_key"),
+        col("ts"), col("event_id"))
+      .groupBy("user_id", "idem_key")
+      .agg(count(lit(1)).as("n_attempts"),
+        min(graft.operators.Packed.latest(col("ts"), col("event_id"), lit(0L)))
+          .as("pk"))
+      .select(col("user_id"), col("idem_key"), col("n_attempts"),
+        graft.operators.Packed.eventId(col("pk")).as("accepted_event_id"),
+        (col("n_attempts") - 1).as("n_duplicates"))
+    runToTable(s, agg, "graft_stream_command_dedup", "complete")
+  }
+
   // M19's streaming twin `stream_forecast`: baseline scoring as live
   // monitoring actually runs it — the model is TRAINED offline (one
   // tiny batch agg over the historical train window, broadcast as a
@@ -938,6 +965,8 @@ object Streams extends OpFamily {
       Some(graft.operators.EventSourcing.auditChainSql)),
     Op("stream_pathing", streamPathing,
       Some(graft.operators.Behavioral.pathingSql)),
+    Op("stream_command_dedup", streamCommandDedup,
+      Some(graft.operators.EventSourcing.commandDedupSql)),
     Op("stream_join", streamJoin, Some(streamJoinSql)),
     Op("stream_signal", streamSignal, Some(graft.operators.Windows.signalPatternSql)))
 }
