@@ -161,7 +161,57 @@ object Multimodal extends OpFamily {
       |  CAST(sum((n - 1) * blen) AS BIGINT) AS reclaimable_bytes
       |FROM g GROUP BY 1""".stripMargin
 
+  // X7 `mm_frame_dedup`: dedup at the FRAME level — the pass video
+  // pipelines run below X6's whole-payload identity (intros, logos,
+  // and black frames repeat across files that are NOT duplicates of
+  // each other). Every fixed-size chunk's checksum goes through one
+  // hash-agg on the uniform digest key; a checksum seen ≥2 times is a
+  // repeated frame, reported with its copy/doc counts and the
+  // canonical earliest (doc, frame) keeper — packed into one int64
+  // (doc·10⁶ + frame, frames bounded by payload size) so the argmin
+  // is a plain min, no join-back. The chunk explode is O(corpus
+  // bytes / chunk) rows — the X2 plan shape, all map-side until the
+  // digest shuffle.
+  private def mmFrameDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("len"))
+      .withColumn("n_frames", expr("(len - 1) div 1000 + 1"))
+      .select(col("doc_id"), col("text"), col("len"),
+        posexplode(expr("sequence(0, cast(n_frames - 1 as int))")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(expr("substr(text, pos * 1000 + 1, least(16, len - pos * 1000))")).as("chk"))
+      .groupBy("chk")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id") * 1000000L + col("pos")).as("kp"))
+      .filter(col("n_copies") >= 2)
+      .select(col("chk"), col("n_copies"), col("n_docs"),
+        expr("kp div 1000000").as("keep_doc_id"),
+        (col("kp") % 1000000L).as("keep_frame_id"))
+
+  private val mmFrameDedupSql =
+    """WITH b AS (
+      |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+      |    (CAST(length(text) AS BIGINT) - 1) // 1000 + 1 AS n_frames
+      |  FROM documents),
+      |f AS (SELECT doc_id, text, len, unnest(range(0, n_frames)) AS pos FROM b),
+      |c AS (
+      |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |    md5(substring(text, CAST(pos * 1000 + 1 AS INT),
+      |      CAST(least(16, len - pos * 1000) AS INT))) AS chk
+      |  FROM f),
+      |g AS (
+      |  SELECT chk, count(*) AS n_copies,
+      |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |    CAST(min(doc_id * 1000000 + pos) AS BIGINT) AS kp
+      |  FROM c GROUP BY 1)
+      |SELECT chk, n_copies, n_docs,
+      |  kp // 1000000 AS keep_doc_id, kp % 1000000 AS keep_frame_id
+      |FROM g WHERE n_copies >= 2""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("mm_frame_dedup", mmFrameDedup, Some(mmFrameDedupSql)),
     Op("mm_dedup", mmDedup, Some(mmDedupSql)),
     Op("mm_binary_meta", binaryMeta, Some(binaryMetaSql)),
     Op("mm_frame_sample", frameSample, Some(frameSampleSql)),

@@ -813,7 +813,56 @@ object Pipeline extends OpFamily {
       |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY hid DESC, doc_id) AS rn FROM b)
       |SELECT lang, doc_id, hid FROM r WHERE rn <= 20""".stripMargin
 
+  // P18 `corpus_contamination_sweep`: the decontamination THRESHOLD
+  // sweep — before committing to "contaminated means ≥ 5 shared
+  // shingles", what does each candidate threshold cost in docs and
+  // tokens? (D13 is this table for the dedup threshold; P1's gate
+  // deserves the same audit.) One pass over P1's per-doc hit frame
+  // joined to token counts; the five thresholds are CONDITIONAL SUMS
+  // in a single hash-agg unpivoted with stack() — no threshold
+  // explode of the corpus, no non-equi join (the es_watermark_sweep
+  // pattern). Shares exact e4.
+  private val contamSweepTs: Seq[Long] = Seq(1L, 2L, 5L, 10L, 20L)
+
+  private def contaminationSweep(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .filter(col("doc_id") >= benchMax)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .join(contamination(s, d).select("doc_id", "n_shared").hint("shuffle_hash"),
+        Seq("doc_id"))
+    val sums = contamSweepTs.flatMap(t => Seq(
+      sum(when(col("n_shared") >= t, 1L).otherwise(0L)).as(s"d_$t"),
+      sum(when(col("n_shared") >= t, col("n_tok")).otherwise(0L)).as(s"t_$t")))
+    val agg = base.agg(count(lit(1)).as("n_docs"), sums: _*)
+    agg.select(col("n_docs"), explode(array(contamSweepTs.map(t =>
+        struct(lit(t).as("threshold"), col(s"d_$t").as("n_docs_flagged"),
+          col(s"t_$t").as("n_tokens_flagged"))): _*)).as("e"))
+      .select(col("e.threshold").as("threshold"),
+        col("e.n_docs_flagged").as("n_docs_flagged"),
+        col("e.n_tokens_flagged").as("n_tokens_flagged"),
+        col("n_docs"),
+        expr("(10000 * e.n_docs_flagged) div n_docs").as("flagged_e4"))
+  }
+
+  private def contaminationSweepSql =
+    s"""WITH $contaminationCtes,
+       |base AS (
+       |  SELECT d.doc_id,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+       |    COALESCE(h.n_shared, 0) AS n_shared
+       |  FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+       |  WHERE d.doc_id >= $benchMax),
+       |t AS (SELECT unnest([${contamSweepTs.mkString(", ")}]) AS threshold)
+       |SELECT CAST(t.threshold AS BIGINT) AS threshold,
+       |  CAST(sum(CASE WHEN n_shared >= t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged,
+       |  CAST(sum(CASE WHEN n_shared >= t.threshold THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens_flagged,
+       |  count(*) AS n_docs,
+       |  CAST((10000 * sum(CASE WHEN n_shared >= t.threshold THEN 1 ELSE 0 END))
+       |    // count(*) AS BIGINT) AS flagged_e4
+       |FROM base CROSS JOIN t GROUP BY 1""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("corpus_contamination_sweep", contaminationSweep, Some(contaminationSweepSql)),
     Op("corpus_eval_holdout", evalHoldout, Some(evalHoldoutSql)),
     Op("corpus_card", corpusCard, Some(corpusCardSql)),
     Op("corpus_token_budget", corpusTokenBudget, Some(corpusTokenBudgetSql)),
