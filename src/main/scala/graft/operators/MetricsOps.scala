@@ -498,7 +498,39 @@ object MetricsOps extends OpFamily {
        |WHERE e.ts >= TIMESTAMP '$forecastCut'
        |GROUP BY 1, 2, 3""".stripMargin
 
+  // M21 `metric_availability`: the uptime dashboard — per (sensor,
+  // day): hours with ≥1 reading, observed span, and availability as
+  // an exact e4 share of 24 hours. A sensor that stops reporting IS
+  // the incident (W17's silence detector per aggregate; THIS is the
+  // fleet-facing daily roll-up SLAs quote). The log collapses to the
+  // distinct (sensor, day, hour) grid in one agg; the day roll-up is
+  // a second agg over that bounded grid.
+  private def availability(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_timestamp(ts) div 86400").as("day"),
+        expr("unix_timestamp(ts) div 3600").as("hr"))
+      .distinct()
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_hours"),
+        min(col("hr")).as("first_hr"), max(col("hr")).as("last_hr"))
+      .select(col("event_type"), col("day"), col("n_hours"),
+        (col("last_hr") - col("first_hr") + 1).as("span_hours"),
+        expr("(10000 * n_hours) div 24").as("avail_e4"))
+
+  private val availabilitySql =
+    """WITH u AS (
+      |  SELECT DISTINCT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr
+      |  FROM events)
+      |SELECT event_type, day, count(*) AS n_hours,
+      |  CAST(max(hr) - min(hr) + 1 AS BIGINT) AS span_hours,
+      |  CAST((10000 * count(*)) // 24 AS BIGINT) AS avail_e4
+      |FROM u GROUP BY 1, 2""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("metric_availability", availability, Some(availabilitySql)),
     Op("metric_forecast", forecast, Some(forecastSql)),
     Op("metric_downsample", downsample, Some(downsampleSql)),
     Op("metric_heatmap", heatmap, Some(heatmapSql)),

@@ -498,7 +498,35 @@ object Relational extends OpFamily {
       |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
       |GROUP BY 1""".stripMargin
 
+  // R24 `q13_custdist`: the customer-distribution histogram, TPC-H
+  // Q13 shape — how many customers placed exactly k orders (including
+  // k = 0, the rows only an OUTER join keeps). Classic two-level
+  // aggregation: orders collapse to per-customer counts (one
+  // hash-agg), customers LEFT-join that pre-aggregated side
+  // (shuffle-hash hinted — the E19/R17 sort-free shape), and the
+  // histogram agg runs over |customers| rows. The zero bucket is the
+  // point of the query: an inner join would silently drop it.
+  private def q13CustDist(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .groupBy("o_custkey").agg(count(lit(1)).as("c_orders"))
+    Tables.customer(s, d).select("c_custkey")
+      .join(perCust.hint("shuffle_hash"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("c_orders"), lit(0L)).as("c_orders"))
+      .groupBy("c_orders").agg(count(lit(1)).as("n_customers"))
+  }
+
+  private val q13Sql =
+    """SELECT c_orders, count(*) AS n_customers
+      |FROM (
+      |  SELECT COALESCE(o.n, 0) AS c_orders
+      |  FROM customer LEFT JOIN (
+      |    SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) o
+      |    ON c_custkey = o.o_custkey)
+      |GROUP BY 1""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("q13_custdist", q13CustDist, Some(q13Sql)),
     Op("q4_priority", q4Priority, Some(q4Sql)),
     Op("q16_distinct_agg", q16DistinctAgg, Some(q16Sql)),
     Op("q18_having", q18Having, Some(q18Sql)),

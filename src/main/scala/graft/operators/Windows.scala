@@ -428,12 +428,18 @@ object Windows extends OpFamily {
   // partitions on user_id (the single shuffle's key) over the tiny
   // fired-hour grid, never the log; the log itself collapses to that
   // grid in ONE hash-agg.
-  private def signalEscalation(s: SparkSession, d: String): DataFrame = {
-    val fired = Tables.events(s, d)
+  /** The fired-hour grid: per (aggregate, hour), error count. The agg
+    * body is reused verbatim by the streaming twin (complete mode). */
+  private[graft] def firedGrid(events: DataFrame): DataFrame =
+    events
       .filter(col("event_type") === "error")
       .groupBy(col("user_id"),
         expr("unix_timestamp(ts) div 3600").as("hr"))
       .agg(count(lit(1)).as("n_errors"))
+
+  /** Consecutive-run resolution over any fired grid — tiny by
+    * construction, every window partitioned on the key. */
+  private[graft] def escalationRuns(fired: DataFrame): DataFrame = {
     val ord = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("hr")
     fired
@@ -446,7 +452,10 @@ object Windows extends OpFamily {
         (col("run_hours") >= 3).as("escalated"))
   }
 
-  private val signalEscalationSql =
+  private def signalEscalation(s: SparkSession, d: String): DataFrame =
+    escalationRuns(firedGrid(Tables.events(s, d)))
+
+  private[graft] val signalEscalationSql =
     """WITH f AS (
       |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
       |    count(*) AS n_errors

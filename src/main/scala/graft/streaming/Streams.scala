@@ -748,6 +748,22 @@ object Streams extends OpFamily {
     runToTable(s, agg, "graft_stream_command_dedup", "complete")
   }
 
+  // W21's streaming twin `stream_escalation`: the escalation board as
+  // the on-call rotation actually watches it — LIVE. The corpus-scale
+  // stage (the fired-hour grid) runs as a complete-mode streaming agg
+  // (count per (aggregate, hour) is a sum monoid — O(1) state per
+  // cell, bounded grid); the run resolution is W21's gaps-and-islands
+  // over that TINY emitted grid, recomputed per refresh exactly as a
+  // dashboard repaints. Oracle = W21's ⇒ batch/stream escalation
+  // parity for every run and verdict.
+  private def streamEscalation(s: SparkSession, d: String): DataFrame = {
+    val grid = runToTable(s,
+      graft.operators.Windows.firedGrid(eventStream(s, d).toDF()),
+      "graft_stream_escalation", "complete")
+    graft.operators.Windows.escalationRuns(
+      grid.select("user_id", "hr", "n_errors"))
+  }
+
   // M19's streaming twin `stream_forecast`: baseline scoring as live
   // monitoring actually runs it — the model is TRAINED offline (one
   // tiny batch agg over the historical train window, broadcast as a
@@ -967,6 +983,8 @@ object Streams extends OpFamily {
       Some(graft.operators.Behavioral.pathingSql)),
     Op("stream_command_dedup", streamCommandDedup,
       Some(graft.operators.EventSourcing.commandDedupSql)),
+    Op("stream_escalation", streamEscalation,
+      Some(graft.operators.Windows.signalEscalationSql)),
     Op("stream_join", streamJoin, Some(streamJoinSql)),
     Op("stream_signal", streamSignal, Some(graft.operators.Windows.signalPatternSql)))
 }
