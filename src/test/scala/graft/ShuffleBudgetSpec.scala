@@ -47,6 +47,11 @@ class ShuffleBudgetSpec extends SparkSpec {
     ("knn_graph", 1, 0))
 
   test("headline operators stay inside their pinned exchange budgets") {
+    // Other suites cache() shared frames in the one JVM-wide session;
+    // a plan that picks up an InMemoryRelation prints the CACHED
+    // plan's exchanges inline and double-counts. Budgets are about the
+    // cold plan — drop the cache first (later suites just recompute).
+    spark.sharedState.cacheManager.clearCache()
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     budgets.foreach { case (name, maxShuffles, minBroadcasts) =>
       val plan = SparkEntry.queries(name)(spark, sf)
