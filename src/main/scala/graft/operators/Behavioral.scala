@@ -326,7 +326,34 @@ object Behavioral extends OpFamily {
       |        > 9 * (m.dd * m.qq - m.ss * m.ss)
       |  AND g.n * m.dd > m.ss""".stripMargin
 
+  // B10 `behavior_conversion_lag`: the signup→purchase latency
+  // DISTRIBUTION — B1 computes each signup's forward as-of lag; this
+  // rolls those lags into power-of-2 buckets (T12's floor-log2 trick,
+  // pure int64 in both engines) plus a −1 bucket for signups that
+  // never convert. The funnel-latency histogram growth reviews read
+  // ("how long does conversion take, and how much never converts") —
+  // the distribution, where B1 gives the per-signup rows. One
+  // per-user window pass (B1's) + one hash-agg to a ≤~40-row grid.
+  private def conversionLag(s: SparkSession, d: String): DataFrame =
+    asofForward(s, d)
+      .withColumn("bucket",
+        when(col("purchase_eid").isNull, lit(-1L))
+          .otherwise(expr("cast(length(bin(lag_s + 1)) - 1 as bigint)")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_signups"),
+        min(col("lag_s")).as("min_lag_s"), max(col("lag_s")).as("max_lag_s"))
+
+  private val conversionLagSql =
+    s"""WITH af AS ($asofForwardSql)
+       |SELECT CASE WHEN purchase_eid IS NULL THEN -1
+       |       ELSE CAST(length(bin(lag_s + 1)) - 1 AS BIGINT) END AS bucket,
+       |  count(*) AS n_signups,
+       |  CAST(min(lag_s) AS BIGINT) AS min_lag_s,
+       |  CAST(max(lag_s) AS BIGINT) AS max_lag_s
+       |FROM af GROUP BY 1""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("behavior_conversion_lag", conversionLag, Some(conversionLagSql)),
     Op("behavior_anomaly", behaviorAnomaly, Some(behaviorAnomalySql)),
     Op("behavior_pathing", pathing, Some(pathingSql)),
     Op("asof_forward", asofForward, Some(asofForwardSql)),

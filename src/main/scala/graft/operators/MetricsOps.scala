@@ -505,12 +505,10 @@ object MetricsOps extends OpFamily {
   // fleet-facing daily roll-up SLAs quote). The log collapses to the
   // distinct (sensor, day, hour) grid in one agg; the day roll-up is
   // a second agg over that bounded grid.
-  private def availability(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .select(col("event_type"),
-        expr("unix_timestamp(ts) div 86400").as("day"),
-        expr("unix_timestamp(ts) div 3600").as("hr"))
-      .distinct()
+  /** Day roll-up over any observed (event_type, day, hr) grid —
+    * bounded by construction; shared with the streaming twin. */
+  private[graft] def availabilityRollup(grid: DataFrame): DataFrame =
+    grid
       .groupBy("event_type", "day")
       .agg(count(lit(1)).as("n_hours"),
         min(col("hr")).as("first_hr"), max(col("hr")).as("last_hr"))
@@ -518,7 +516,19 @@ object MetricsOps extends OpFamily {
         (col("last_hr") - col("first_hr") + 1).as("span_hours"),
         expr("(10000 * n_hours) div 24").as("avail_e4"))
 
-  private val availabilitySql =
+  /** The observed-hour grid; the corpus-collapsing stage (reused by
+    * the streaming twin as a complete-mode agg over the same keys). */
+  private[graft] def observedHours(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        expr("unix_timestamp(ts) div 86400").as("day"),
+        expr("unix_timestamp(ts) div 3600").as("hr"))
+      .groupBy("event_type", "day", "hr").agg(count(lit(1)).as("n"))
+
+  private def availability(s: SparkSession, d: String): DataFrame =
+    availabilityRollup(observedHours(Tables.events(s, d)))
+
+  private[graft] val availabilitySql =
     """WITH u AS (
       |  SELECT DISTINCT event_type,
       |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,

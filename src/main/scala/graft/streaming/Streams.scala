@@ -748,6 +748,21 @@ object Streams extends OpFamily {
     runToTable(s, agg, "graft_stream_command_dedup", "complete")
   }
 
+  // M21's streaming twin `stream_availability`: the uptime roll-up as
+  // the SLA dashboard serves it — LIVE. The corpus-collapsing stage
+  // (the observed (sensor, day, hour) grid) is a complete-mode
+  // streaming count agg (sum monoid, bounded grid); the day roll-up
+  // repaints per refresh over that tiny grid, exactly the
+  // stream_escalation pattern. Oracle = M21's ⇒ batch/stream
+  // availability parity.
+  private def streamAvailability(s: SparkSession, d: String): DataFrame = {
+    val grid = runToTable(s,
+      graft.operators.MetricsOps.observedHours(eventStream(s, d).toDF()),
+      "graft_stream_availability", "complete")
+    graft.operators.MetricsOps.availabilityRollup(
+      grid.select("event_type", "day", "hr"))
+  }
+
   // W21's streaming twin `stream_escalation`: the escalation board as
   // the on-call rotation actually watches it — LIVE. The corpus-scale
   // stage (the fired-hour grid) runs as a complete-mode streaming agg
@@ -985,6 +1000,8 @@ object Streams extends OpFamily {
       Some(graft.operators.EventSourcing.commandDedupSql)),
     Op("stream_escalation", streamEscalation,
       Some(graft.operators.Windows.signalEscalationSql)),
+    Op("stream_availability", streamAvailability,
+      Some(graft.operators.MetricsOps.availabilitySql)),
     Op("stream_join", streamJoin, Some(streamJoinSql)),
     Op("stream_signal", streamSignal, Some(graft.operators.Windows.signalPatternSql)))
 }
