@@ -55,7 +55,7 @@ object Multimodal extends OpFamily {
         col("pos").cast("long").as("frame_id"),
         (col("pos") * 1000L).as("offset"),
         least(lit(1000L), col("len") - col("pos") * 1000L).as("frame_len"),
-        md5(expr("substr(text, pos * 1000 + 1, least(16, len - pos * 1000))")).as("chk"))
+        md5(expr("substr(text, pos * 1000 + 1, least(1000, len - pos * 1000))")).as("chk"))
 
   private val frameSampleSql =
     """WITH b AS (
@@ -65,7 +65,7 @@ object Multimodal extends OpFamily {
       |f AS (SELECT doc_id, text, len, unnest(range(0, n_frames)) AS pos FROM b)
       |SELECT doc_id, CAST(pos AS BIGINT) AS frame_id, pos * 1000 AS offset,
       |  least(1000, len - pos * 1000) AS frame_len,
-      |  md5(substring(text, CAST(pos * 1000 + 1 AS INT), CAST(least(16, len - pos * 1000) AS INT))) AS chk
+      |  md5(substring(text, CAST(pos * 1000 + 1 AS INT), CAST(least(1000, len - pos * 1000) AS INT))) AS chk
       |FROM f WHERE pos % 3 = 0""".stripMargin
 
   // X3: feature extraction stub — payload → fixed-width feature vector
@@ -172,15 +172,19 @@ object Multimodal extends OpFamily {
   // is a plain min, no join-back. The chunk explode is O(corpus
   // bytes / chunk) rows — the X2 plan shape, all map-side until the
   // digest shuffle.
-  private def mmFrameDedup(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  /** The frame-dedup core over any (doc_id, text) frame — separated so
+    * specs can drive it with synthetic payloads carrying known repeated
+    * chunks (the generated corpus has no full-chunk duplicates below
+    * sf0.1). */
+  private[graft] def frameDedupOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("text"),
         length(col("text")).cast("long").as("len"))
       .withColumn("n_frames", expr("(len - 1) div 1000 + 1"))
       .select(col("doc_id"), col("text"), col("len"),
         posexplode(expr("sequence(0, cast(n_frames - 1 as int))")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        md5(expr("substr(text, pos * 1000 + 1, least(16, len - pos * 1000))")).as("chk"))
+        md5(expr("substr(text, pos * 1000 + 1, least(1000, len - pos * 1000))")).as("chk"))
       .groupBy("chk")
       .agg(count(lit(1)).as("n_copies"),
         countDistinct(col("doc_id")).as("n_docs"),
@@ -189,6 +193,9 @@ object Multimodal extends OpFamily {
       .select(col("chk"), col("n_copies"), col("n_docs"),
         expr("kp div 1000000").as("keep_doc_id"),
         (col("kp") % 1000000L).as("keep_frame_id"))
+
+  private def mmFrameDedup(s: SparkSession, d: String): DataFrame =
+    frameDedupOf(Tables.documents(s, d))
 
   private val mmFrameDedupSql =
     """WITH b AS (
@@ -199,7 +206,7 @@ object Multimodal extends OpFamily {
       |c AS (
       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
       |    md5(substring(text, CAST(pos * 1000 + 1 AS INT),
-      |      CAST(least(16, len - pos * 1000) AS INT))) AS chk
+      |      CAST(least(1000, len - pos * 1000) AS INT))) AS chk
       |  FROM f),
       |g AS (
       |  SELECT chk, count(*) AS n_copies,

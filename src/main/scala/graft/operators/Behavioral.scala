@@ -286,10 +286,13 @@ object Behavioral extends OpFamily {
   // in one hash-agg; the per-user moments are a second agg over that
   // grid joined back on the user key (the grid reuses its own
   // shuffle, shuffle_hash on the aggregated side); the verdict is
-  // M13's integer cross-multiply — (n·D − S)² > 9·(D·Q − S²) over
-  // exact int64 — no FP, no sort, nothing corpus-scale after the
-  // first agg. Baseline = ACTIVE days only (zero-days are absent
-  // rows by construction; documented contract).
+  // M13's integer cross-multiply — (n·D − S)² > 9·(D·Q − S²) — run in
+  // decimal(38,0) (the Packed precedent; DuckDB side HUGEINT), since
+  // the S²/D·Q terms overflow int64 once a user's total reaches ~3e9
+  // and Spark would wrap silently while DuckDB raises (r7 advisor
+  // item; exact up to per-user totals ~1e18). No FP, no sort, nothing
+  // corpus-scale after the first agg. Baseline = ACTIVE days only
+  // (zero-days are absent rows by construction; documented contract).
   /** The burst verdict over any (user_id, day, n) activity grid —
     * separated so specs can drive it with synthetic bursts of known
     * arithmetic (the real corpus has none at spec scale). */
@@ -297,10 +300,12 @@ object Behavioral extends OpFamily {
     val mom = grid.groupBy("user_id")
       .agg(count(lit(1)).as("dd"), sum(col("n")).as("ss"),
         sum(col("n") * col("n")).as("qq"))
+    val Seq(nD, ddD, ssD, qqD) = Seq("n", "dd", "ss", "qq")
+      .map(c => col(c).cast("decimal(19,0)"))
     grid.join(mom.hint("shuffle_hash"), Seq("user_id"))
-      .filter((col("n") * col("dd") - col("ss")) * (col("n") * col("dd") - col("ss"))
-        > lit(9L) * (col("dd") * col("qq") - col("ss") * col("ss")))
-      .filter(col("n") * col("dd") > col("ss"))
+      .filter((nD * ddD - ssD) * (nD * ddD - ssD)
+        > lit(9L).cast("decimal(19,0)") * (ddD * qqD - ssD * ssD))
+      .filter(nD * ddD > ssD)
       .select(col("user_id"), col("day"), col("n").as("n_events"),
         col("dd").as("n_active_days"), col("ss").as("total_events"))
   }
@@ -322,9 +327,9 @@ object Behavioral extends OpFamily {
       |SELECT g.user_id, g.day, g.n AS n_events,
       |  m.dd AS n_active_days, m.ss AS total_events
       |FROM g JOIN m USING (user_id)
-      |WHERE (g.n * m.dd - m.ss) * (g.n * m.dd - m.ss)
-      |        > 9 * (m.dd * m.qq - m.ss * m.ss)
-      |  AND g.n * m.dd > m.ss""".stripMargin
+      |WHERE (CAST(g.n AS HUGEINT) * m.dd - m.ss) * (CAST(g.n AS HUGEINT) * m.dd - m.ss)
+      |        > 9 * (CAST(m.dd AS HUGEINT) * m.qq - CAST(m.ss AS HUGEINT) * m.ss)
+      |  AND CAST(g.n AS HUGEINT) * m.dd > m.ss""".stripMargin
 
   // B10 `behavior_conversion_lag`: the signup→purchase latency
   // DISTRIBUTION — B1 computes each signup's forward as-of lag; this

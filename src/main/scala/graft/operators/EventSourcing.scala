@@ -691,28 +691,67 @@ object EventSourcing extends OpFamily {
   // wrong), duplicated offsets (redelivery that slipped past dedup),
   // and the range's actual id bounds. The reference trusts Kafka's
   // offset contract (KafkaConsumerStateTrackingActor tracks exactly
-  // these watermarks); an offline log must CHECK it. One hash-agg
-  // keyed by the offset range — count/min/max/distinct are all
+  // these watermarks); an offline log must CHECK it. Expected bounds
+  // come from the BUCKET INDEX (bucket·1024 … bucket·1024+1023,
+  // clamped to the global id range), not each bucket's observed
+  // min/max — so boundary losses are counted and entirely-missing
+  // buckets surface as n=0 rows (r7 advisor item). One hash-agg keyed
+  // by the offset range — count/min/max/distinct are all
   // partial-aggregable, so the corpus-side work is map-side and the
-  // shuffle carries |log|/1024 rows.
-  private def offsetAudit(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy(expr("event_id div 1024").as("bucket"))
+  // shuffle carries |log|/1024 rows; the grid fill runs on that tiny
+  // bucket table in the same pass (each observed bucket explodes into
+  // itself plus the absent buckets immediately before it — no second
+  // corpus scan, no union).
+  /** The audit core over any frame with an `event_id` column —
+    * separated so specs can drive it with synthetic logs carrying known
+    * gaps, duplicates, and entirely-missing buckets (the generated log
+    * is dense). */
+  private[graft] def auditOffsets(log: DataFrame): DataFrame = {
+    val wg = Window.partitionBy()
+    val wl = Window.orderBy("ob")
+    val b = log
+      .groupBy(expr("event_id div 1024").as("ob"))
       .agg(count(lit(1)).as("n"),
         countDistinct(col("event_id")).as("nd"),
         min(col("event_id")).as("first_id"),
         max(col("event_id")).as("last_id"))
-      .select(col("bucket"), col("n"),
-        (col("last_id") - col("first_id") + 1 - col("nd")).as("n_missing"),
-        (col("n") - col("nd")).as("n_dups"),
-        col("first_id"), col("last_id"))
+      .withColumn("gmin", min(col("first_id")).over(wg))
+      .withColumn("gmax", max(col("last_id")).over(wg))
+      .withColumn("prev_b", lag(col("ob"), 1).over(wl))
+    val hit = col("bucket") === col("ob")
+    b.select(col("*"),
+        explode(expr("sequence(coalesce(prev_b, ob - 1) + 1, ob)")).as("bucket"))
+      .select(col("bucket"),
+        when(hit, col("n")).otherwise(0L).as("n"),
+        (least(col("bucket") * 1024L + 1023L, col("gmax"))
+          - greatest(col("bucket") * 1024L, col("gmin")) + 1L
+          - when(hit, col("nd")).otherwise(0L)).as("n_missing"),
+        when(hit, col("n") - col("nd")).otherwise(0L).as("n_dups"),
+        when(hit, col("first_id")).as("first_id"),
+        when(hit, col("last_id")).as("last_id"))
+  }
+
+  private def offsetAudit(s: SparkSession, d: String): DataFrame =
+    auditOffsets(Tables.events(s, d))
 
   private val offsetAuditSql =
-    """SELECT event_id // 1024 AS bucket, count(*) AS n,
-      |  CAST(max(event_id) - min(event_id) + 1 - count(DISTINCT event_id) AS BIGINT) AS n_missing,
-      |  CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS n_dups,
-      |  min(event_id) AS first_id, max(event_id) AS last_id
-      |FROM events GROUP BY 1""".stripMargin
+    """WITH g AS (
+      |  SELECT event_id // 1024 AS ob, count(*) AS n,
+      |    count(DISTINCT event_id) AS nd,
+      |    min(event_id) AS first_id, max(event_id) AS last_id
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT min(first_id) AS gmin, max(last_id) AS gmax FROM g),
+      |grid AS (
+      |  SELECT unnest(range(gmin // 1024, gmax // 1024 + 1)) AS bucket
+      |  FROM b)
+      |SELECT grid.bucket,
+      |  CAST(coalesce(g.n, 0) AS BIGINT) AS n,
+      |  CAST(least(grid.bucket * 1024 + 1023, (SELECT gmax FROM b))
+      |    - greatest(grid.bucket * 1024, (SELECT gmin FROM b)) + 1
+      |    - coalesce(g.nd, 0) AS BIGINT) AS n_missing,
+      |  CAST(coalesce(g.n - g.nd, 0) AS BIGINT) AS n_dups,
+      |  g.first_id, g.last_id
+      |FROM grid LEFT JOIN g ON g.ob = grid.bucket""".stripMargin
 
   // E26 `es_audit_chain`: tamper-evident hash chain per aggregate —
   // c₀ = md5(seed:id), cᵢ = md5(cᵢ₋₁:event_id), head = c_n. An
@@ -833,7 +872,7 @@ object EventSourcing extends OpFamily {
 
   private[graft] val commandDedupSql =
     """WITH c AS (
-      |  SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS idem_key,
+      |  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS idem_key,
       |    ts, event_id
       |  FROM events),
       |r AS (
@@ -844,7 +883,8 @@ object EventSourcing extends OpFamily {
       |SELECT a.user_id, a.idem_key, a.n_attempts,
       |  r.event_id AS accepted_event_id,
       |  CAST(a.n_attempts - 1 AS BIGINT) AS n_duplicates
-      |FROM a JOIN r ON r.user_id = a.user_id AND r.idem_key = a.idem_key AND r.rn = 1""".stripMargin
+      |FROM a JOIN r ON r.user_id = a.user_id
+      |  AND r.idem_key IS NOT DISTINCT FROM a.idem_key AND r.rn = 1""".stripMargin
 
   override def ops: Seq[Op] = Seq(
     Op("es_command_dedup", commandDedup, Some(commandDedupSql)),

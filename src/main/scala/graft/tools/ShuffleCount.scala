@@ -18,6 +18,11 @@ object ShuffleCount {
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!name.startsWith("stream_") && !Set("es_live_store", "es_live_compaction").contains(name)) {
         try {
+          // ops that cache() shared frames leave InMemoryRelations whose
+          // cached plans print inline and double-count later queries'
+          // exchanges — clear before every capture (the CLAUDE.md gotcha
+          // ShuffleBudgetSpec guards against)
+          spark.sharedState.cacheManager.clearCache()
           val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
           val sh = Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
             "Exchange SinglePartition").map(p => p.r.findAllIn(plan).length).sum

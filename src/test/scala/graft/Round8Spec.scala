@@ -34,6 +34,20 @@ class Round8Spec extends SparkSpec {
     assert(a.agg(sum("n")).collect()(0).getLong(0) == total, "buckets must tile the log")
   }
 
+  test("es_offset_audit: boundary gaps, duplicates, and entirely-missing buckets surface") {
+    import spark.implicits._
+    // bucket 0 observed from id 100 (clamped — complete), bucket 1
+    // entirely missing, bucket 2 missing id 2500 and carrying 2600 twice
+    val ids = (100L until 1024L) ++ ((2048L until 3072L).filter(_ != 2500L)) :+ 2600L
+    val got = graft.operators.EventSourcing.auditOffsets(ids.toDF("event_id"))
+      .collect().map(r => (r.getAs[Long]("bucket"),
+        (r.getAs[Long]("n"), r.getAs[Long]("n_missing"), r.getAs[Long]("n_dups")))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L), s"bucket grid wrong: ${got.keySet}")
+    assert(got(0L) == ((924L, 0L, 0L)), s"clamped head bucket: ${got(0L)}")
+    assert(got(1L) == ((0L, 1024L, 0L)), s"missing bucket invisible: ${got(1L)}")
+    assert(got(2L) == ((1024L, 1L, 1L)), s"interior gap+dup: ${got(2L)}")
+  }
+
   test("behavior_pathing: path mass equals sum over users of (events - 2)") {
     val p = run("behavior_pathing").cache()
     // each user with n >= 3 events contributes exactly n - 2 trigrams

@@ -37,6 +37,15 @@ class Round8eSpec extends SparkSpec {
     val got = graft.operators.Behavioral.anomalyDays(grid)
       .select("user_id", "day").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSet == Set((1L, 11L)), s"expected only the burst day, got ${got.toSeq}")
+    // int64-overflow regime (r7 advisor): per-user totals past ~3e9 make
+    // the S² / D·Q cross-multiply terms exceed Long.MaxValue; the
+    // decimal(38,0) arithmetic must still flag exactly the burst day
+    // where a wrapped int64 compare could flip the verdict
+    val big = (0L until 11L).map(d => (3L, d, 500000000L)) :+ ((3L, 11L, 600000000L))
+    val gotBig = graft.operators.Behavioral.anomalyDays(big.toDF("user_id", "day", "n"))
+      .select("user_id", "day").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotBig.toSet == Set((3L, 11L)),
+      s"overflow-regime burst misflagged: ${gotBig.toSeq}")
     // and on the real corpus the op at least runs with bounded output
     val real = run("behavior_anomaly")
     assert(real.count() >= 0L)

@@ -6,24 +6,44 @@ import org.apache.spark.sql.functions._
   * the contamination threshold sweep). */
 class Round8iSpec extends SparkSpec {
 
-  test("mm_frame_dedup: keeper is a real frame of its group, counts bounded") {
+  test("mm_frame_dedup: corpus count matches an independent recount; synthetic dups detected") {
+    // corpus path: the reported group count equals a direct recount of
+    // full-chunk checksums seen >= 2 times (zero below sf0.1 — the
+    // checksum is now frame IDENTITY, not a 16-char prefix)
     val g = run("mm_frame_dedup").cache()
+    val expected = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("len"))
+      .withColumn("n_frames", expr("(len - 1) div 1000 + 1"))
+      .select(col("doc_id"), col("text"), col("len"),
+        posexplode(expr("sequence(0, cast(n_frames - 1 as int))")))
+      .select(md5(expr("substr(text, pos * 1000 + 1, least(1000, len - pos * 1000))")).as("chk"))
+      .groupBy("chk").count().filter(col("count") >= 2).count()
+    assert(g.count() == expected, "group count differs from a direct recount")
     g.collect().foreach { r =>
       assert(r.getAs[Long]("n_copies") >= 2L)
-      assert(r.getAs[Long]("n_docs") >= 1L)
-      assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("n_copies"))
+      assert(r.getAs[Long]("n_docs") >= 1L && r.getAs[Long]("n_docs") <= r.getAs[Long]("n_copies"))
       assert(r.getAs[Long]("keep_frame_id") >= 0L)
     }
-    // the keeper doc really contains the checksum at the keeper frame
-    val one = g.orderBy("chk").collect()(0)
-    val doc = graft.sources.Tables.documents(spark, sf)
-      .filter(col("doc_id") === one.getAs[Long]("keep_doc_id"))
-      .select("text").collect()(0).getString(0)
-    val off = one.getAs[Long]("keep_frame_id").toInt * 1000
-    val chunk = doc.substring(off, math.min(off + 16, doc.length))
+    // positive path on synthetic payloads: a 1000-char block repeated in
+    // two docs (at different frame slots) groups; distinct frames that
+    // merely SHARE a 16-char prefix must NOT (the r7 advisor's false
+    // positive)
+    import spark.implicits._
+    val block = "z" * 1000
+    val pre = "samePrefix16Char"
+    val docs = Seq(
+      (1L, block + (pre + "a" * 984)),         // frames: block, preA
+      (2L, ("x" * 1000) + block),              // frames: x1000, block
+      (3L, pre + "b" * 984)                    // frame: preB (prefix-collides with preA)
+    ).toDF("doc_id", "text")
+    val got = graft.functions.Multimodal.frameDedupOf(docs).collect()
+    assert(got.length == 1, s"expected exactly the repeated block to group, got ${got.length}")
+    val r = got(0)
+    assert(r.getAs[Long]("n_copies") == 2L && r.getAs[Long]("n_docs") == 2L)
+    assert(r.getAs[Long]("keep_doc_id") == 1L && r.getAs[Long]("keep_frame_id") == 0L)
     val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(chunk.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    assert(md == one.getAs[String]("chk"), "keeper frame does not hash to its group's checksum")
+      .digest(block.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getAs[String]("chk") == md, "group checksum is not the full-chunk md5")
   }
 
   test("corpus_contamination_sweep: monotone in the threshold, exact at tau=5 vs P1") {
