@@ -29,12 +29,8 @@ class PlanLintSpec extends SparkSpec {
     "vocab_bpe_merge", // vocab × the 1-ROW winning-merge broadcast: the
                        //   constant join key folds away and a 1-row
                        //   nested loop IS the optimal attach
-    "signal_supervision", // fired signals × 3-row registration table:
+    "signal_supervision") // fired signals × 3-row registration table:
                           //   non-equi regex join, broadcast side tiny
-    "dedup_band_sweep")   // the eval's exhaustive all-pairs ground
-                          //   truth (vec_id < vec_id theta join) — the
-                          //   generators UNDER TEST stay bucketed; in
-                          //   production the truth side is a sample
 
   test("no SortAggregate / cartesian / stray nested-loop join in any query plan") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -22,7 +22,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     ("es_state_fold", 1, 0),
     ("es_compaction", 1, 0),
     ("es_changelog", 2, 0),   // two packed aggs, sort-free SHJ between
-    ("es_offset_audit", 2, 0), // countDistinct plans two-phase
+    ("es_offset_audit", 3, 0), // countDistinct two-phase + ONE tiny-table
+                               // exchange for the bucket-grid windows
+                               // (|log|/1024 rows — not corpus-scale)
     // metrics: single-pass aggregations
     ("metric_stats", 1, 0),
     ("metric_downsample", 1, 0),
