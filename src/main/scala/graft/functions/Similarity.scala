@@ -883,9 +883,16 @@ object Similarity extends OpFamily {
   // bucket-bounded). Cosines are IEEE doubles computed from exact
   // int64 dots/norms — identical in both engines — with vec_id as the
   // deterministic tiebreak.
-  private def knnGraph(s: SparkSession, d: String): DataFrame = {
+  private def knnGraph(s: SparkSession, d: String): DataFrame =
+    knnGraphWith(s, d, 8)
+
+  /** Planes-parameterized form of S10 — the S13 recall eval grades the
+    * production 8-plane graph and its monotonicity spec sweeps the
+    * plane count (band-0 plane families are nested prefixes, so more
+    * planes ⇒ strictly finer buckets ⇒ candidate subsets). */
+  private[graft] def knnGraphWith(s: SparkSession, d: String, planes: Int): DataFrame = {
     val b = quantized(s, d)
-      .withColumn("bucket", lshBucket(col("v")).cast("int"))
+      .withColumn("bucket", lshBucket(col("v"), planes, 0).cast("int"))
     val cand = b.select(col("bucket"), col("vec_id"), col("v"), col("nn"))
       .alias("a")
       .join(b.select(col("bucket"), col("vec_id").as("nbr_id"),
@@ -910,6 +917,75 @@ object Similarity extends OpFamily {
        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
        |  ORDER BY cos_sim DESC, nbr_id) AS BIGINT) AS rn FROM x)
        |SELECT vec_id, nbr_id, cos_sim, rn FROM r WHERE rn <= 3""".stripMargin
+
+  // S13 `knn_recall`: grades the S10 graph the way S9 grades the IVF
+  // index — the one approximate structure that had no recall eval.
+  // Ground truth is each sampled vector's EXACT top-3 over the whole
+  // corpus (queries broadcast, one corpus scan — the S1 eval shape);
+  // the graph side is S10's own edges restricted to the sample. The
+  // sample is the deterministic 25% md5-bucket gate on vec_id, so the
+  // eval ships at any corpus size by shrinking the rate, never by
+  // changing shape. One exact-integer summary row.
+  private[graft] def inEvalSample(vecId: Column): Column =
+    conv(substring(md5(vecId.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 4 === 0
+
+  private[graft] def knnRecallWith(s: SparkSession, d: String, planes: Int): DataFrame = {
+    val all = quantized(s, d)
+    val q = broadcast(all.filter(inEvalSample(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qnn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    val truth = all.join(q, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("qv"), col("v"), col("qnn"), col("nn")).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("vec_id"))
+    val g = knnGraphWith(s, d, planes)
+      .filter(inEvalSample(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("nbr_id").as("vec_id"),
+        lit(1L).as("hit"))
+    truth.join(g.hint("shuffle_hash"), Seq("q_id", "vec_id"), "left")
+      .agg(countDistinct(col("q_id")).as("n_queries"),
+        count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_e4", expr("(10000 * n_hit) div n_true"))
+  }
+
+  private def knnRecall(s: SparkSession, d: String): DataFrame =
+    knnRecallWith(s, d, 8)
+
+  private val knnRecallSql = {
+    val sampleSql = (c: String) =>
+      s"""CAST(list_sum(list_transform(range(1, 9), i ->
+         |  (strpos('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), CAST(i AS INT), 1)) - 1)
+         |    * CAST(pow(16, 8 - i) AS BIGINT))) AS BIGINT) % 4 = 0""".stripMargin
+    s"""WITH $quantizedCte,
+       |smp AS (SELECT vec_id, v, nn FROM n WHERE ${sampleSql("vec_id")}),
+       |tx AS (
+       |  SELECT s.vec_id AS q_id, c.vec_id,
+       |    ${cosineSql("s.v", "c.v", "s.nn", "c.nn")} AS cos_sim
+       |  FROM smp s JOIN n c ON c.vec_id <> s.vec_id),
+       |tr AS (SELECT q_id, vec_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, vec_id) AS rn FROM tx) WHERE rn <= 3),
+       |b AS (SELECT vec_id, v, nn, ${lshBucketSql("v")} AS bucket FROM n),
+       |gx AS (
+       |  SELECT a.vec_id AS q_id, c.vec_id,
+       |    ${cosineSql("a.v", "c.v", "a.nn", "c.nn")} AS cos_sim
+       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+       |  WHERE ${sampleSql("a.vec_id")}),
+       |gr AS (SELECT q_id, vec_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos_sim DESC, vec_id) AS rn FROM gx) WHERE rn <= 3)
+       |SELECT CAST(count(DISTINCT t.q_id) AS BIGINT) AS n_queries,
+       |  count(*) AS n_true,
+       |  CAST(sum(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST((10000 * sum(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END))
+       |    // count(*) AS BIGINT) AS recall_e4
+       |FROM tr t LEFT JOIN gr g ON g.q_id = t.q_id AND g.vec_id = t.vec_id""".stripMargin
+  }
 
   // S11 `ann_filtered`: FILTERED vector search — top-5 by cosine among
   // corpus vectors carrying the query's label (the "metadata filter +
@@ -1013,6 +1089,7 @@ object Similarity extends OpFamily {
     Op("ann_probe_sweep", annProbeSweep, Some(annProbeSweepSql)),
     Op("ann_filtered", annFiltered, Some(annFilteredSql)),
     Op("knn_graph", knnGraph, Some(knnGraphSql)),
+    Op("knn_recall", knnRecall, Some(knnRecallSql)),
     Op("ann_recall", annRecall, Some(annRecallSql)),
     Op("embedding_drift", embeddingDrift, Some(embeddingDriftSql)),
     Op("embedding_qc", embeddingQc, Some(embeddingQcSql)),

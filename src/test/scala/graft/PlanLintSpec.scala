@@ -18,6 +18,9 @@ class PlanLintSpec extends SparkSpec {
     "ann_ivf",      // corpus × k-centroid broadcast (intentional, tiny side)
     "ann_ivfpq",    // same k-centroid broadcast feeding the composed index
     "cosine_topk",  // brute-force baseline: corpus × 5 broadcast queries
+    "knn_recall",   // S13 eval: exact truth = corpus × the broadcast
+                    //   md5-sampled query set (the S1 shape); the graph
+                    //   under test stays bucket-joined
     "ann_recall",   // composes cosine_topk (ground truth) + ann_ivf —
                     //   inherits exactly their allowlisted broadcasts
     "ann_probe_sweep", // the same composition per probe level — the

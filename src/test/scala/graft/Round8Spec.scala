@@ -94,6 +94,28 @@ class Round8Spec extends SparkSpec {
     assert(incoherent == 0L, "cos_sim increases with rank")
   }
 
+  test("knn_recall: bounded, consistent, and monotone non-increasing in the plane count") {
+    val r = run("knn_recall").collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val (nq, nt, nh) = (row.getAs[Long]("n_queries"), row.getAs[Long]("n_true"),
+      row.getAs[Long]("n_hit"))
+    assert(nq >= 1L, "md5 sample selected no query vectors")
+    assert(nt == 3L * nq, "each sampled vector must contribute exactly its exact top-3")
+    assert(nh <= nt && nh >= 0L)
+    assert(row.getAs[Long]("recall_e4") == 10000L * nh / nt)
+    // band-0 plane families are nested prefixes: more planes => finer
+    // buckets => candidate SUBSETS => recall can only fall
+    val byPlanes = Seq(4, 8, 12).map { p =>
+      graft.functions.Similarity.knnRecallWith(spark, sf, p)
+        .collect()(0).getAs[Long]("recall_e4")
+    }
+    assert(byPlanes(0) >= byPlanes(1) && byPlanes(1) >= byPlanes(2),
+      s"recall not monotone in planes: $byPlanes")
+    assert(byPlanes(1) == row.getAs[Long]("recall_e4"),
+      "the op must equal the 8-plane point of the sweep")
+  }
+
   test("mm_dedup: ledger reconciles with the document table") {
     val led = run("mm_dedup").cache()
     val totalDocs = graft.sources.Tables.documents(spark, sf).count()
