@@ -273,6 +273,65 @@ object EventSourcing extends OpFamily {
       |       THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
       |FROM events""".stripMargin
 
+  // E31 `es_outbox_routed`: MULTI-TOPIC event routing — surge's
+  // SurgeContext.persistToTopic(s)
+  // (command-engine/core/.../AggregateProcessingModel.scala:28-29)
+  // lets one command fan its events out to several topics; E9's outbox
+  // serializes one stream. Routing here: every event rides the journal
+  // topic; purchases/signups also → billing; errors also → alerts.
+  // The envelope stream is physically written partitionBy(topic) (the
+  // C5 write shape — one file tree per topic, the offline image of N
+  // Kafka topics), read BACK from that layout, and summarized as
+  // per-topic manifests (count, id bounds, an order-insensitive 60-bit
+  // xor envelope hash) — the oracle checks the routed WRITE, not just
+  // the routing expression. Envelopes are integer-only concat strings
+  // so the hash is engine-neutral; the explode is ≤ 2 rows/event and
+  // the only shuffle is the final per-topic hash-agg.
+  private def outboxRouted(s: SparkSession, d: String): DataFrame = {
+    val env = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        cents(col("value")).as("value_c"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .select(col("event_id"),
+        concat_ws("|", col("event_id"), col("user_id"), col("event_type"),
+          col("value_c"), coalesce(col("k"), lit(-1L))).as("env"),
+        explode(array(
+          lit("journal"),
+          when(col("event_type").isin("purchase", "signup"), lit("billing")),
+          when(col("event_type") === "error", lit("alerts")))).as("topic"))
+      .filter(col("topic").isNotNull)
+    val dir = s"${Tables.workDir(s)}/outbox_routed"
+    env.write.mode("overwrite").partitionBy("topic").parquet(dir)
+    s.read.parquet(dir)
+      .groupBy("topic")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_id"),
+        max(col("event_id")).as("last_id"),
+        expr("bit_xor(cast(conv(substring(md5(env), 1, 15), 16, 10) as bigint))")
+          .as("env_xor"))
+  }
+
+  private val outboxRoutedSql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CAST(round(value*100,0) AS BIGINT) AS value_c,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events),
+      |env AS (
+      |  SELECT event_id,
+      |    event_id || '|' || user_id || '|' || event_type || '|'
+      |      || value_c || '|' || coalesce(k, -1) AS env,
+      |    unnest(['journal',
+      |      CASE WHEN event_type IN ('purchase', 'signup') THEN 'billing' END,
+      |      CASE WHEN event_type = 'error' THEN 'alerts' END]) AS topic
+      |  FROM e)
+      |SELECT topic, count(*) AS n_events,
+      |  min(event_id) AS first_id, max(event_id) AS last_id,
+      |  bit_xor(CAST(list_sum(list_transform(range(1, 16), i ->
+      |    (strpos('0123456789abcdef', substr(md5(env), CAST(i AS INT), 1)) - 1)
+      |      * CAST(pow(16.0, 15 - i) AS BIGINT))) AS BIGINT)) AS env_xor
+      |FROM env WHERE topic IS NOT NULL GROUP BY 1""".stripMargin
+
   // A4: skew-safe fold — identical semantics to E2, but aggregated in
   // two phases: first on (user_id, salt) — spreading a hot aggregate
   // key over 16 partitions — then merged on user_id. At 100 TB a
@@ -905,6 +964,7 @@ object EventSourcing extends OpFamily {
     Op("es_sequence", sequenceNumbers, Some(sequenceSql)),
     Op("es_outbox", outboxSerde, Some(outboxSql)),
     Op("es_outbox_versioned", outboxVersioned, Some(outboxVersionedSql)),
+    Op("es_outbox_routed", outboxRouted, Some(outboxRoutedSql)),
     Op("es_state_lookup", stateLookup, Some(stateLookupSql)),
     Op("es_incremental", incrementalFold, Some(foldSql(""))),
     Op("es_shard_routing", shardRouting, Some(shardRoutingSql)),
