@@ -163,19 +163,25 @@ object Streams extends OpFamily {
     })
   }
 
-  /** Streaming source over the driver's events table (file source —
-    * stands in for the Kafka source, which carries the same
-    * key/value/timestamp shape), delivered as [[sourceBatches]]
-    * chronological micro-batches. */
+  /** Streaming source over the driver's events table, delivered as
+    * [[sourceBatches]] chronological micro-batches. Default transport
+    * is the split-file source; `graft.stream.source=kafka` switches
+    * every stream_* operator to the broker-backed [[KafkaWire]] path
+    * (same typed Ev stream, same decoder contract) without touching
+    * any operator. */
   def eventStream(s: SparkSession, d: String): Dataset[Ev] = {
     import s.implicits._
-    // The split files are written post-normalization, so their schema
-    // (ts: TimestampType micros) IS the stream schema — no per-arrival
-    // conversion here.
-    val src = splitSource(s, d)
-    val stream = s.readStream.schema(s.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", "1").parquet(src)
-    stream.select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+    if (s.conf.getOption("graft.stream.source").contains("kafka"))
+      KafkaWire.readStream(s)
+    else {
+      // The split files are written post-normalization, so their schema
+      // (ts: TimestampType micros) IS the stream schema — no per-arrival
+      // conversion here.
+      val src = splitSource(s, d)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      stream.select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+    }
   }
 
   /** Run a streaming DF to completion through a `foreachBatch` parquet

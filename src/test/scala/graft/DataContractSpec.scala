@@ -93,4 +93,24 @@ class DataContractSpec extends SparkSpec {
     assert(split("ts").dataType == TimestampType,
       s"stream schema ts is ${split("ts").dataType} — watermarks require TimestampType")
   }
+
+  test("kafka wire and value-envelope schemas match the pinned contract") {
+    import graft.streaming.KafkaWire
+    // the connector's record shape — every spark-sql-kafka version has
+    // shipped exactly these seven columns in this order
+    assert(KafkaWire.wireSchema.map(f => f.name -> f.dataType) == Seq(
+      "key" -> BinaryType, "value" -> BinaryType, "topic" -> StringType,
+      "partition" -> IntegerType, "offset" -> LongType,
+      "timestamp" -> TimestampType, "timestampType" -> IntegerType))
+    // the value envelope IS the C3/E9 event envelope
+    assert(KafkaWire.envelopeSchema.map(f => f.name -> f.dataType) == Seq(
+      "event_id" -> LongType, "ts" -> TimestampType, "user_id" -> LongType,
+      "event_type" -> StringType, "value" -> DoubleType))
+    // and the decoder output equals the typed stream contract every
+    // stream_* operator consumes
+    import org.apache.spark.sql.Encoders
+    assert(Encoders.product[graft.streaming.Ev].schema
+      .map(f => f.name -> f.dataType) ==
+      KafkaWire.envelopeSchema.map(f => f.name -> f.dataType))
+  }
 }
