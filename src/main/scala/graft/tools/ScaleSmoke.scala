@@ -1,0 +1,154 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** SCALE evidence run (VERDICT r7 item #1): execute the headline
+  * operators against a DataGen-synthesized dataset ~100x the certified
+  * sf0.1, and MEASURE what the repo previously claimed by construction:
+  *
+  *   - wall time, cold and warm (medians are meaningless for one-shot
+  *     cold runs; we report both samples);
+  *   - actual shuffle read/write and input volumes per query, off the
+  *     stage-completion listener — "one shuffle on the right key" as
+  *     bytes, not prose;
+  *   - the exchange counts of each plan at sf10, diffed against the
+  *     committed sf0.001 golden file (tools/shuffle_golden.tsv): a
+  *     plan whose SHAPE changes with data volume would show up here;
+  *   - the skew kill-test (item #9): the DataGen events table gives
+  *     user 7 ~10% of all rows, so the unsalted E2 fold's reduce side
+  *     has a celebrity key; A4 `es_fold_salted` must not be slower —
+  *     and the same pair for the join side (q3_join vs q3_salted).
+  *
+  * Usage: runMain graft.tools.ScaleSmoke <scaleDir> [outJson] [cpus]
+  * Emits one JSON line per query plus a summary, and writes the whole
+  * run to outJson (default /tmp/scale_smoke.json) for SCALE.md.
+  */
+object ScaleSmoke {
+
+  /** Accumulates executor-side volume metrics between resets. */
+  private final class VolumeListener extends SparkListener {
+    @volatile var shuffleWrite = 0L
+    @volatile var shuffleRead = 0L
+    @volatile var input = 0L
+    @volatile var spill = 0L
+    @volatile var peakTaskShuffleWrite = 0L
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+      synchronized {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+          shuffleRead += m.shuffleReadMetrics.totalBytesRead
+          input += m.inputMetrics.bytesRead
+          spill += m.diskBytesSpilled
+        }
+      }
+    def reset(): Unit = synchronized {
+      shuffleWrite = 0; shuffleRead = 0; input = 0; spill = 0
+    }
+  }
+
+  // the ~20 headliners the verdict names, plus both skew pairs and the
+  // ANN/dedup chains whose indexes dominate a real corpus build
+  val headliners: Seq[String] = Seq(
+    // event-sourcing core (hot user 7 stresses these)
+    "es_latest_state", "es_state_fold", "es_fold_salted", "es_changelog",
+    "es_compaction", "es_replay_asof",
+    // relational (broadcast + skew pair)
+    "q1_agg", "q3_join", "q3_salted", "q5_multijoin", "q18_having",
+    // windows / metrics / behavior
+    "win_session", "signal_threshold", "metric_stats", "behavior_transitions",
+    // text / dedup / corpus chains
+    "text_quality", "text_tokens", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_clusters", "corpus_export", "corpus_interleave",
+    // vector path (hot LSH bucket)
+    "ann_lsh", "ann_ivfpq", "knn_graph",
+    // streaming representative (micro-batch floor + state scale)
+    "stream_fold", "stream_admit")
+
+  def main(args: Array[String]): Unit = {
+    val scaleDir = args.headOption.getOrElse("/tmp/graft_scale/sf10")
+    val outJson = if (args.length > 1) args(1) else "/tmp/scale_smoke.json"
+    val cpus = if (args.length > 2) args(2) else "32"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val vol = new VolumeListener
+    spark.sparkContext.addSparkListener(vol)
+
+    val golden: Map[String, (Int, Int, Int)] = {
+      val p = java.nio.file.Paths.get("tools/shuffle_golden.tsv")
+      if (java.nio.file.Files.exists(p))
+        scala.io.Source.fromFile(p.toFile).getLines().filter(_.nonEmpty).map {
+          l =>
+            val Array(n, s, r, b) = l.split('\t')
+            n -> ((s.toInt, r.toInt, b.toInt))
+        }.toMap
+      else Map.empty
+    }
+
+    def mb(b: Long): Double = b / 1e6
+
+    // session + FS warm-up so query 1's cold number is the QUERY cold,
+    // not JVM/codegen start
+    graft.sources.Tables.lineitem(spark, scaleDir).count()
+
+    // one-time persisted index builds, timed as their own evidence rows
+    // (at 100 TB these are the capital cost of the vector/dedup stack)
+    val indexRows = Seq("dedup_clusters", "ann_lsh", "ann_ivf", "ann_pq",
+      "ann_ivfpq", "dedup_incremental", "corpus_export", "dedup_exact_join",
+      "knn_graph").map { n =>
+      vol.reset()
+      val t0 = System.nanoTime()
+      val ok = try { graft.SparkEntry.queries(n)(spark, scaleDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[scale] INDEX-BUILD FAILED $n: ${e.getMessage}"); false }
+      val s = (System.nanoTime() - t0) / 1e9
+      val line = f"""{"phase":"index_build","query":"$n","ok":$ok,"cold_s":$s%.2f,"shuffle_write_mb":${mb(vol.shuffleWrite)}%.1f,"shuffle_read_mb":${mb(vol.shuffleRead)}%.1f,"input_mb":${mb(vol.input)}%.1f,"spill_mb":${mb(vol.spill)}%.1f}"""
+      println(line); line
+    }
+
+    val queryRows = headliners.map { n =>
+      spark.sharedState.cacheManager.clearCache()
+      val fn = graft.SparkEntry.queries(n)
+      var planCell = "\"plan\":\"stream\""
+      if (!n.startsWith("stream_")) {
+        val plan = fn(spark, scaleDir).queryExecution.executedPlan.toString
+        val sh = Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
+          "Exchange SinglePartition").map(p => p.r.findAllIn(plan).length).sum
+        val re = "ReusedExchange".r.findAllIn(plan).length
+        val bc = "BroadcastExchange".r.findAllIn(plan).length
+        val drift = golden.get(n) match {
+          case Some(g) if g != ((sh, re, bc)) => s""","golden_drift":"${g} -> (${sh},${re},${bc})""""
+          case Some(_) => ""","golden_drift":null"""
+          case None => ""
+        }
+        planCell = s""""shuffles":$sh,"reused":$re,"broadcasts":$bc$drift"""
+      }
+      def once(): (Boolean, Double, Long) = {
+        vol.reset()
+        val t0 = System.nanoTime()
+        val rows = try fn(spark, scaleDir).count() catch { case e: Throwable =>
+          System.err.println(s"[scale] FAILED $n: ${e.getMessage}")
+          return (false, (System.nanoTime() - t0) / 1e9, -1L)
+        }
+        ((true, (System.nanoTime() - t0) / 1e9, rows))
+      }
+      val (ok1, cold, rows) = once()
+      val volCold = (vol.shuffleWrite, vol.shuffleRead, vol.input, vol.spill)
+      val (ok2, warm, _) = if (ok1) once() else (false, -1.0, -1L)
+      val line = f"""{"phase":"query","query":"$n","ok":${ok1 && ok2},"rows":$rows,"cold_s":$cold%.2f,"warm_s":$warm%.2f,"shuffle_write_mb":${mb(volCold._1)}%.1f,"shuffle_read_mb":${mb(volCold._2)}%.1f,"input_mb":${mb(volCold._3)}%.1f,"spill_mb":${mb(volCold._4)}%.1f,$planCell}"""
+      println(line); line
+    }
+
+    val all = (indexRows ++ queryRows).mkString("[", ",\n", "]")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), all + "\n")
+    println(s"[scale] wrote $outJson")
+    spark.stop()
+  }
+}
