@@ -25,9 +25,11 @@ import org.apache.spark.sql.functions._
   *     (half byte-exact copies, half one-word mutations) so minhash /
   *     simhash / exact dedup all have real work and real recall.
   *
-  * Usage: runMain graft.tools.DataGen <outDir> <sf> [cpus]
+  * Usage: runMain graft.tools.DataGen <outDir> <sf> [cpus] [tables]
   *   sf is TPC-H-like: sf1 = 6M lineitem / 1M events; the driver's
   *   /root/testdata/sf0.1 corresponds to sf=0.1 here. sf10 ≈ 2 GB.
+  *   [tables] is an optional comma-list to regenerate a subset
+  *   (key-consistent: all row counts derive from sf alone).
   */
 object DataGen {
 
@@ -52,6 +54,8 @@ object DataGen {
     val outDir = args.headOption.getOrElse("/tmp/graft_scale/sf10")
     val sf = if (args.length > 1) args(1).toDouble else 10.0
     val cpus = if (args.length > 2) args(2) else "32"
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(',').map(_.trim).toSet else Set.empty
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -59,11 +63,12 @@ object DataGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, outDir, sf)
+    generate(spark, outDir, sf, only)
     spark.stop()
   }
 
-  def generate(spark: SparkSession, outDir: String, sf: Double): Unit = {
+  def generate(spark: SparkSession, outDir: String, sf: Double,
+      only: Set[String] = Set.empty): Unit = {
     val t0 = System.nanoTime()
     def rows(perSf: Long): Long = math.max(1L, (perSf * sf).toLong)
     // file sizing: ~2M rows per output file for the fact tables keeps
@@ -71,11 +76,12 @@ object DataGen {
     // produce; maxPartitionBytes re-splits on read anyway)
     def files(n: Long): Int = math.max(1, (n / 2000000L).toInt)
 
-    def write(df: DataFrame, name: String, n: Long): Unit = {
-      df.repartition(files(n)).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
-      println(s"[datagen] $name: $n rows -> $outDir/$name.parquet")
-    }
+    def write(df: => DataFrame, name: String, n: Long): Unit =
+      if (only.isEmpty || only(name)) {
+        df.repartition(files(n)).write.mode("overwrite")
+          .parquet(s"$outDir/$name.parquet")
+        println(s"[datagen] $name: $n rows -> $outDir/$name.parquet")
+      }
 
     val regions = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
     write(spark.range(5).select(
@@ -170,12 +176,19 @@ object DataGen {
       format_string("{\"k\": %d}", hmod(100, 66, col("id"))).as("props")),
       "events", nEvents)
 
-    // documents: word-sequence text from a 30-term vocab (mirrors the
-    // driver generator's register). NEAR-DUP POOL: ~8% of docs draw
-    // their text seed from one of 500 templates instead of their own
-    // id — half byte-exact copies, half with one appended word — so
-    // exact/minhash/simhash dedup find real duplicate mass at scale.
+    // documents: word-sequence text with a ZIPF-SHAPED vocabulary that
+    // GROWS with corpus size (Heaps' law): 60% of tokens come from the
+    // 30-term head register (mirroring the driver generator), 40% from
+    // a tail vocabulary of ~20k*sf distinct words. A fixed small vocab
+    // at 100x makes EVERY shingle a hot key and drives any
+    // candidate-generating dedup join quadratic — real corpora keep
+    // per-shingle document frequency roughly flat as they grow, and so
+    // does this. NEAR-DUP POOL: ~8% of docs draw their text seed from
+    // one of 500 templates instead of their own id — half byte-exact
+    // copies, half with one appended word — so exact/minhash/simhash
+    // dedup find real duplicate mass at scale.
     val nDocs = rows(50000L)
+    val nTailVocab = math.max(1000L, (20000L * sf).toLong)
     val vocab = Seq("spark", "table", "query", "column", "row", "scan",
       "filter", "join", "group", "agg", "sort", "hash", "key", "value",
       "stream", "batch", "part", "order", "line", "customer", "vector",
@@ -186,9 +199,13 @@ object DataGen {
     val template = hmod(500, 72, docId)
     val seedCol = when(isDup, template).otherwise(docId + lit(1000000000L))
     val nWords = (hmod(93, 73, seedCol) + lit(8)).cast("int")
-    val words = transform(sequence(lit(0), nWords - lit(1)),
-      i => eltOf((hmod(vocab.size.toLong, 74, seedCol * lit(131) + i) + lit(1))
-        .cast("int"), vocab))
+    val words = transform(sequence(lit(0), nWords - lit(1)), i => {
+      val ws = seedCol * lit(131) + i
+      val headWord = eltOf(
+        (hmod(vocab.size.toLong, 74, ws) + lit(1)).cast("int"), vocab)
+      val tailWord = concat(lit("w"), hmod(nTailVocab, 79, ws))
+      when(hmod(10, 78, ws) < lit(6), headWord).otherwise(tailWord)
+    })
     val mutated = hmod(2, 75, docId) === lit(0)
     val baseText = array_join(words, " ")
     val text = when(isDup && mutated,
@@ -205,18 +222,23 @@ object DataGen {
       .withColumn("n_chars", length(col("text")).cast("long")),
       "documents", nDocs)
 
-    // embeddings: 64-dim float vectors in 10 label clusters.
-    // HOT LSH BUCKET: ~5% of vectors form one tight sub-cluster around
-    // the label-0 center (noise 0.005 vs the 0.08 cluster spread) —
-    // they collide into one LSH bucket and stress the bucket-join's
-    // skew handling exactly like a template-heavy real corpus.
+    // embeddings: 64-dim float vectors drawn around cluster centers
+    // whose COUNT GROWS with corpus size (~200*sf, min 10): a corpus
+    // that scales by adding documents adds topics, it does not grow
+    // ten mega-clusters — 20k near-identical vectors per center would
+    // collapse whole clusters into single LSH buckets and turn every
+    // bucketed self-join quadratic. label = cluster mod 10 keeps the
+    // 0..9 label contract. HOT LSH BUCKET: ~1% of vectors form one
+    // tight sub-cluster around the cluster-0 center (noise 0.005 vs
+    // the 0.08 cluster spread) — an order of magnitude over any fair
+    // bucket share, the skew the bucket-join path must absorb.
     val nVec = rows(20000L)
+    val nClusters = math.max(10L, (200L * sf).toLong)
     val vecId = col("id")
-    val label = hmod(10, 81, vecId).cast("int")
-    val hot = hmod(100, 82, vecId) < lit(5)
+    val hot = hmod(100, 82, vecId) < lit(1)
+    val cluster = when(hot, lit(0L)).otherwise(hmod(nClusters, 81, vecId))
     val emb = transform(sequence(lit(0), lit(63)), i => {
-      val lab = when(hot, lit(0)).otherwise(label)
-      val center = (hmod(2001, 83, lab.cast("long") * lit(67) + i)
+      val center = (hmod(2001, 83, cluster * lit(67) + i)
         .cast("double") - lit(1000.0)) / lit(1000.0) * lit(0.3)
       val spread = when(hot, lit(0.005)).otherwise(lit(0.08))
       val noise = (unif(84, vecId * lit(131) + i) - lit(0.5)) * lit(2.0) * spread
@@ -225,7 +247,7 @@ object DataGen {
     write(spark.range(nVec).select(
       vecId.as("vec_id"),
       emb.as("embedding"),
-      when(hot, lit(0)).otherwise(label).as("label")),
+      pmod(cluster, lit(10)).cast("int").as("label")),
       "embeddings", nVec)
 
     val secs = (System.nanoTime() - t0) / 1e9
