@@ -891,8 +891,17 @@ object Similarity extends OpFamily {
     * plane count (band-0 plane families are nested prefixes, so more
     * planes ⇒ strictly finer buckets ⇒ candidate subsets). */
   private[graft] def knnGraphWith(s: SparkSession, d: String, planes: Int): DataFrame = {
+    // The bucket self-join EXPANDS ~|bucket|x after its exchange, and
+    // AQE sizes post-shuffle parallelism from the PRE-join shuffle
+    // bytes — at 200k vectors (sf10 smoke) it coalesced the bucket
+    // exchange to 2 partitions and left 2 tasks computing ~10^8
+    // cosines + the group-limit sort (>17 min, single-digit core use;
+    // jstack showed both in UnsafeExternalRowSorter). An explicit
+    // repartition is user-specified, so AQE must keep its fan-out:
+    // the expansion stays spread over the full core count.
     val b = quantized(s, d)
       .withColumn("bucket", lshBucket(col("v"), planes, 0).cast("int"))
+      .repartition(col("bucket"))
     val cand = b.select(col("bucket"), col("vec_id"), col("v"), col("nn"))
       .alias("a")
       .join(b.select(col("bucket"), col("vec_id").as("nbr_id"),
