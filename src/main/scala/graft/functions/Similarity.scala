@@ -891,29 +891,79 @@ object Similarity extends OpFamily {
     * plane count (band-0 plane families are nested prefixes, so more
     * planes ⇒ strictly finer buckets ⇒ candidate subsets). */
   private[graft] def knnGraphWith(s: SparkSession, d: String, planes: Int): DataFrame = {
-    // The bucket self-join EXPANDS ~|bucket|x after its exchange, and
-    // AQE sizes post-shuffle parallelism from the PRE-join shuffle
-    // bytes — at 200k vectors (sf10 smoke) it coalesced the bucket
-    // exchange to 2 partitions and left 2 tasks computing ~10^8
-    // cosines + the group-limit sort (>17 min, single-digit core use;
-    // jstack showed both in UnsafeExternalRowSorter). An explicit
-    // repartition is user-specified, so AQE must keep its fan-out:
-    // the expansion stays spread over the full core count.
-    val b = quantized(s, d)
-      .withColumn("bucket", lshBucket(col("v"), planes, 0).cast("int"))
-      .repartition(col("bucket"))
-    val cand = b.select(col("bucket"), col("vec_id"), col("v"), col("nn"))
-      .alias("a")
-      .join(b.select(col("bucket"), col("vec_id").as("nbr_id"),
-        col("v").as("nv"), col("nn").as("nnn")).alias("c"), Seq("bucket"))
+    // Two scale hazards found by the sf10 smoke (200k vectors), both
+    // invisible at the oracle scale:
+    //  1. quantize/lshBucket are interpreted higher-order expressions
+    //     (transform over the 64-dim array); left in the lineage,
+    //     CollapseProject inlines them into the post-join cosine and
+    //     re-evaluates them PER CANDIDATE PAIR (~1.6e8 interpreted
+    //     array transforms — jstack's hot frame was
+    //     ArrayTransform.eval). The index is therefore MATERIALIZED
+    //     once per (dataset, planes) in the ann_lsh persisted layout,
+    //     so the join reads plain int64 array columns.
+    //  2. AQE sizes the post-shuffle stage from PRE-join bytes and
+    //     coalesced the expanding self-join to 2 tasks; an explicit
+    //     repartition with a pinned partition count keeps the
+    //     expansion spread over the full core count (repartition
+    //     WITHOUT a count is still AQE-flexible).
+    val idx = persistedIndex(s, d, s"knn_idx_p$planes", "bucket") {
+      quantized(s, d)
+        .withColumn("bucket", lshBucket(col("v"), planes, 0).cast("int"))
+    }
+    // Third scale hazard, also from the sf10 smoke: a TIGHT cluster is
+    // a point mass no hyperplane family can split (every member lands
+    // in the same bucket at ANY plane count), so the DataGen hot
+    // bucket — 5% of the corpus — put ~1e8 of the 1.6e8 candidate
+    // pairs into ONE task. Bucket-size-adaptive salting splits that
+    // task: a bucket of n rows gets g = ceil(n²/2e7) salt groups, the
+    // probe side keeps ONE salt per vector (hash(vec_id) % g), the
+    // build side replicates each row to all g salts. Each (bucket,
+    // salt) task then scores ≈ n²/g ≤ 2e7 pairs, and — because a
+    // vector's whole candidate list still lives in its single salt
+    // group — the per-vector top-3 needs no cross-salt merge. The
+    // count pass is one 2^planes-row aggregate, broadcast back.
+    val counts = idx.groupBy("bucket").agg(count(lit(1)).as("bkt_n"))
+    val sized = idx.join(broadcast(counts), Seq("bucket")).withColumn(
+      "g", greatest(lit(1L), ceil(col("bkt_n") * col("bkt_n") / lit(2e7))).cast("int"))
+    val p = s.sessionState.conf.numShufflePartitions
+    // explicit pinned-count repartitions: AQE sizes the post-shuffle
+    // stage from PRE-join bytes and would coalesce the expanding
+    // self-join onto a couple of cores (observed at sf10)
+    val a = sized
+      .withColumn("salt", pmod(hash(col("vec_id")), col("g")))
+      .select(col("bucket"), col("salt"), col("vec_id"), col("v"), col("nn"))
+      .repartition(p, col("bucket"), col("salt"))
+    val c = sized
+      .withColumn("salt", explode(sequence(lit(0), col("g") - 1)))
+      .select(col("bucket"), col("salt"), col("vec_id").as("nbr_id"),
+        col("v").as("nv"), col("nn").as("nnn"))
+      .repartition(p, col("bucket"), col("salt"))
+    // Sort-merge, NOT shuffle_hash: both sides share the (bucket,
+    // salt) partitioning so either join runs in-stage, but SHJ must
+    // materialize a per-task hash relation of the build partition —
+    // with every core busy that allocation blew the execution-memory
+    // budget at sf10 (134 MB wanted, 93 MB grantable). The SMJ sorts
+    // are per-partition index rows (thousands — partition count
+    // scales with the corpus), not the expanded candidate set.
+    val cand = a.join(c, Seq("bucket", "salt"))
       .filter(col("vec_id") =!= col("nbr_id"))
+    // Per-vector top-3 through the heap operator, NOT a window: the
+    // compositional row_number form sorts the whole candidate set
+    // (the sf10 smoke's straggler tasks sat in the WindowGroupLimit
+    // partial sort, spilling). TopKPerKeyIn clusters on (bucket,
+    // salt) — the join output's existing partitioning, which
+    // functionally determines vec_id — so the O(n·log k) heap scan
+    // runs INSIDE the join stage: the ~|bucket|x-expanded candidate
+    // set is never shuffled or sorted, only the 3 survivors per
+    // vector reach the (tiny) rank window below.
+    val scored = cand.select(col("bucket"), col("salt"), col("vec_id"),
+      col("nbr_id"), cosine(col("v"), col("nv"), col("nn"), col("nnn")).as("cos_sim"))
+    val top = graft.plans.TopK.topKPerKeyIn(
+      scored, 3, "vec_id", "cos_sim", "nbr_id", "bucket", "salt")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("cos_sim").desc, col("nbr_id"))
-    cand
-      .select(col("vec_id"), col("nbr_id"),
-        cosine(col("v"), col("nv"), col("nn"), col("nnn")).as("cos_sim"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 3)
+    top.withColumn("rn", row_number().over(w).cast("long"))
+      .select("vec_id", "nbr_id", "cos_sim", "rn")
   }
 
   private val knnGraphSql =

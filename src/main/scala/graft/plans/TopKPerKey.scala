@@ -29,7 +29,7 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   */
 final case class TopKPerKeyNode(
     k: Int, key: Expression, score: Expression, tie: Expression,
-    child: LogicalPlan) extends UnaryNode {
+    distKeys: Seq[Expression], child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
     copy(child = newChild)
@@ -37,21 +37,26 @@ final case class TopKPerKeyNode(
 
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(k, key, score, tie, child) =>
-      TopKPerKeyExec(k, key, score, tie, planLater(child)) :: Nil
+    case TopKPerKeyNode(k, key, score, tie, distKeys, child) =>
+      TopKPerKeyExec(k, key, score, tie, distKeys, planLater(child)) :: Nil
     case _ => Nil
   }
 }
 
 final case class TopKPerKeyExec(
     k: Int, key: Expression, score: Expression, tie: Expression,
-    child: SparkPlan) extends UnaryExecNode {
+    distKeys: Seq[Expression], child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
-  // one hash shuffle on the key — EnsureRequirements inserts it
+  // one hash shuffle on distKeys — EnsureRequirements inserts it.
+  // distKeys defaults to the grouping key; passing a COARSER key the
+  // child is already partitioned by (e.g. the LSH bucket that
+  // functionally determines vec_id in the kNN-graph self-join) makes
+  // the heap scan run INSIDE the producing stage with no exchange at
+  // all — the candidate set is never shuffled, only the k survivors.
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(key :: Nil) :: Nil
+    ClusteredDistribution(distKeys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
@@ -59,7 +64,18 @@ final case class TopKPerKeyExec(
     val keyLocal = key
     val scoreLocal = score
     val tieLocal = tie
+    // Double scores ride the int64 heap via the order-preserving
+    // sortable-bits transform (sign bit kept, lower 63 bits flipped
+    // for negatives): signed-long comparison of the transformed bits
+    // == java.lang.Double.compare, the same total order Spark's sort
+    // and the DuckDB oracle's ORDER BY apply to non-NaN doubles.
+    val scoreIsDouble =
+      scoreLocal.dataType == org.apache.spark.sql.types.DoubleType
     child.execute().mapPartitions({ iter =>
+      def sortableBits(d: Double): Long = {
+        val b = java.lang.Double.doubleToLongBits(d)
+        b ^ ((b >> 63) & 0x7fffffffffffffffL)
+      }
       val keyProj = UnsafeProjection.create(Seq(keyLocal), schema)
       val rankProj = UnsafeProjection.create(Seq(scoreLocal, tieLocal), schema)
       // per-key bounded heap of (score, tie, row); worst element on top
@@ -71,24 +87,45 @@ final case class TopKPerKeyExec(
         Ordering.by[(Long, Long, UnsafeRow), (Long, Long)](t => (-t._1, t._2))
       val heaps = scala.collection.mutable.HashMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[(Long, Long, UnsafeRow)]]
+      // The reject path must be allocation-free: in an expanding
+      // self-join most input rows lose to the heap minimum, and an
+      // eager row.copy() per candidate (the first cut of this loop)
+      // turned the hot-bucket scan into pure GC churn. The row is
+      // copied ONLY on accept. A one-entry key cache skips the
+      // hash-map probe while consecutive rows share a key — exactly
+      // the join-output arrival order, where each stream-side row
+      // emits its matches back-to-back.
+      var lastKey: UnsafeRow = null
+      var lastHeap: scala.collection.mutable.PriorityQueue[(Long, Long, UnsafeRow)] = null
       iter.foreach { row =>
         val kr = keyProj(row)
         val rank = rankProj(row)
-        val entry = (rank.getLong(0), rank.getLong(1), row.asInstanceOf[UnsafeRow].copy())
-        heaps.get(kr) match {
-          case Some(h) =>
-            if (h.size < kLocal) h.enqueue(entry)
-            else {
-              val worst = h.head
-              // better = higher score, or equal score with lower tie
-              if (entry._1 > worst._1 || (entry._1 == worst._1 && entry._2 < worst._2)) {
-                h.dequeue(); h.enqueue(entry)
+        val scoreVal =
+          if (scoreIsDouble) sortableBits(rank.getDouble(0)) else rank.getLong(0)
+        val tieVal = rank.getLong(1)
+        val h =
+          if (lastKey != null && kr == lastKey) lastHeap
+          else {
+            val found = heaps.getOrElse(kr, null)
+            val hh =
+              if (found != null) found
+              else {
+                val nh = scala.collection.mutable.PriorityQueue.empty[(Long, Long, UnsafeRow)]
+                heaps.put(kr.copy(), nh)
+                nh
               }
-            }
-          case None =>
-            val h = scala.collection.mutable.PriorityQueue.empty[(Long, Long, UnsafeRow)]
-            h.enqueue(entry)
-            heaps.put(kr.copy(), h)
+            lastKey = kr.copy(); lastHeap = hh
+            hh
+          }
+        if (h.size < kLocal) {
+          h.enqueue((scoreVal, tieVal, row.asInstanceOf[UnsafeRow].copy()))
+        } else {
+          val worst = h.head
+          // better = higher score, or equal score with lower tie
+          if (scoreVal > worst._1 || (scoreVal == worst._1 && tieVal < worst._2)) {
+            h.dequeue()
+            h.enqueue((scoreVal, tieVal, row.asInstanceOf[UnsafeRow].copy()))
+          }
         }
       }
       heaps.valuesIterator.flatMap(_.iterator.map(_._3))
@@ -100,9 +137,20 @@ final case class TopKPerKeyExec(
 }
 
 object TopK {
-  /** Keep each key's k best rows by (score DESC, tie ASC); both rank
-    * columns must be int64. */
-  def topKPerKey(df: DataFrame, k: Int, key: String, scoreDesc: String, tieAsc: String): DataFrame = {
+  /** Keep each key's k best rows by (score DESC, tie ASC); score is
+    * int64 or double (doubles rank by java.lang.Double.compare), tie
+    * must be int64. */
+  def topKPerKey(df: DataFrame, k: Int, key: String, scoreDesc: String, tieAsc: String): DataFrame =
+    topKPerKeyIn(df, k, key, scoreDesc, tieAsc, key)
+
+  /** [[topKPerKey]] with the shuffle keyed on `distKeys` instead of the
+    * grouping key — for children already partitioned by columns that
+    * FUNCTIONALLY DETERMINE the key (each key's rows live in one
+    * distKeys group, e.g. the (LSH bucket, salt) pair that contains
+    * every candidate of a salted self-join's stream-side vec_id), so
+    * the heap scan needs no exchange of its own. */
+  def topKPerKeyIn(df: DataFrame, k: Int, key: String, scoreDesc: String,
+      tieAsc: String, distKeys: String*): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
@@ -111,6 +159,7 @@ object TopK {
       analyzed.output.find(_.name == name)
         .getOrElse(sys.error(s"cannot resolve $name among ${analyzed.output.map(_.name)}"))
     ColumnBridge.dataFrame(spark,
-      TopKPerKeyNode(k, resolve(key), resolve(scoreDesc), resolve(tieAsc), analyzed))
+      TopKPerKeyNode(k, resolve(key), resolve(scoreDesc), resolve(tieAsc),
+        distKeys.map(resolve), analyzed))
   }
 }

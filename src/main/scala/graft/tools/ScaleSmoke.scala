@@ -66,7 +66,7 @@ object ScaleSmoke {
     // 8-plane config leaves ~800-vector buckets at 200k vectors and
     // its ~1.6e8-pair top-k sort straggles for >17 min; the plane
     // count is the documented scale lever (knnGraphWith).
-    "ann_lsh", "ann_ivfpq", "knn_graph_p12",
+    "ann_lsh", "ann_ivfpq", "knn_graph", "knn_graph_p12",
     // streaming representative (micro-batch floor + state scale)
     "stream_fold", "stream_admit")
 
@@ -81,6 +81,10 @@ object ScaleSmoke {
     val scaleDir = args.headOption.getOrElse("/tmp/graft_scale/sf10")
     val outJson = if (args.length > 1) args(1) else "/tmp/scale_smoke.json"
     val cpus = if (args.length > 2) args(2) else "32"
+    // optional comma-list: run just these queries (index builds are
+    // skipped — each op's buildOnce pays its own build inside cold_s)
+    val subset: Set[String] =
+      if (args.length > 3) args(3).split(',').map(_.trim).toSet else Set.empty
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -111,9 +115,11 @@ object ScaleSmoke {
 
     // one-time persisted index builds, timed as their own evidence rows
     // (at 100 TB these are the capital cost of the vector/dedup stack)
-    val indexRows = Seq("dedup_clusters", "ann_lsh", "ann_ivf", "ann_pq",
-      "ann_ivfpq", "dedup_incremental", "corpus_export", "dedup_exact_join")
-      .map { n =>
+    val indexNames =
+      if (subset.nonEmpty) Seq.empty[String]
+      else Seq("dedup_clusters", "ann_lsh", "ann_ivf", "ann_pq",
+        "ann_ivfpq", "dedup_incremental", "corpus_export", "dedup_exact_join")
+    val indexRows = indexNames.map { n =>
       vol.reset()
       val t0 = System.nanoTime()
       val ok = try { graft.SparkEntry.queries(n)(spark, scaleDir).count(); true }
@@ -124,7 +130,7 @@ object ScaleSmoke {
       println(line); line
     }
 
-    val queryRows = headliners.map { n =>
+    val queryRows = headliners.filter(n => subset.isEmpty || subset(n)).map { n =>
       spark.sharedState.cacheManager.clearCache()
       val fn = extraQueries.getOrElse(n, graft.SparkEntry.queries(n))
       var planCell = "\"plan\":\"stream\""

@@ -4,9 +4,14 @@ package graft
 class OperatorSmokeSpec extends SparkSpec {
   private val mayBeEmpty = Set(
     "anti_join",        // every sf0.001 customer has orders
-    "behavior_anomaly") // no >3-sigma burst days at sf0.001 (they
+    "behavior_anomaly", // no >3-sigma burst days at sf0.001 (they
                         // exist from sf0.01 up; Round8eSpec drives the
                         // verdict on a synthetic burst instead)
+    "mm_frame_dedup")   // no full-chunk duplicate frames below sf0.1
+                        // now that the checksum covers the whole chunk
+                        // (the r7 16-char-prefix fingerprint manufactured
+                        // collisions here); MultimodalSpec drives
+                        // frameDedupOf with synthetic repeated chunks
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"$name runs and returns rows") {

@@ -45,12 +45,15 @@ class ShuffleBudgetSpec extends SparkSpec {
     ("mm_dedup", 2, 0),
     ("text_hapax", 2, 0),
     ("corpus_card", 2, 0),
-    // the k-NN graph: two explicit bucket exchanges (the self-join's
-    // sides are repartitioned by hand — AQE sizes post-shuffle
-    // parallelism from PRE-join bytes and coalesced the expanding
-    // bucket join to 2 tasks at the sf10 scale smoke) + the top-k
-    // window's vec_id exchange
-    ("knn_graph", 3, 0))
+    // the k-NN graph: the bucket-count stats pass (skew sizing), two
+    // explicit pinned (bucket, salt) exchanges (the self-join's sides
+    // are repartitioned by hand — AQE sizes post-shuffle parallelism
+    // from PRE-join bytes and coalesced the expanding bucket join to
+    // 2 tasks at the sf10 scale smoke; the salt splits the hot
+    // cluster's bucket), the salted c-side explode's exchange, and
+    // the top-k window's vec_id exchange over the ≤3-per-vector
+    // survivors
+    ("knn_graph", 5, 0))
 
   test("headline operators stay inside their pinned exchange budgets") {
     // Other suites cache() shared frames in the one JVM-wide session;
