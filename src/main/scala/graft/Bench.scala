@@ -32,6 +32,14 @@ object Bench {
     }
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Ops that cache() shared frames (dedup, signal_correlation,
+      // contamination) would otherwise leave their InMemoryRelations
+      // pinned in the storage pool for the REST of the 186-query run —
+      // r7 measured stream_slo_burn at 5.9 s inside the bench vs 2.4 s
+      // in a clean session, pure memory-pressure contamination. Clear
+      // BETWEEN query groups only: rep 1 rebuilds the op's own cache,
+      // reps 2-3 still measure it warm.
+      spark.sharedState.cacheManager.clearCache()
       def once(): Double = {
         val t0 = System.nanoTime()
         // a throw is a FAILURE, never a timing — r6's 14 broken queries
