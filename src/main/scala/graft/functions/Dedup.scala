@@ -244,8 +244,11 @@ object Dedup extends OpFamily {
   // doc_b > T. Oracle = D2's full-corpus candidate set filtered the
   // same way, proving the incremental path EQUALS the full recompute
   // restricted to what a new batch can introduce.
+  // max(doc_id) via parquet footer statistics — a metadata-only read,
+  // not a table scan (the r7 verdict's stats short-circuit note)
   private[graft] def incThreshold(s: SparkSession, d: String): Long =
-    Tables.documents(s, d).agg(max(col("doc_id"))).head.getLong(0) * 4L / 5L
+    Tables.maxIdFromStats(s, s"$d/documents.parquet", "doc_id",
+      Tables.documents(s, d)) * 4L / 5L
 
   /** The D9 probe, shared with D10's admission verdict. The persisted
     * band index commits via [[Tables.buildOnce]] (staged write + atomic
@@ -580,9 +583,16 @@ object Dedup extends OpFamily {
     val sz = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val dfq = dsh.groupBy("s").agg(count(lit(1)).as("df"))
     val wr = Window.partitionBy("doc_id").orderBy("df", "s")
-    val pfx = dsh.join(dfq.hint("shuffle_hash"), Seq("s"))
+    // NO shuffle_hash here: dfq (per-shingle document frequencies)
+    // and sz (per-doc sizes) both SCALE WITH THE CORPUS — at the sf10
+    // smoke the dfq build side's per-task hash relation blew the
+    // execution-memory budget with all cores resident
+    // (SparkOutOfMemoryError building the hash map). Big-big joins
+    // sort-merge; the hint is reserved for genuinely small aggregated
+    // build sides (the E19/R17 shape).
+    val pfx = dsh.join(dfq, Seq("s"))
       .withColumn("rk", row_number().over(wr))
-      .join(sz.hint("shuffle_hash"), Seq("doc_id"))
+      .join(sz, Seq("doc_id"))
       .filter(col("rk") <= expr("n div 2 + 1"))
       .select("doc_id", "s")
       .cache()

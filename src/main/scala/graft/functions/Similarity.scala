@@ -790,7 +790,10 @@ object Similarity extends OpFamily {
   // HUGEINT (no FP means, no overflow at 100 TB counts). ONE scan,
   // ONE conditional hash-agg.
   private def embeddingDrift(s: SparkSession, d: String): DataFrame = {
-    val t = Tables.embeddings(s, d).agg(max(col("vec_id"))).head.getLong(0) / 2
+    // max(vec_id) via parquet footer statistics — metadata-only, no
+    // extra corpus scan for the split scalar
+    val t = Tables.maxIdFromStats(s, s"$d/embeddings.parquet", "vec_id",
+      Tables.embeddings(s, d)) / 2
     val dec = "decimal(38,0)"
     Tables.embeddings(s, d)
       .select(col("label"), col("vec_id"),

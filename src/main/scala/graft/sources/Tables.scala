@@ -101,6 +101,56 @@ object Tables {
     dir
   }
 
+  /** MAX of an int64 column from parquet FOOTER STATISTICS — a
+    * metadata-only read that touches no row group. The snapshot/delta
+    * split points (D9's incremental threshold, S8's drift halves) need
+    * one scalar, max(id); deriving it with `agg(max(...))` costs a
+    * full extra table scan per call — at 100 TB that scalar is more
+    * expensive than some of the queries it parameterizes. Footers are
+    * read in a JOB (one task per file batch), so a corpus with
+    * thousands of files stays off the driver. Falls back to the scan
+    * aggregate if any footer lacks statistics for the column
+    * (testdata and every Spark/pyarrow writer in play records them;
+    * the fallback keeps third-party parquet correct, not just fast). */
+  def maxIdFromStats(s: SparkSession, dir: String, column: String,
+      fallback: => DataFrame): Long = {
+    import scala.jdk.CollectionConverters._
+    val files = {
+      def rec(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(rec)
+        else if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_")) Seq(f)
+        else Nil
+      rec(new java.io.File(dir)).map(_.getPath)
+    }
+    require(files.nonEmpty, s"no parquet files under $dir")
+    val perFile: Seq[Option[Long]] = s.sparkContext
+      .parallelize(files, math.min(files.size, 64).max(1))
+      .map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p),
+          new org.apache.hadoop.conf.Configuration())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val maxes = r.getFooter.getBlocks.asScala.toSeq.map { b =>
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == column)
+              .map(_.getStatistics)
+              .filter(st => st != null && st.hasNonNullValue && !st.isEmpty)
+              .collect { case st: org.apache.parquet.column.statistics.LongStatistics =>
+                st.getMax
+              }
+          }
+          // a single row group missing stats poisons the whole file
+          if (maxes.exists(_.isEmpty)) None else Some(maxes.flatten.max)
+        } finally r.close()
+      }
+      .collect().toSeq
+    if (perFile.exists(_.isEmpty))
+      fallback.agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col(column))).head.getLong(0)
+    else perFile.flatten.max
+  }
+
   /** Build-once materialization with an ATOMIC commit — for persisted
     * index layouts (ANN buckets/cells/codes, the incremental dedup band
     * index). The dataset is written to an underscore-prefixed staging
