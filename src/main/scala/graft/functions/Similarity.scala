@@ -886,8 +886,26 @@ object Similarity extends OpFamily {
   // bucket-bounded). Cosines are IEEE doubles computed from exact
   // int64 dots/norms — identical in both engines — with vec_id as the
   // deterministic tiebreak.
-  private def knnGraph(s: SparkSession, d: String): DataFrame =
-    knnGraphWith(s, d, 8)
+  /** Corpus-sized plane count: the smallest p with 2^p buckets of
+    * ≤ ~50 expected vectors, floored at 8 (the oracle-pinned config —
+    * every driver test scale lands exactly there, so parity never sees
+    * another value). Candidate volume then stays ≈ 50·n at ANY corpus
+    * size instead of n²/2^8; the sf10 smoke measured the difference as
+    * 61 s (8-plane, 1.6e8 pairs, 390 MB spill) vs 27 s (12-plane,
+    * 1e7 pairs, no spill) at 200 k vectors. Sized from the footer-
+    * stats metadata pass (vec_ids are dense 0..n-1), not a scan;
+    * integer shift loop — no float-log edge cases at powers of two. */
+  private[graft] def planesFor(n: Long): Int = {
+    var p = 0
+    while ((50L << p) < n && p < 30) p += 1
+    math.max(8, p)
+  }
+
+  private def knnGraph(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.maxIdFromStats(s, s"$d/embeddings.parquet", "vec_id",
+      Tables.embeddings(s, d)) + 1
+    knnGraphWith(s, d, planesFor(n))
+  }
 
   /** Planes-parameterized form of S10 — the S13 recall eval grades the
     * production 8-plane graph and its monotonicity spec sweeps the
@@ -1015,8 +1033,13 @@ object Similarity extends OpFamily {
       .withColumn("recall_e4", expr("(10000 * n_hit) div n_true"))
   }
 
-  private def knnRecall(s: SparkSession, d: String): DataFrame =
-    knnRecallWith(s, d, 8)
+  // grades the PRODUCTION graph — same corpus-sized plane count as
+  // S10 itself (8 at every oracle scale, so the static SQL holds)
+  private def knnRecall(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.maxIdFromStats(s, s"$d/embeddings.parquet", "vec_id",
+      Tables.embeddings(s, d)) + 1
+    knnRecallWith(s, d, planesFor(n))
+  }
 
   private val knnRecallSql = {
     val sampleSql = (c: String) =>
