@@ -93,20 +93,24 @@ class Round5cSpec extends SparkSpec {
     val batch = run("dedup_admit").collect().map(_.toSeq).toSet
     assert(streamed == batch,
       "micro-batched admission must reproduce the batch verdict set")
-    // after the run the growing band store covers the WHOLE corpus —
-    // seed (old docs) plus one append per graded batch
-    val stores = new java.io.File(graft.sources.Tables.workDir(spark))
-      .listFiles().filter(_.getName.startsWith("admit_bands_"))
+    // after the run, base index (immutable, built once per dataset) ∪
+    // this invocation's growth deltas covers the WHOLE corpus
+    val work = new java.io.File(graft.sources.Tables.workDir(spark))
+    val base = work.listFiles()
+      .filter(_.getName.startsWith("admit_base_bands_"))
+    assert(base.nonEmpty, "base band index missing")
+    val stores = work.listFiles().filter(_.getName.startsWith("admit_bands_"))
     assert(stores.nonEmpty)
     val latest = stores.maxBy(_.lastModified)
-    // seed rows sit at the root, each graded batch under a committed
-    // delta_b<id> dir (the idempotent-append layout) — list recursively
-    val storeRows = spark.read.option("recursiveFileLookup", "true")
-      .parquet(latest.getPath).count()
+    // each graded batch lands under a committed delta_b<id> dir (the
+    // idempotent-append layout) — list recursively
+    val storeRows = spark.read.parquet(base.head.getPath).count() +
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(latest.getPath).count()
     val fullRows = graft.functions.Dedup
       .bandRows(graft.sources.Tables.documents(spark, sf)).count()
     assert(storeRows == fullRows,
-      s"store holds $storeRows band rows, full corpus has $fullRows")
+      s"base+growth hold $storeRows band rows, full corpus has $fullRows")
     // idempotence: every batch landed as a committed delta dir; a
     // redelivery would find its dir and not double-append
     val deltas = Option(latest.listFiles()).get
