@@ -457,11 +457,17 @@ object Dedup extends OpFamily {
         i => struct(i.as("pos"),
           md5(concat_ws(" ", slice(toks, i.cast("int"), lit(subK)))).as("fp")))).as("w"))
       .select(col("doc_id"), col("w.pos").as("pos"), col("w.fp").as("fp"))
-    val dupFp = wins.groupBy("fp")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select("fp")
-    // consumed by both the run detection and the coverage count
-    val dw = wins.join(dupFp.hint("shuffle_hash"), Seq("fp"), "left_semi")
+    // "fingerprint seen in ≥2 distinct docs" as min(doc)≠max(doc) over
+    // one fp window: the explode + per-window md5 is the dominant cost
+    // (O(corpus tokens)) and the groupBy-then-semi-join form computed
+    // it TWICE — once into the dup-fp aggregate, once for the probe
+    // side. One shuffle on the uniform digest, windows materialized
+    // once; consumed by both the run detection and the coverage count.
+    val fpw = Window.partitionBy("fp")
+    val dw = wins
+      .withColumn("mn", min(col("doc_id")).over(fpw))
+      .withColumn("mx", max(col("doc_id")).over(fpw))
+      .filter(col("mn") =!= col("mx"))
       .select("doc_id", "pos").localCheckpoint(true)
     val spans = dw
       .withColumn("grp", col("pos") - row_number().over(
