@@ -150,7 +150,20 @@ object Dedup extends OpFamily {
   // bands, the intersection join twice) — materialize it once instead of
   // re-deriving parquet→split→explode per consumer. Same move a 100 TB
   // run makes by checkpointing the shingle table before the verify join.
+  // The verified overlap table is deterministic per dataset and feeds
+  // three ops (D3 jaccard, D8 containment, D13 sweep) — persisted via
+  // buildOnce like pairLabels/exactJoinTruth, so the candidate mining
+  // + double intersection probe runs once per (session, dataset)
+  // instead of once per consumer call ("verify once, consume many" —
+  // at 100 TB the verify join is the expensive stage).
   private def pairOverlap(s: SparkSession, d: String): DataFrame = {
+    val path = s"${Tables.workDir(s)}/pair_overlap_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    Tables.buildOnce(path)(pairOverlapBuild(s, d))
+    s.read.parquet(path)
+  }
+
+  private def pairOverlapBuild(s: SparkSession, d: String): DataFrame = {
     val cand = candidatePairs(s, d).cache()
     // semi-join the shingle table down to docs that appear in some
     // candidate pair BEFORE the two intersection probes — at scale the
