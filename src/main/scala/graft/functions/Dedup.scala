@@ -393,17 +393,34 @@ object Dedup extends OpFamily {
 
   private[graft] def dedupEmbeddingWith(
       s: SparkSession, d: String, planes: Int, bands: Int): DataFrame = {
+    // Cosines are computed INSIDE each band's self-join — the vectors
+    // ride the bucket rows, so the threshold prunes pairs before
+    // anything is unioned or deduplicated. The previous shape
+    // (pair-id set → distinct → re-attach both vectors via two joins)
+    // shuffled the EXPANDED pair table three times carrying ~1 KB
+    // rows; at the sf10 smoke the clustered corpus put ~1e8 pairs
+    // through that re-attach and OOM'd the heap. cos_sim is a
+    // deterministic function of the exact int64 vectors, so the
+    // cross-band distinct on (vec_a, vec_b, cos_sim) collapses
+    // duplicates exactly. The cache() boundary also stops
+    // CollapseProject from inlining the interpreted quantize/lshBucket
+    // transforms into the per-pair expressions (the knn_graph lesson).
     val q = Tables.embeddings(s, d).select(col("vec_id"),
       Similarity.quantize(col("embedding")).as("v"))
-    val n = q.withColumn("nn", Similarity.sqNorm(col("v"))).cache()
-    val cand = embCandidates(s, d, planes, bands)
-    // …then one vector re-attach per side for the exact cosine check
-    val va = n.select(col("vec_id").as("vec_a"), col("v").as("av"), col("nn").as("an"))
-    val vb = n.select(col("vec_id").as("vec_b"), col("v").as("bv"), col("nn").as("bn"))
-    cand.join(va, "vec_a").join(vb, "vec_b")
-      .select(col("vec_a"), col("vec_b"),
-        Similarity.cosine(col("av"), col("bv"), col("an"), col("bn")).as("cos_sim"))
-      .filter(col("cos_sim") >= 0.4)
+    val n = (0 until bands).foldLeft(
+      q.withColumn("nn", Similarity.sqNorm(col("v")))) {
+      (df, b) => df.withColumn(s"bk$b", Similarity.lshBucket(col("v"), planes, b))
+    }.cache()
+    (0 until bands).map { b =>
+      n.select(col(s"bk$b").as("bk"), col("vec_id").as("vec_a"),
+          col("v").as("av"), col("nn").as("an"))
+        .join(n.select(col(s"bk$b").as("bk"), col("vec_id").as("vec_b"),
+          col("v").as("bv"), col("nn").as("bn")), "bk")
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          Similarity.cosine(col("av"), col("bv"), col("an"), col("bn")).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.4)
+    }.reduce(_ union _).distinct()
   }
 
   private def dedupEmbedding(s: SparkSession, d: String): DataFrame =

@@ -61,12 +61,18 @@ object ScaleSmoke {
     // text / dedup / corpus chains
     "text_quality", "text_tokens", "dedup_exact", "dedup_minhash_lsh",
     "dedup_clusters", "corpus_export", "corpus_interleave",
-    // vector path (hot LSH bucket). knn_graph runs as the
-    // corpus-sized 12-plane config (extraQueries) — the oracle-pinned
-    // 8-plane config leaves ~800-vector buckets at 200k vectors and
-    // its ~1.6e8-pair top-k sort straggles for >17 min; the plane
-    // count is the documented scale lever (knnGraphWith).
+    // vector path (hot LSH bucket). knn_graph self-sizes its plane
+    // count from the corpus (12 at 200k vectors); knn_graph_p12 pins
+    // the same config explicitly for the before/after record.
     "ann_lsh", "ann_ivfpq", "knn_graph", "knn_graph_p12",
+    // breadth: one representative per remaining family — the decimal
+    // anomaly arithmetic at real volume, the CC closure, the verified
+    // pair consumers over the persisted overlap table, the iterative
+    // BPE trainer, the multi-topic outbox write, the funnel capstone
+    "behavior_anomaly", "dedup_semantic", "ngram_jaccard",
+    "dedup_containment", "vocab_bpe_merge", "text_perplexity",
+    "es_outbox_routed", "corpus_funnel", "retention",
+    "metric_percentile",
     // streaming representative (micro-batch floor + state scale)
     "stream_fold", "stream_admit")
 
