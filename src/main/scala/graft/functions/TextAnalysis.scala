@@ -186,11 +186,23 @@ object TextAnalysis extends OpFamily {
   // salts (winnowing-lite). A stable content fingerprint for shard-local
   // dedup indexes.
   private def fingerprint(s: SparkSession, d: String): DataFrame = {
+    // n-grams come off a per-doc char ARRAY (split once, O(len)), not
+    // text.substr(i, n): UTF8String.substring re-scans from the string
+    // START for the char boundary, so substr-in-transform is O(len²)
+    // per doc — invisible on short test docs, dominant at corpus-size
+    // documents (the sf10 smoke caught the same shape in T12).
     def fp(salt: String): Column = array_min(transform(
-      sequence(lit(1), length(col("text")) - 4),
-      i => md5(concat(lit(salt + ":"), col("text").substr(i, lit(5))))))
+      sequence(lit(1), size(col("cs")) - 4),
+      i => md5(concat(lit(salt + ":"),
+        element_at(col("cs"), i), element_at(col("cs"), i + 1),
+        element_at(col("cs"), i + 2), element_at(col("cs"), i + 3),
+        element_at(col("cs"), i + 4)))))
     Tables.documents(s, d)
+      // the per-doc 2x5-gram minhash runs inside the scan stage —
+      // spread the docs so its parallelism isn't the split count
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .filter(length(col("text")) >= 5)
+      .withColumn("cs", split(col("text"), ""))
       .select(col("doc_id"), fp("0").as("fp0"), fp("1").as("fp1"))
   }
 
@@ -735,11 +747,20 @@ object TextAnalysis extends OpFamily {
   private def perplexity(s: SparkSession, d: String): DataFrame = {
     // one row per DISTINCT (doc, bigram) with multiplicity — feeds the
     // model build AND the scoring probe
+    // bigrams off the per-doc char array — substr(i, 2) on the raw
+    // text re-scans from the string start per call (O(len²) per doc;
+    // the sf10 smoke measured this op at 346 s cold before the fix)
+    // the 1000x bigram expansion runs INSIDE the scan stage, so its
+    // parallelism is pinned to the parquet split count (4 splits at
+    // sf10 left 28 cores idle); spread the raw docs first — one cheap
+    // shuffle of the un-expanded text buys full-width explode + agg
     val cb = Tables.documents(s, d)
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .filter(length(col("text")) >= 2)
+      .withColumn("cs", split(col("text"), ""))
       .select(col("doc_id"), explode(transform(
-        sequence(lit(1), length(col("text")) - 1),
-        i => col("text").substr(i, lit(2)))).as("bg"))
+        sequence(lit(1), size(col("cs")) - 1),
+        i => concat(element_at(col("cs"), i), element_at(col("cs"), i + 1)))).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("k"))
       .cache()
     val model = cb.groupBy("bg").agg(sum(col("k")).as("cf"))
