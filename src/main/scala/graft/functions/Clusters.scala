@@ -112,7 +112,7 @@ object Clusters extends OpFamily {
     * docs that appear in some pair; shared with [[Pipeline]]. */
   private[functions] def pairLabels(s: SparkSession, d: String): DataFrame = {
     val path = s"${Tables.workDir(s)}/pair_labels_" +
-      java.lang.Integer.toHexString(d.hashCode)
+      Tables.datasetTag(d)
     Tables.buildOnce(path) {
       // no distinct here: components() symmetrizes + distincts anyway
       val edges = Dedup.candidatePairs(s, d).select("doc_a", "doc_b")

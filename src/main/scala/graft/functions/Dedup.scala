@@ -158,7 +158,7 @@ object Dedup extends OpFamily {
   // at 100 TB the verify join is the expensive stage).
   private def pairOverlap(s: SparkSession, d: String): DataFrame = {
     val path = s"${Tables.workDir(s)}/pair_overlap_" +
-      java.lang.Integer.toHexString(d.hashCode)
+      Tables.datasetTag(d)
     Tables.buildOnce(path)(pairOverlapBuild(s, d))
     s.read.parquet(path)
   }
@@ -271,7 +271,7 @@ object Dedup extends OpFamily {
     val docs = Tables.documents(s, d)
     val t = incThreshold(s, d)
     val path = s"${Tables.workDir(s)}/dedup_inc_idx_" +
-      java.lang.Integer.toHexString(d.hashCode)
+      Tables.datasetTag(d)
     Tables.buildOnce(path)(
       bandsOfDocs(docs.filter(col("doc_id") <= t), nBands, nHashes / nBands))
     val oldIdx = s.read.parquet(path)
@@ -608,7 +608,7 @@ object Dedup extends OpFamily {
   // in the bench (5.2 s + 5.4 s as two cold runs).
   private[functions] def exactJoinTruth(s: SparkSession, d: String): DataFrame = {
     val path = s"${Tables.workDir(s)}/exact_truth_" +
-      java.lang.Integer.toHexString(d.hashCode)
+      Tables.datasetTag(d)
     Tables.buildOnce(path)(exactJoinTruthBuild(s, d))
     s.read.parquet(path)
   }

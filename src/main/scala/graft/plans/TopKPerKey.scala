@@ -73,7 +73,14 @@ final case class TopKPerKeyExec(
       scoreLocal.dataType == org.apache.spark.sql.types.DoubleType
     child.execute().mapPartitions({ iter =>
       def sortableBits(d: Double): Long = {
-        val b = java.lang.Double.doubleToLongBits(d)
+        // normalize -0.0 → +0.0 first: raw doubleToLongBits ranks
+        // -0.0 strictly below +0.0 (java.lang.Double.compare order),
+        // but Spark's window ordering (nanSafeCompareDoubles) and the
+        // oracle's ORDER BY treat them as EQUAL and let the tie column
+        // decide — a -0.0 score at the k boundary must not select a
+        // different row than the window form this operator replaces
+        val v = if (d == 0.0) 0.0 else d
+        val b = java.lang.Double.doubleToLongBits(v)
         b ^ ((b >> 63) & 0x7fffffffffffffffL)
       }
       val keyProj = UnsafeProjection.create(Seq(keyLocal), schema)

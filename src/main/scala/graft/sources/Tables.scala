@@ -101,6 +101,36 @@ object Tables {
     dir
   }
 
+  /** Collision-resistant, CONTENT-AWARE tag for persisted per-dataset
+    * paths under [[workDir]] (split sources, band/digest indexes, the
+    * ANN layouts). The old `Integer.toHexString(d.hashCode)` had two
+    * silent-corruption modes once `graft.workdir` is overridden to a
+    * shared root: a 32-bit String.hashCode collision between two
+    * dataset paths, and REGENERATED data under the same path — both
+    * would serve a stale index with no error. The tag is md5 over the
+    * canonical path PLUS a directory fingerprint (file count, total
+    * bytes, max mtime), so either change flips the tag and the index
+    * rebuilds. The walk is driver-side metadata only (the testdata
+    * dirs hold tens of files); non-local paths fall back to the
+    * path-only digest. */
+  def datasetTag(d: String): String = {
+    val canon =
+      try new java.io.File(d).getCanonicalPath
+      catch { case _: java.io.IOException => d }
+    def rec(f: java.io.File): (Long, Long, Long) =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .foldLeft((0L, 0L, 0L)) { case ((n, b, m), c) =>
+            val (cn, cb, cm) = rec(c)
+            (n + cn, b + cb, math.max(m, cm))
+          }
+      else (1L, f.length(), f.lastModified())
+    val (n, bytes, mtime) = rec(new java.io.File(canon))
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$canon|$n|$bytes|$mtime".getBytes("UTF-8"))
+    md.take(8).map(b => f"$b%02x").mkString
+  }
+
   /** MAX of an int64 column from parquet FOOTER STATISTICS — a
     * metadata-only read that touches no row group. The snapshot/delta
     * split points (D9's incremental threshold, S8's drift halves) need
@@ -115,20 +145,41 @@ object Tables {
   def maxIdFromStats(s: SparkSession, dir: String, column: String,
       fallback: => DataFrame): Long = {
     import scala.jdk.CollectionConverters._
-    val files = {
-      def rec(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(rec)
-        else if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_")) Seq(f)
-        else Nil
-      rec(new java.io.File(dir)).map(_.getPath)
-    }
-    require(files.nonEmpty, s"no parquet files under $dir")
-    val perFile: Seq[Option[Long]] = s.sparkContext
+    def scanMax: Long = fallback.agg(org.apache.spark.sql.functions.max(
+      org.apache.spark.sql.functions.col(column))).head.getLong(0)
+    // Hadoop FileSystem listing with the SESSION's conf, not
+    // java.io.File — a non-local or unconfigured-scheme path falls
+    // back to the scan aggregate (the advertised behavior) instead of
+    // dying on an empty local listing.
+    val hconf = s.sessionState.newHadoopConf()
+    val files: Seq[String] =
+      try {
+        val root = new org.apache.hadoop.fs.Path(dir)
+        val fs = root.getFileSystem(hconf)
+        val it = fs.listFiles(root, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val st = it.next()
+          val name = st.getPath.getName
+          if (st.isFile && name.endsWith(".parquet") &&
+              !name.startsWith("_") && !name.startsWith("."))
+            buf += st.getPath.toString
+        }
+        buf.toSeq
+      } catch { case _: java.io.IOException => Nil }
+    if (files.isEmpty) return scanMax
+    val sconf = new SerializableHadoopConf(hconf)
+    // per file: None = a row group is missing stats for the column
+    //   (poisons the whole pass → scan fallback);
+    // Some(None) = ZERO row groups (a legitimate empty part-file,
+    //   e.g. a pyarrow or empty-partition write — contributes no max
+    //   but must not poison or crash);
+    // Some(Some(v)) = footer max.
+    val perFile: Seq[Option[Option[Long]]] = s.sparkContext
       .parallelize(files, math.min(files.size, 64).max(1))
       .map { p =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(p),
-          new org.apache.hadoop.conf.Configuration())
+          new org.apache.hadoop.fs.Path(p), sconf.value)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try {
           val maxes = r.getFooter.getBlocks.asScala.toSeq.map { b =>
@@ -140,15 +191,15 @@ object Tables {
                 st.getMax
               }
           }
-          // a single row group missing stats poisons the whole file
-          if (maxes.exists(_.isEmpty)) None else Some(maxes.flatten.max)
+          if (maxes.exists(_.isEmpty)) None else Some(maxes.flatten.maxOption)
         } finally r.close()
       }
       .collect().toSeq
-    if (perFile.exists(_.isEmpty))
-      fallback.agg(org.apache.spark.sql.functions.max(
-        org.apache.spark.sql.functions.col(column))).head.getLong(0)
-    else perFile.flatten.max
+    if (perFile.exists(_.isEmpty)) scanMax
+    else {
+      val vals = perFile.flatten.flatten
+      if (vals.isEmpty) scanMax else vals.max
+    }
   }
 
   /** Build-once materialization with an ATOMIC commit — for persisted
@@ -197,4 +248,25 @@ object Tables {
       }))
       ()
     }
+}
+
+/** Java-serializable carrier for a Hadoop Configuration (the class
+  * itself is a non-serializable Writable) so footer-reading tasks see
+  * the SESSION's conf — credentials, filesystem impls, S3A settings —
+  * instead of a fresh `new Configuration()` that only knows local
+  * defaults. Same shape as Spark's private[spark]
+  * SerializableConfiguration. */
+private[graft] class SerializableHadoopConf(
+    @transient private var conf: org.apache.hadoop.conf.Configuration)
+  extends Serializable {
+  def value: org.apache.hadoop.conf.Configuration = conf
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.readFields(in)
+  }
 }

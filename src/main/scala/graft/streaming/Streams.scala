@@ -132,7 +132,7 @@ object Streams extends OpFamily {
     * build its own split, not reuse a path another session owns. */
   private def splitSource(s: SparkSession, d: String): String = {
     val target = s"${Tables.workDir(s)}/events_split_" +
-      java.lang.Integer.toHexString(d.hashCode)
+      Tables.datasetTag(d)
     splitCache.computeIfAbsent(target, base => {
       // Write the split files ALREADY normalized (Tables.normalizeTs →
       // TimestampType micros) so the readStream schema carries a real
@@ -859,7 +859,7 @@ object Streams extends OpFamily {
   // cache key = full target path (session-specific workDir), like splitSource
   private def docSplitSource(s: SparkSession, d: String): String = {
     val target = s"${Tables.workDir(s)}/docs_split_" +
-      java.lang.Integer.toHexString(d.hashCode)
+      Tables.datasetTag(d)
     docSplitCache.computeIfAbsent(target, base => {
       val t = graft.functions.Dedup.incThreshold(s, d)
       val tagged = Tables.documents(s, d).filter(col("doc_id") > t)
@@ -934,7 +934,7 @@ object Streams extends OpFamily {
     val inv = admitInvocations.incrementAndGet()
     val t = Dedup.incThreshold(s, d)
     val old = Tables.documents(s, d).filter(col("doc_id") <= t)
-    val dtag = java.lang.Integer.toHexString(d.hashCode)
+    val dtag = Tables.datasetTag(d)
     val baseBands = s"${Tables.workDir(s)}/admit_base_bands_$dtag"
     val baseDigests = s"${Tables.workDir(s)}/admit_base_digests_$dtag"
     Tables.buildOnce(baseBands)(Dedup.bandRows(old))

@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   *   - a HOT AGGREGATE: user_id 7 receives ~10% of all events — the
   *     "celebrity key" that stalls an unsalted fold's reduce side and
   *     that A4 `es_fold_salted` / AQE skew-join mitigation exist for;
-  *   - a HOT LSH BUCKET: ~5% of embeddings sit in one tight cluster
+  *   - a HOT LSH BUCKET: ~1% of embeddings sit in one tight cluster
   *     (noise an order of magnitude below the inter-vector spacing),
-  *     so one LSH bucket holds ~25x its fair share of candidates;
+  *     so one LSH bucket holds an order of magnitude over its fair
+  *     share of vectors — and the square of that in candidate pairs;
   *   - near-duplicate documents: ~8% of docs share a 500-template pool
   *     (half byte-exact copies, half one-word mutations) so minhash /
   *     simhash / exact dedup all have real work and real recall.

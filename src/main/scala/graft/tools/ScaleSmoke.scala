@@ -80,8 +80,14 @@ object ScaleSmoke {
     * oracle pins their small-corpus configs; these are the settings a
     * 100x corpus calls for). */
   val extraQueries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-    Map("knn_graph_p12" -> ((s, dir) =>
-      graft.functions.Similarity.knnGraphWith(s, dir, 12)))
+    Map("knn_graph_scaled" -> ((s, dir) => {
+      // corpus-sized plane count (12 at the sf10 smoke's 200k vectors)
+      val n = graft.sources.Tables.maxIdFromStats(
+        s, s"$dir/embeddings.parquet", "vec_id",
+        graft.sources.Tables.embeddings(s, dir)) + 1
+      graft.functions.Similarity.knnGraphWith(
+        s, dir, graft.functions.Similarity.planesFor(n))
+    }))
 
   def main(args: Array[String]): Unit = {
     val scaleDir = args.headOption.getOrElse("/tmp/graft_scale/sf10")
