@@ -498,6 +498,84 @@ object Relational extends OpFamily {
       |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
       |GROUP BY 1""".stripMargin
 
+  // R25 `q21_waiting`: TPC-H Q21 shape — the hardest standard join
+  // pattern: TWO self-correlated subqueries on the fact (EXISTS
+  // another supplier's line in the same order, NOT EXISTS another
+  // supplier's LATE line), with an inequality lateness residual.
+  // Naively that is three lineitem scans and two semi/anti joins; at
+  // 100 TB the fact must be scanned a bounded number of times, so
+  // both correlations are answered by ONE per-order aggregate:
+  //   EXISTS l2 (l2.supp <> l1.supp)           ⟺ n_supp ≥ 2
+  //   NOT EXISTS l3 late (l3.supp <> l1.supp)  ⟺ n_late_supp = 1
+  // (l1 is itself late, so "no OTHER supplier late" is exactly "the
+  // order's late-supplier set is the singleton {l1.supp}"). The agg
+  // is deliberately NOT two countDistincts — those plan an Expand
+  // that doubles the fact through the distinct shuffle. Instead one
+  // repartition on orderkey feeds two NESTED in-stage aggregates
+  // (hash(ok) satisfies ClusteredDistribution(ok, sk), so neither
+  // groupBy re-exchanges): (ok, sk) → max(late), then ok →
+  // (count, sum) — the fact crosses the wire exactly once, un-doubled.
+  // The l1 join back is shuffle-hash against the pre-aggregated
+  // |orders|-keyed side (the E19/R17/q13 shape — 3 small int columns
+  // per order, not a corpus-sized payload) and lands on the same
+  // hash(ok) partitioning, so it adds no exchange on the build side.
+  // Supplier and nation ride in as broadcasts. Fact scans: two
+  // bounded column-pruned passes (the agg branch and the l1 branch —
+  // materializing the joint frame instead would cost more than the
+  // second 3-column scan); no BNLJ anywhere.
+  private def q21Waiting(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val lo = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .cast("int").as("late"))
+    val perOrder = lo.repartition(col("l_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("late")).as("supp_late"))
+      .groupBy("l_orderkey").agg(
+        count(lit(1)).as("n_supp"),
+        sum(col("supp_late")).as("n_late_supp"))
+    val l1 = lo.filter(col("late") === 1).select("l_orderkey", "l_suppkey")
+    val sup = Tables.supplier(s, d)
+      .select("s_suppkey", "s_name", "s_nationkey")
+    val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+    // grouped by (nation, supplier) rather than TPC-H's single-nation
+    // filter: the tiny scales ship as few as 10 suppliers, so a fixed
+    // nation literal can legitimately select zero rows — the grouped
+    // form keeps the identical join shape at every scale
+    l1.join(perOrder.hint("shuffle_hash"), Seq("l_orderkey"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "s_name")
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  // oracle in the REFERENCE form — two correlated EXISTS/NOT-EXISTS
+  // subqueries — so the hash-compare proves the one-aggregate rewrite
+  // IS that semantics, not merely self-consistent
+  private val q21Sql =
+    """WITH l AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |      THEN 1 ELSE 0 END AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F')
+      |SELECT n_name, s_name, count(*) AS numwait
+      |FROM l l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+      |          JOIN nation ON s_nationkey = n_nationkey
+      |WHERE l1.late = 1
+      |  AND EXISTS (SELECT 1 FROM l l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM l l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey AND l3.late = 1)
+      |GROUP BY 1, 2""".stripMargin
+
   // R24 `q13_custdist`: the customer-distribution histogram, TPC-H
   // Q13 shape — how many customers placed exactly k orders (including
   // k = 0, the rows only an OUTER join keeps). Classic two-level
@@ -526,6 +604,7 @@ object Relational extends OpFamily {
       |GROUP BY 1""".stripMargin
 
   override def ops: Seq[Op] = Seq(
+    Op("q21_waiting", q21Waiting, Some(q21Sql)),
     Op("q13_custdist", q13CustDist, Some(q13Sql)),
     Op("q4_priority", q4Priority, Some(q4Sql)),
     Op("q16_distinct_agg", q16DistinctAgg, Some(q16Sql)),
