@@ -22,7 +22,8 @@ object SparkEntry {
     functions.Similarity,
     functions.Multimodal,
     streaming.Streams,
-    api.AccountOps)
+    api.AccountOps,
+    api.InventoryOps)
 
   private lazy val allOps: Seq[Op] = families.flatMap(_.ops)
 

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.scalacheck.{Gen, Prop, Properties}
-import graft.api.{Account, AccountModel}
+import graft.api.{Account, AccountModel, InvEvent, Inventory, InventoryModel}
 import graft.streaming.Streams
 import graft.streaming.Ev
 
@@ -48,5 +48,77 @@ object EnginePropertySpec extends Properties("graft.engine") {
       val res = AccountModel.handleCommand(Some(Account(bal, 0, 1)), cmd)
       if (cmd.event_type != "purchase") res.isRight
       else res.isRight == (bal >= math.round(cmd.value * 100))
+    }
+
+  // ---- the SECOND model (InventoryModel) through the same engine
+  // contract: the fold laws must hold for ANY AggregateModel, so each
+  // is restated over inventory events — the suite is parameterized
+  // over both models, not Account-shaped.
+
+  private def invFold(evs: Seq[InvEvent]): Option[Inventory] =
+    evs.sortBy(InventoryModel.eventSequence)
+      .foldLeft(Option.empty[Inventory])(InventoryModel.applyEvent)
+
+  private val genInvEv: Gen[InvEvent] = for {
+    ev <- genEv
+  } yield InventoryModel.toEvent(ev)
+
+  property("inventory fold insensitive to arrival order") =
+    Prop.forAll(Gen.listOfN(40, genInvEv), Gen.choose(0L, 100L)) { (evs, seed) =>
+      invFold(evs) == invFold(new scala.util.Random(seed).shuffle(evs))
+    }
+
+  property("inventory fold incremental: fold(all) == fold(fold(prefix), suffix)") =
+    Prop.forAll(Gen.listOfN(30, genInvEv), Gen.choose(0, 30)) { (evs, cut0) =>
+      val sorted = evs.sortBy(InventoryModel.eventSequence)
+      val cut = math.min(cut0, sorted.length)
+      val (pre, post) = sorted.splitAt(cut)
+      val staged = post.foldLeft(invFold(pre))(InventoryModel.applyEvent)
+      invFold(sorted) == staged
+    }
+
+  property("inventory n_events equals number of applied events") =
+    Prop.forAll(Gen.nonEmptyListOf(genInvEv)) { evs =>
+      invFold(evs).get.n_events == evs.length
+    }
+
+  property("reserve accepted iff available covers it; reorder iff it drains below low water") =
+    Prop.forAll(genEv, Gen.choose(0L, 30000L), Gen.choose(0L, 30000L)) { (ev, oh, rv0) =>
+      val cmd = ev.copy(event_type = "purchase")
+      val rv = math.min(rv0, oh) // a coherent ledger never over-reserves
+      val q = math.round(cmd.value * 100)
+      InventoryModel.handleCommand(Some(Inventory(oh, rv, 1)), cmd) match {
+        case Left(_) => oh - rv < q
+        case Right(evs) =>
+          oh - rv >= q &&
+            evs.map(_.kind) == (
+              if (oh - (rv + q) < InventoryModel.lowWater) Seq("reserve", "reorder")
+              else Seq("reserve"))
+      }
+    }
+
+  property("inquiries are accepted with zero events; ship/release gate on reservations") =
+    Prop.forAll(genEv, Gen.choose(0L, 5000L), Gen.choose(0L, 5000L)) { (ev, oh, rv) =>
+      val q = math.round(ev.value * 100)
+      val st = Some(Inventory(oh, rv, 1))
+      (InventoryModel.handleCommand(st, ev.copy(event_type = "view")) == Right(Seq.empty)) &&
+        (InventoryModel.handleCommand(st, ev.copy(event_type = "click")).isRight == (rv >= q)) &&
+        (InventoryModel.handleCommand(st, ev.copy(event_type = "error")).isRight == (rv >= q))
+    }
+
+  property("accepted events replay to the state the command handler saw") =
+    Prop.forAll(Gen.listOfN(20, genEv)) { cmds =>
+      // engine invariant across ANY model: applying handleCommand's
+      // emitted events (the applySequentially loop) yields a state
+      // whose ledger is internally coherent — shipped stock never
+      // exceeds what was on hand, reservations never go negative
+      val sorted = cmds.sortBy(InventoryModel.commandSequence)
+      val fin = sorted.foldLeft(Option.empty[Inventory]) { (st, c) =>
+        InventoryModel.handleCommand(st, c) match {
+          case Right(evs) => evs.foldLeft(st)(InventoryModel.applyEvent)
+          case Left(_)    => st
+        }
+      }
+      fin.forall(s => s.reserved_c >= 0 && s.on_hand_c >= s.reserved_c)
     }
 }

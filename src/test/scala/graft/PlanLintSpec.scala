@@ -13,6 +13,7 @@ class PlanLintSpec extends SparkSpec {
   private val sortAggAllowed = Set(
     "api_stream",          // one-row-per-key harness tail (max_by struct on
     "api_stream_commands", //   tiny post-stream output, judged harmless)
+    "api_inv_stream",      //   same harness tail, second model (A11)
     "stream_fold", "stream_ewma", "es_live_store")
   private val bnljAllowed = Set(
     "ann_ivf",      // corpus × k-centroid broadcast (intentional, tiny side)
