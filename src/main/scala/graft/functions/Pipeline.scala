@@ -27,8 +27,22 @@ object Pipeline extends OpFamily {
   private val contamMin = 5L  // ≥ 5 shared shingles ⇒ contaminated
   private val minTokens = 10L // corpus-export length gate
 
-  /** (doc_id ≥ benchMax, n_shared, contaminated) for every corpus doc. */
+  /** (doc_id ≥ benchMax, n_shared, contaminated) for every corpus doc.
+    * Persisted once per (session, dataset) via buildOnce: FOUR
+    * operators consume this frame (P1 directly, P2 corpus_export, P11
+    * corpus_funnel, P18 the threshold sweep), and at sf10 each cold
+    * consumer was re-running the O(corpus tokens) shingle pass + the
+    * broadcast benchmark probe from scratch (corpus_funnel alone paid
+    * 91 s cold). Like pairLabels, the verdict frame is capital: built
+    * by whichever consumer arrives first, read as plain parquet by the
+    * rest. */
   private def contamination(s: SparkSession, d: String): DataFrame = {
+    val path = s"${Tables.workDir(s)}/contam_${Tables.datasetTag(d)}"
+    Tables.buildOnce(path)(contaminationBuild(s, d))
+    s.read.parquet(path)
+  }
+
+  private def contaminationBuild(s: SparkSession, d: String): DataFrame = {
     // both branches (bench set + corpus probe) consume the same shingle
     // explode — materialize it once instead of running the O(corpus
     // tokens) pass twice (the D3 checkpoint-the-shingles move)
