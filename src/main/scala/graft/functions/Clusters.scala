@@ -34,18 +34,22 @@ object Clusters extends OpFamily {
   /** Connected components over an undirected edge list (doc_a, doc_b):
     * returns (node, lab) where lab = min doc_id reachable.
     *
-    * Each round's result is `localCheckpoint`ed (a 100 TB run uses a
-    * reliable `checkpoint` dir instead): without lineage truncation an
-    * iterative self-join doubles the logical plan every round —
-    * exponential planning cost kills the DRIVER long before the
-    * executors see data. */
+    * Each round's result has its lineage cut via
+    * [[Tables.stableCheckpoint]] (localCheckpoint by default; a
+    * filesystem-backed cut under `graft.checkpoint.reliable=true`, the
+    * cluster/100 TB mode that survives executor loss): without lineage
+    * truncation an iterative self-join doubles the logical plan every
+    * round — exponential planning cost kills the DRIVER long before
+    * the executors see data. */
   private[graft] def components(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
-    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().localCheckpoint(true)
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("lab", col("node")).localCheckpoint(true)
+    val sym = Tables.stableCheckpoint(
+      edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .distinct())
+    var labels = Tables.stableCheckpoint(
+      sym.select(col("src").as("node")).distinct()
+        .withColumn("lab", col("node")))
     // Size the loop's shuffles to the GRAPH, not the session default:
     // each round is join+agg+join over the label table, and on a small
     // pair graph 32-way shuffles make task scheduling the entire round
@@ -79,10 +83,10 @@ object Clusters extends OpFamily {
       // that materializes this round — one job per round, not two.
       // (A full count, not limit(1): every partition must be computed
       // for the checkpoint to fully materialize before lineage is cut.)
-      val jumped = folded
+      val jumped = Tables.stableCheckpoint(folded
         .join(folded.select(col("node").as("lab"), col("lab").as("lab2")), "lab")
-        .select(col("node"), col("lab2").as("lab"), col("old"))
-        .localCheckpoint(false)
+        .select(col("node"), col("lab2").as("lab"), col("old")),
+        eager = false)
       val changed = jumped.filter(col("lab") < col("old")).count()
       labels = jumped.select(col("node"), col("lab"))
       converged = changed == 0L

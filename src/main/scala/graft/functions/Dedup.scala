@@ -494,11 +494,11 @@ object Dedup extends OpFamily {
     // side. One shuffle on the uniform digest, windows materialized
     // once; consumed by both the run detection and the coverage count.
     val fpw = Window.partitionBy("fp")
-    val dw = wins
+    val dw = Tables.stableCheckpoint(wins
       .withColumn("mn", min(col("doc_id")).over(fpw))
       .withColumn("mx", max(col("doc_id")).over(fpw))
       .filter(col("mn") =!= col("mx"))
-      .select("doc_id", "pos").localCheckpoint(true)
+      .select("doc_id", "pos"))
     val spans = dw
       .withColumn("grp", col("pos") - row_number().over(
         Window.partitionBy("doc_id").orderBy("pos")))

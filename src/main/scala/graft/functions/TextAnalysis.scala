@@ -485,15 +485,14 @@ object TextAnalysis extends OpFamily {
       // 1-row broadcast attach (constant key constant-folds to a 1-row
       // BNLJ — the T14 map-side-attach shape); the '~ ~' fallback keeps
       // the op total if a round finds no pair (all words single-symbol)
-      vocab = vocab.withColumn("k", lit(1))
+      vocab = Tables.stableCheckpoint(vocab.withColumn("k", lit(1))
         .join(broadcast(top1), Seq("k"), "left")
         .withColumn("mp", coalesce(col("mp"), lit("~ ~")))
         .withColumn("s1", element_at(split(col("mp"), " "), 1))
         .withColumn("s2", element_at(split(col("mp"), " "), 2))
         .withColumn("repr", expr(
           "replace(repr, concat('#', s1, '##', s2, '#'), concat('#', s1, s2, '#'))"))
-        .select("w", "wf", "repr")
-        .localCheckpoint()
+        .select("w", "wf", "repr"))
     }
     vocab.withColumn("nt",
       size(filter(split(col("repr"), "#"), x => x =!= "")).cast("long"))

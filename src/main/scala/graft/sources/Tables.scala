@@ -101,6 +101,37 @@ object Tables {
     dir
   }
 
+  /** Lineage cut for iterative/multi-consumer frames, with a FAULT
+    * TOLERANCE switch. Default = `localCheckpoint` (blocks held by
+    * executors — the fast path, fine on local[*] where executor loss
+    * means JVM death anyway). Under `graft.checkpoint.reliable=true`
+    * the cut is a parquet round-trip through [[workDir]] instead:
+    * blocks live on the (shared) filesystem, so losing an EXECUTOR
+    * mid-computation costs a stage retry, never the job. The
+    * `localCheckpoint` contract explicitly permits an irrecoverable
+    * "Checkpoint block rdd_N_M not found" job failure when the
+    * executor holding a truncated-lineage block dies; in the
+    * standalone worker-kill campaign (SCALE.md §cluster) default mode
+    * happened to survive every kill because the surviving executors
+    * held the blocks a retried stage needed — luck of block
+    * placement, not a guarantee, and the luck shrinks with executor
+    * count (1000 executors ⇒ every partition range is somewhere
+    * fatal). Reliable mode is the 100 TB posture; surge survives the
+    * analogous node loss by rebuilding state from the Kafka changelog
+    * — surge/kafka/streams/AggregateStateStoreKafkaStreams.scala.
+    * The parquet form is eager regardless of `eager` (a write IS an
+    * action); iterative loops pay one extra tiny-table job per round
+    * in reliable mode, the documented price of cluster durability. */
+  private val ckptSeq = new java.util.concurrent.atomic.AtomicLong()
+  def stableCheckpoint(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val s = df.sparkSession
+    if (s.conf.getOption("graft.checkpoint.reliable").contains("true")) {
+      val path = s"${workDir(s)}/ckpt_${ckptSeq.incrementAndGet()}"
+      df.write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+    } else df.localCheckpoint(eager)
+  }
+
   /** Collision-resistant, CONTENT-AWARE tag for persisted per-dataset
     * paths under [[workDir]] (split sources, band/digest indexes, the
     * ANN layouts). The old `Integer.toHexString(d.hashCode)` had two

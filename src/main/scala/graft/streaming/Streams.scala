@@ -140,9 +140,10 @@ object Streams extends OpFamily {
       // parquet has shipped as nanos-int64 AND µs-NTZ across testdata
       // generations.
       val raw = Tables.events(s, d)
-      val tagged = raw.repartitionByRange(sourceBatches, col("ts"), col("event_id"))
-        .withColumn("_p", org.apache.spark.sql.functions.spark_partition_id())
-        .localCheckpoint(true) // one shuffle, then three cheap filters
+      val tagged = Tables.stableCheckpoint(
+        raw.repartitionByRange(sourceBatches, col("ts"), col("event_id"))
+          .withColumn("_p", org.apache.spark.sql.functions.spark_partition_id())
+        ) // one shuffle, then three cheap filters
       new java.io.File(base).mkdirs()
       for (i <- 0 until sourceBatches) {
         val tmp = s"$base/_build_$i"
@@ -862,10 +863,10 @@ object Streams extends OpFamily {
       Tables.datasetTag(d)
     docSplitCache.computeIfAbsent(target, base => {
       val t = graft.functions.Dedup.incThreshold(s, d)
-      val tagged = Tables.documents(s, d).filter(col("doc_id") > t)
-        .repartitionByRange(sourceBatches, col("doc_id"))
-        .withColumn("_p", spark_partition_id())
-        .localCheckpoint(true)
+      val tagged = Tables.stableCheckpoint(
+        Tables.documents(s, d).filter(col("doc_id") > t)
+          .repartitionByRange(sourceBatches, col("doc_id"))
+          .withColumn("_p", spark_partition_id()))
       new java.io.File(base).mkdirs()
       for (i <- 0 until sourceBatches) {
         val tmp = s"$base/_build_$i"
@@ -952,10 +953,9 @@ object Streams extends OpFamily {
       val q = stream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           val s2 = batch.sparkSession
-          val bands = Dedup.bandRows(batch.toDF()).localCheckpoint(true)
-          val digests = batch.toDF()
-            .select(col("doc_id"), md5(col("text")).as("h"))
-            .localCheckpoint(true)
+          val bands = Tables.stableCheckpoint(Dedup.bandRows(batch.toDF()))
+          val digests = Tables.stableCheckpoint(batch.toDF()
+            .select(col("doc_id"), md5(col("text")).as("h")))
           val exact = digests.alias("n")
             .join(baseAndGrowth(s2, baseDigests, digestPath).unionByName(digests).alias("o"),
               col("o.h") === col("n.h") && col("o.doc_id") < col("n.doc_id"))

@@ -97,13 +97,19 @@ object ScaleSmoke {
     // skipped — each op's buildOnce pays its own build inside cold_s)
     val subset: Set[String] =
       if (args.length > 3) args(3).split(',').map(_.trim).toSet else Set.empty
+    // GRAFT_MASTER switches the SAME smoke onto a standalone cluster
+    // (e.g. spark://127.0.0.1:7077 — the multi-JVM evidence runs);
+    // GRAFT_RELIABLE=true turns on filesystem-backed lineage cuts
+    // (Tables.stableCheckpoint) so executor loss is survivable.
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(sys.env.getOrElse("GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    if (sys.env.get("GRAFT_RELIABLE").contains("true"))
+      spark.conf.set("graft.checkpoint.reliable", "true")
     spark.sparkContext.setLogLevel("WARN")
     val vol = new VolumeListener
     spark.sparkContext.addSparkListener(vol)
