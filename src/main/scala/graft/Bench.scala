@@ -31,8 +31,39 @@ object Bench {
         try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
       }
     }
+    // Per-stream-op floor attribution (verdict r8 stretch item): a
+    // StreamingQueryListener accumulates each op's micro-batch
+    // durationMs breakdown so BENCH readers can split a stream op's
+    // wall-time into floor (queryPlanning + walCommit/commitOffsets,
+    // fixed per batch) vs real work (addBatch = scan+shuffle+state+
+    // sink) without re-running StreamProfile. onQueryStarted is
+    // documented synchronous with DataStreamWriter.start(), so the
+    // runId→op map taken there is exact even though progress events
+    // arrive on the async listener bus.
+    val currentOp = new java.util.concurrent.atomic.AtomicReference[String]("warmup")
+    val runToOp = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, String]()
+    val floorAgg = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit =
+        runToOp.put(e.runId, currentOp.get)
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val op = runToOp.getOrDefault(e.progress.runId, "unknown")
+        val d = e.progress.durationMs
+        val a = floorAgg.computeIfAbsent(op, _ => new Array[Long](5))
+        a.synchronized {
+          a(0) += 1
+          a(1) += d.getOrDefault("triggerExecution", 0L)
+          a(2) += d.getOrDefault("addBatch", 0L)
+          a(3) += d.getOrDefault("queryPlanning", 0L)
+          a(4) += d.getOrDefault("walCommit", 0L) + d.getOrDefault("commitOffsets", 0L)
+        }
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    })
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      currentOp.set(name)
       // Ops that cache() shared frames (dedup, signal_correlation,
       // contamination) would otherwise leave their InMemoryRelations
       // pinned in the storage pool for the REST of the 186-query run —
@@ -65,8 +96,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Let the async listener bus drain before snapshotting (progress
+    // events for the final op's last batches can lag ~100 ms); then
+    // emit per-op batch counts and the floor split, all in ms. The
+    // "warmup" bucket (pre-build streams) is dropped.
+    Thread.sleep(500)
+    val floor = {
+      import scala.jdk.CollectionConverters._
+      floorAgg.asScala.toSeq.filterNot(_._1 == "warmup").sortBy(_._1).map {
+        case (op, a) => a.synchronized {
+          s""""$op":{"batches":${a(0)},"trigger_ms":${a(1)},"add_batch_ms":${a(2)},"planning_ms":${a(3)},"wal_ms":${a(4)}}"""
+        }
+      }.mkString("{", ",", "}")
+    }
     val fullLine =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","failed":$failedArr,"queries":$qs}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","failed":$failedArr,"stream_floor":$floor,"queries":$qs}"""
     // full-precision line first, for complete logs…
     println(fullLine)
     // …and as a repo artifact, so nothing downstream depends on log

@@ -148,7 +148,13 @@ object ScaleSmoke {
       println(line); line
     }
 
-    val queryRows = headliners.filter(n => subset.isEmpty || subset(n)).map { n =>
+    // a subset may name ANY SparkEntry query (not just headliners) —
+    // e.g. the dedup_exact_join index build probed as a plain query
+    val toRun =
+      if (subset.isEmpty) headliners
+      else headliners.filter(subset) ++
+        subset.toSeq.sorted.filterNot(headliners.contains)
+    val queryRows = toRun.map { n =>
       spark.sharedState.cacheManager.clearCache()
       val fn = extraQueries.getOrElse(n, graft.SparkEntry.queries(n))
       var planCell = "\"plan\":\"stream\""
