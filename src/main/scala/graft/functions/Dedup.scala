@@ -405,6 +405,19 @@ object Dedup extends OpFamily {
     // duplicates exactly. The cache() boundary also stops
     // CollapseProject from inlining the interpreted quantize/lshBucket
     // transforms into the per-pair expressions (the knn_graph lesson).
+    //
+    // SCALE finding 9 (sf100 probe): a plain per-bucket self-join
+    // serializes each band's point-mass bucket into ONE task — at
+    // sf100 the planted 1 % cluster (20 k vectors) is ~2e8 pairs per
+    // band ground by a single core for >35 min. knn_graph's salting
+    // (probe one salt, build replicated) is top-k-only — dedup needs
+    // EVERY within-bucket pair exactly once — so oversized buckets
+    // get the D17 BLOCK-PAIR tiling instead: rows of a bucket of size
+    // c split into g = ceil(c²/2e7) blocks, each unordered block pair
+    // (i ≤ j) is its own join key, so every vector pair still meets
+    // exactly once but the hot bucket becomes g(g+1)/2 bounded tasks
+    // (≈2e7 cosines each). Healthy buckets have g = 1 and degenerate
+    // to the old single-key join; the pair set is bit-identical.
     val q = Tables.embeddings(s, d).select(col("vec_id"),
       Similarity.quantize(col("embedding")).as("v"))
     val n = (0 until bands).foldLeft(
@@ -412,12 +425,28 @@ object Dedup extends OpFamily {
       (df, b) => df.withColumn(s"bk$b", Similarity.lshBucket(col("v"), planes, b))
     }.cache()
     (0 until bands).map { b =>
-      n.select(col(s"bk$b").as("bk"), col("vec_id").as("vec_a"),
-          col("v").as("av"), col("nn").as("an"))
-        .join(n.select(col(s"bk$b").as("bk"), col("vec_id").as("vec_b"),
-          col("v").as("bv"), col("nn").as("bn")), "bk")
-        .filter(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"),
+      val rows = n.select(col(s"bk$b").as("bk"), col("vec_id"),
+        col("v"), col("nn"))
+      val sizes = rows.groupBy("bk").agg(count(lit(1)).as("cnt"))
+        .select(col("bk"),
+          greatest(lit(1L), ceil(col("cnt") * col("cnt") / lit(2e7)))
+            .cast("int").as("g"))
+      val blocked = rows.join(broadcast(sizes), "bk")
+        .withColumn("blk", pmod(hash(col("vec_id")), col("g")))
+      blocked.select(col("bk"), col("g"), col("blk").as("ba"),
+          col("vec_id").as("va"), col("v").as("av"), col("nn").as("an"))
+        .withColumn("pk",
+          explode(expr("transform(sequence(ba, g - 1), j -> ba * g + j)")))
+        .drop("g")
+        .join(blocked.select(col("bk"), col("g"), col("blk").as("bb"),
+            col("vec_id").as("vb"), col("v").as("bv"), col("nn").as("bn"))
+          .withColumn("pk",
+            explode(expr("transform(sequence(0, bb), i -> i * g + bb)")))
+          .drop("g"), Seq("bk", "pk"))
+        .filter(col("ba") < col("bb") ||
+          (col("ba") === col("bb") && col("va") < col("vb")))
+        .select(least(col("va"), col("vb")).as("vec_a"),
+          greatest(col("va"), col("vb")).as("vec_b"),
           Similarity.cosine(col("av"), col("bv"), col("an"), col("bn")).as("cos_sim"))
         .filter(col("cos_sim") >= 0.4)
     }.reduce(_ union _).distinct()

@@ -182,7 +182,15 @@ object ScaleSmoke {
       }
       val (ok1, cold, rows) = once()
       val volCold = (vol.shuffleWrite, vol.shuffleRead, vol.input, vol.spill)
-      val (ok2, warm, _) = if (ok1) once() else (false, -1.0, -1L)
+      // GRAFT_COLD_ONLY skips the warm re-run: at sf100 a heavy op's
+      // shuffle files (~40 GB for the dedup_semantic closure) live
+      // until JVM exit, so cold+warm would double the disk footprint
+      // past what the sandbox has free. warm_s = -1 marks the skip.
+      val coldOnly = sys.env.get("GRAFT_COLD_ONLY").contains("true")
+      val (ok2, warm, _) =
+        if (!ok1) (false, -1.0, -1L)
+        else if (coldOnly) (true, -1.0, -1L)
+        else once()
       val line = f"""{"phase":"query","query":"$n","ok":${ok1 && ok2},"rows":$rows,"cold_s":$cold%.2f,"warm_s":$warm%.2f,"shuffle_write_mb":${mb(volCold._1)}%.1f,"shuffle_read_mb":${mb(volCold._2)}%.1f,"input_mb":${mb(volCold._3)}%.1f,"spill_mb":${mb(volCold._4)}%.1f,$planCell}"""
       println(line); line
     }
