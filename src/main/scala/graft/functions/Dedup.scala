@@ -416,39 +416,65 @@ object Dedup extends OpFamily {
     // c split into g = ceil(c²/2e7) blocks, each unordered block pair
     // (i ≤ j) is its own join key, so every vector pair still meets
     // exactly once but the hot bucket becomes g(g+1)/2 bounded tasks
-    // (≈2e7 cosines each). Healthy buckets have g = 1 and degenerate
-    // to the old single-key join; the pair set is bit-identical.
+    // (≈2e7 cosines each). The tiling machinery (count-agg + broadcast
+    // + exploded pair keys per band) costs real time on healthy data
+    // (measured 0.4 → 3.1 s at sf0.1), so the shape is decided PER
+    // BAND from one measurement job over the cached signatures — the
+    // AQE philosophy: plan from measured sizes. Bands whose largest
+    // bucket stays under the 2e7-pair task budget keep the exact
+    // single-key join; only pathological bands pay for tiling. Either
+    // shape emits the bit-identical pair set.
     val q = Tables.embeddings(s, d).select(col("vec_id"),
       Similarity.quantize(col("embedding")).as("v"))
     val n = (0 until bands).foldLeft(
       q.withColumn("nn", Similarity.sqNorm(col("v")))) {
       (df, b) => df.withColumn(s"bk$b", Similarity.lshBucket(col("v"), planes, b))
     }.cache()
+    // one job: max bucket size per band (6 rows back; also materializes
+    // the cache so the interpreted transforms evaluate exactly once)
+    val maxBucket: Map[Int, Long] = n.select(posexplode(
+        array((0 until bands).map(b => col(s"bk$b")): _*)).as(Seq("band", "bk")))
+      .groupBy("band", "bk").agg(count(lit(1)).as("c"))
+      .groupBy("band").agg(max("c").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val tileBudget = 2e7
     (0 until bands).map { b =>
-      val rows = n.select(col(s"bk$b").as("bk"), col("vec_id"),
-        col("v"), col("nn"))
-      val sizes = rows.groupBy("bk").agg(count(lit(1)).as("cnt"))
-        .select(col("bk"),
-          greatest(lit(1L), ceil(col("cnt") * col("cnt") / lit(2e7)))
-            .cast("int").as("g"))
-      val blocked = rows.join(broadcast(sizes), "bk")
-        .withColumn("blk", pmod(hash(col("vec_id")), col("g")))
-      blocked.select(col("bk"), col("g"), col("blk").as("ba"),
-          col("vec_id").as("va"), col("v").as("av"), col("nn").as("an"))
-        .withColumn("pk",
-          explode(expr("transform(sequence(ba, g - 1), j -> ba * g + j)")))
-        .drop("g")
-        .join(blocked.select(col("bk"), col("g"), col("blk").as("bb"),
-            col("vec_id").as("vb"), col("v").as("bv"), col("nn").as("bn"))
+      if (maxBucket.getOrElse(b, 0L).toDouble * maxBucket.getOrElse(b, 0L) <= tileBudget) {
+        // healthy band: the plain single-key self-join (the r8 shape)
+        n.select(col(s"bk$b").as("bk"), col("vec_id").as("vec_a"),
+            col("v").as("av"), col("nn").as("an"))
+          .join(n.select(col(s"bk$b").as("bk"), col("vec_id").as("vec_b"),
+            col("v").as("bv"), col("nn").as("bn")), "bk")
+          .filter(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"),
+            Similarity.cosine(col("av"), col("bv"), col("an"), col("bn")).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.4)
+      } else {
+        val rows = n.select(col(s"bk$b").as("bk"), col("vec_id"),
+          col("v"), col("nn"))
+        val sizes = rows.groupBy("bk").agg(count(lit(1)).as("cnt"))
+          .select(col("bk"),
+            greatest(lit(1L), ceil(col("cnt") * col("cnt") / lit(tileBudget)))
+              .cast("int").as("g"))
+        val blocked = rows.join(broadcast(sizes), "bk")
+          .withColumn("blk", pmod(hash(col("vec_id")), col("g")))
+        blocked.select(col("bk"), col("g"), col("blk").as("ba"),
+            col("vec_id").as("va"), col("v").as("av"), col("nn").as("an"))
           .withColumn("pk",
-            explode(expr("transform(sequence(0, bb), i -> i * g + bb)")))
-          .drop("g"), Seq("bk", "pk"))
-        .filter(col("ba") < col("bb") ||
-          (col("ba") === col("bb") && col("va") < col("vb")))
-        .select(least(col("va"), col("vb")).as("vec_a"),
-          greatest(col("va"), col("vb")).as("vec_b"),
-          Similarity.cosine(col("av"), col("bv"), col("an"), col("bn")).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.4)
+            explode(expr("transform(sequence(ba, g - 1), j -> ba * g + j)")))
+          .drop("g")
+          .join(blocked.select(col("bk"), col("g"), col("blk").as("bb"),
+              col("vec_id").as("vb"), col("v").as("bv"), col("nn").as("bn"))
+            .withColumn("pk",
+              explode(expr("transform(sequence(0, bb), i -> i * g + bb)")))
+            .drop("g"), Seq("bk", "pk"))
+          .filter(col("ba") < col("bb") ||
+            (col("ba") === col("bb") && col("va") < col("vb")))
+          .select(least(col("va"), col("vb")).as("vec_a"),
+            greatest(col("va"), col("vb")).as("vec_b"),
+            Similarity.cosine(col("av"), col("bv"), col("an"), col("bn")).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.4)
+      }
     }.reduce(_ union _).distinct()
   }
 
