@@ -118,9 +118,17 @@ object Clusters extends OpFamily {
     val path = s"${Tables.workDir(s)}/pair_labels_" +
       Tables.datasetTag(d)
     Tables.buildOnce(path) {
-      // no distinct here: components() symmetrizes + distincts anyway
-      val edges = Dedup.candidatePairs(s, d).select("doc_a", "doc_b")
-        .union(SimHash.simhashPairs(s, d).select("doc_a", "doc_b"))
+      // bucket-local contraction (round 10): the RAW band-join streams
+      // collapse in-task to star edges before anything shuffles — a
+      // quadratic-mass cluster's C(n,2) explicit pairs (the sf100
+      // scale-killer: ~50 GB of candidate-stage scratch) become O(n)
+      // edges with identical connectivity. The recursive-CTE oracle
+      // still closes over the FULL pair set, so the driver hash-match
+      // is the equivalence proof at data scale.
+      val edges = Dedup.contractPairs(
+          Dedup.candidatePairsRaw(s, d), "doc_a", "doc_b")
+        .union(Dedup.contractPairs(
+          SimHash.simhashPairsRaw(s, d).select("doc_a", "doc_b"), "doc_a", "doc_b"))
       components(edges).withColumnRenamed("node", "doc_id")
     }
     s.read.parquet(path)
@@ -209,7 +217,14 @@ object Clusters extends OpFamily {
   // final left join keys on vec_id. Oracle = WITH RECURSIVE closure
   // over D5's own CTE bundle ⇒ both engines pin the SAME clustering.
   private def dedupSemantic(s: SparkSession, d: String): DataFrame = {
-    val edges = Dedup.dedupEmbeddingWith(s, d, Dedup.embPlanes, Dedup.embBands)
+    // round 10: the CC input is the CONTRACTED edge set — each band's
+    // verified pair stream collapses to per-task star edges inside the
+    // join stage (Dedup.contractPairs), so the planted sf100 clique's
+    // 2e8 pairs × 6 bands never hit the wire (~100+ GB of scratch at
+    // sf100 pre-contraction, the round-9 DNF). Same components by the
+    // spanning-star argument; the oracle below still closes over D5's
+    // full explicit pair CTE, making the driver hash-match the proof.
+    val edges = Dedup.embEdgesContracted(s, d, Dedup.embPlanes, Dedup.embBands)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val labels = components(edges).withColumnRenamed("node", "vec_id")
     Tables.embeddings(s, d).select(col("vec_id"))

@@ -108,7 +108,12 @@ object Dedup extends OpFamily {
        |bands AS ($bandSelects)""".stripMargin
   }
 
-  private[graft] def candidatePairs(s: SparkSession, d: String): DataFrame = {
+  /** The band-bucket join's raw pair stream, BEFORE the cross-band
+    * distinct — the unit the closure pipeline contracts in-task
+    * ([[contractPairs]]): the distinct is the explicit-pair-set shuffle
+    * that blows up on a quadratic-mass cluster (SCALE finding 9's
+    * volume half), and connected components never needed it. */
+  private[graft] def candidatePairsRaw(s: SparkSession, d: String): DataFrame = {
     // self-join: materialize the (small) band table once, not per side
     val b = bandsDf(s, d).cache()
     val a1 = b.alias("a")
@@ -116,7 +121,64 @@ object Dedup extends OpFamily {
     a1.join(a2, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+  }
+
+  private[graft] def candidatePairs(s: SparkSession, d: String): DataFrame =
+    candidatePairsRaw(s, d).distinct()
+
+  /** Bucket-local contraction — the round-10 fix for the one named
+    * scale-killer (SCALE finding 9): a quadratic-mass near-dup cluster
+    * (a planted 1 % clique is C(20k,2) ≈ 2e8 pairs per band at sf100)
+    * makes the EXPLICIT pair set itself the bottleneck — ~100+ GB of
+    * shuffle scratch that no partitioning shrinks, because C(n,2) is a
+    * data property. Connected components only needs CONNECTIVITY, so
+    * each task's pair stream is collapsed in place: an in-task
+    * union-find (path compression, union by min id) over the
+    * partition's pairs emits one star edge per non-root node
+    * (node → its partition-local component root). A clique's C(n,2)
+    * pairs become ≤ n−1 edges per task before anything reaches the
+    * wire; union over tasks preserves global connectivity exactly
+    * (each task's edge set is replaced by a spanning star of the same
+    * local components — Round10Spec proves label-set equality on
+    * random graphs and the driver oracle re-proves the full closure).
+    * Runs in the SAME stage as the producing join (mapPartitions, no
+    * extra shuffle); the heavy cosine/hamming filters stay ahead of it
+    * inside whole-stage codegen. Memory is one long-map entry per
+    * DISTINCT node in the task — bounded by the task's input rows,
+    * which the D5 block-pair tiling already budgets. */
+  private[graft] def contractPairs(
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(contractIter _)
+      .toDF(aCol, bCol)
+  }
+
+  private[graft] def contractIter(
+      it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = new scala.collection.mutable.LongMap[Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (c != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    it.foreach { case (a, b) =>
+      if (!parent.contains(a)) parent.update(a, a)
+      if (!parent.contains(b)) parent.update(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra < rb) parent.update(rb, ra)
+      else if (rb < ra) parent.update(ra, rb)
+    }
+    // snapshot keys first: find() mutates the map while compressing
+    val nodes = parent.keys.toArray
+    nodes.iterator.map(n => (n, find(n))).filter { case (n, r) => n != r }
+    // roots emit nothing — every local component has ≥ 2 nodes (nodes
+    // only enter via a pair), so the root survives as some edge's dst
   }
 
   /** CTE bundle ending in `cand(doc_a, doc_b)` — the D2 candidate pairs;
@@ -391,8 +453,54 @@ object Dedup extends OpFamily {
     }.reduce(_ union _).distinct()
   }
 
+  /** Block count for a bucket of `cnt` rows under a pair budget of
+    * `budget` cosines per block-pair task: g = ceil(cnt²/budget),
+    * squared in DOUBLE — two LongType columns multiplied wrap negative
+    * past cnt ≈ 3.04e9 under non-ANSI semantics, silently collapsing g
+    * to 1 task at exactly the degenerate scale tiling exists for.
+    * Capped at cnt (a block never needs fewer than one row) and at
+    * Int.MaxValue so the int cast cannot wrap either. */
+  private[graft] def tileBlocks(cnt: Column, budget: Double): Column =
+    greatest(lit(1L),
+      least(ceil(cnt.cast("double") * cnt.cast("double") / lit(budget)),
+        cnt.cast("long"), lit(Int.MaxValue.toLong))).cast("int")
+
+  /** Max bucket size per band — the 6-row measurement the per-band
+    * tiling decision plans from. The profile is a pure function of
+    * (dataset, planes, bands), so it is persisted as per-dataset
+    * capital (buildOnce, datasetTag-keyed) rather than re-measured per
+    * invocation: r9 ran the measurement job inside every
+    * dedup_embedding call and paid ~100 ms per bench rep for a number
+    * that never changes (VERDICT r9 next-round #6). First build still
+    * costs one job over the cached signatures (which also materializes
+    * the cache, keeping the interpreted quantize/lshBucket transforms
+    * single-evaluation); every later call is a 6-row parquet read. */
+  private[graft] def bandProfile(s: SparkSession, d: String,
+      planes: Int, bands: Int, n: DataFrame): Map[Int, Long] = {
+    val path = s"${Tables.workDir(s)}/emb_profile_${planes}x${bands}_" +
+      Tables.datasetTag(d)
+    Tables.buildOnce(path) {
+      n.select(posexplode(
+          array((0 until bands).map(b => col(s"bk$b")): _*)).as(Seq("band", "bk")))
+        .groupBy("band", "bk").agg(count(lit(1)).as("c"))
+        .groupBy("band").agg(max("c").as("m"))
+    }
+    s.read.parquet(path).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+  }
+
   private[graft] def dedupEmbeddingWith(
-      s: SparkSession, d: String, planes: Int, bands: Int): DataFrame = {
+      s: SparkSession, d: String, planes: Int, bands: Int): DataFrame =
+    embPairBands(s, d, planes, bands).reduce(_ union _).distinct()
+
+  /** One DataFrame of verified (vec_a, vec_b, cos_sim) pairs PER BAND —
+    * the un-unioned, un-deduplicated streams. [[dedupEmbeddingWith]]
+    * unions + distincts them (the D5 op contract: the explicit pair
+    * set); [[embEdgesContracted]] contracts each band's stream in-task
+    * instead, so the closure consumers (D16 semantic clustering) never
+    * materialize a quadratic-mass cluster's C(n,2) edges. */
+  private[graft] def embPairBands(
+      s: SparkSession, d: String, planes: Int, bands: Int): Seq[DataFrame] = {
     // Cosines are computed INSIDE each band's self-join — the vectors
     // ride the bucket rows, so the threshold prunes pairs before
     // anything is unioned or deduplicated. The previous shape
@@ -430,15 +538,12 @@ object Dedup extends OpFamily {
       q.withColumn("nn", Similarity.sqNorm(col("v")))) {
       (df, b) => df.withColumn(s"bk$b", Similarity.lshBucket(col("v"), planes, b))
     }.cache()
-    // one job: max bucket size per band (6 rows back; also materializes
-    // the cache so the interpreted transforms evaluate exactly once)
-    val maxBucket: Map[Int, Long] = n.select(posexplode(
-        array((0 until bands).map(b => col(s"bk$b")): _*)).as(Seq("band", "bk")))
-      .groupBy("band", "bk").agg(count(lit(1)).as("c"))
-      .groupBy("band").agg(max("c").as("m"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // max bucket size per band — persisted per-dataset capital (6 rows)
+    val maxBucket: Map[Int, Long] = bandProfile(s, d, planes, bands, n)
     val tileBudget = 2e7
     (0 until bands).map { b =>
+      // (band decision below squares in Double on the driver; the
+      // per-bucket sizer squares in Double too — see tileBlocks)
       if (maxBucket.getOrElse(b, 0L).toDouble * maxBucket.getOrElse(b, 0L) <= tileBudget) {
         // healthy band: the plain single-key self-join (the r8 shape)
         n.select(col(s"bk$b").as("bk"), col("vec_id").as("vec_a"),
@@ -453,9 +558,7 @@ object Dedup extends OpFamily {
         val rows = n.select(col(s"bk$b").as("bk"), col("vec_id"),
           col("v"), col("nn"))
         val sizes = rows.groupBy("bk").agg(count(lit(1)).as("cnt"))
-          .select(col("bk"),
-            greatest(lit(1L), ceil(col("cnt") * col("cnt") / lit(tileBudget)))
-              .cast("int").as("g"))
+          .select(col("bk"), tileBlocks(col("cnt"), tileBudget).as("g"))
         val blocked = rows.join(broadcast(sizes), "bk")
           .withColumn("blk", pmod(hash(col("vec_id")), col("g")))
         blocked.select(col("bk"), col("g"), col("blk").as("ba"),
@@ -475,8 +578,19 @@ object Dedup extends OpFamily {
             Similarity.cosine(col("av"), col("bv"), col("an"), col("bn")).as("cos_sim"))
           .filter(col("cos_sim") >= 0.4)
       }
-    }.reduce(_ union _).distinct()
+    }
   }
+
+  /** Contracted connectivity edges of the D5 near-dup graph: each
+    * band's verified pair stream collapses in-task ([[contractPairs]])
+    * before the cross-band union, so the closure input is O(nodes·bands)
+    * rows instead of the explicit pair set — equal components by
+    * construction, proven by the unchanged D16 recursive-CTE oracle. */
+  private[graft] def embEdgesContracted(
+      s: SparkSession, d: String, planes: Int, bands: Int): DataFrame =
+    embPairBands(s, d, planes, bands)
+      .map(p => contractPairs(p.select("vec_a", "vec_b"), "vec_a", "vec_b"))
+      .reduce(_ union _)
 
   private def dedupEmbedding(s: SparkSession, d: String): DataFrame =
     dedupEmbeddingWith(s, d, embPlanes, embBands)

@@ -52,8 +52,13 @@ object SimHash extends OpFamily {
       |  FROM svotes GROUP BY doc_id, j),
       |sig AS (SELECT doc_id, CAST(sum(b) AS BIGINT) AS sh FROM sbits GROUP BY doc_id)""".stripMargin
 
-  // candidate pairs via 4 × 15-bit bands, verified by Hamming ≤ 8
-  private[graft] def simhashPairs(s: SparkSession, d: String): DataFrame = {
+  // candidate pairs via 4 × 15-bit bands, verified by Hamming ≤ 8.
+  // The raw variant stops before the cross-band distinct — hamming is a
+  // deterministic function of the pair, so filter-then-distinct equals
+  // distinct-then-filter, and the closure pipeline (Clusters.pairLabels)
+  // contracts the raw stream in-task instead of paying the
+  // explicit-pair-set shuffle (the round-10 scale fix).
+  private[graft] def simhashPairsRaw(s: SparkSession, d: String): DataFrame = {
     val sig = simhashDf(s, d).cache()
     val bands = sig.select(col("doc_id"), col("sh"),
         posexplode(expr("transform(sequence(0, 3), k -> (sh div cast(pow(2, 15*k) as bigint)) % 32768)")))
@@ -64,9 +69,11 @@ object SimHash extends OpFamily {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.sh ^ b.sh)").cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= 8)
   }
+
+  private[graft] def simhashPairs(s: SparkSession, d: String): DataFrame =
+    simhashPairsRaw(s, d).distinct()
 
   /** CTE bundle ending in `spairs(doc_a, doc_b)` — the Hamming-verified
     * D4 pairs; shared with the cluster-resolution oracle ([[Clusters]]). */
