@@ -752,9 +752,17 @@ object TextAnalysis extends OpFamily {
     // the 1000x bigram expansion runs INSIDE the scan stage, so its
     // parallelism is pinned to the parquet split count (4 splits at
     // sf10 left 28 cores idle); spread the raw docs first — one cheap
-    // shuffle of the un-expanded text buys full-width explode + agg
+    // shuffle of the un-expanded text buys full-width explode + agg.
+    // Width tracks CORPUS VOLUME, not the session config (the sf100
+    // probe: 32 fixed partitions → ~450 MB of bigram stream per task
+    // → 14.5 GB of proportional spill — disk paid for a config), and
+    // the spread key is doc_id: hash(doc_id) satisfies the clustered
+    // distribution of BOTH downstream aggs (groupBy(doc_id,bg) and
+    // groupBy(doc_id)), so the explode, the per-doc-bigram count, and
+    // the final scoring agg all run in-stage at this width — the only
+    // remaining exchanges are the tiny |charset|²-bounded model aggs.
     val cb = Tables.documents(s, d)
-      .repartition(s.sessionState.conf.numShufflePartitions)
+      .repartition(Tables.volumePartitions(s, s"$d/documents.parquet"), col("doc_id"))
       .filter(length(col("text")) >= 2)
       .withColumn("cs", split(col("text"), ""))
       .select(col("doc_id"), explode(transform(

@@ -126,7 +126,27 @@ object Tables {
   def stableCheckpoint(df: DataFrame, eager: Boolean = true): DataFrame = {
     val s = df.sparkSession
     if (s.conf.getOption("graft.checkpoint.reliable").contains("true")) {
-      val path = s"${workDir(s)}/ckpt_${ckptSeq.incrementAndGet()}"
+      // Reliable mode's entire promise is that checkpoint blocks live
+      // on a filesystem EVERY node can read. On a multi-host cluster a
+      // host-local workDir (the /tmp default, or any file:/ path)
+      // breaks that silently: executors commit their part files to
+      // their OWN local disks, the driver-side read-back sees only the
+      // driver's, and the mode meant to survive executor loss loses
+      // rows instead. Fail fast — a wrong-but-loud config beats a
+      // quiet wrong answer. (local[*] masters share one filesystem by
+      // construction, so the default stays valid there; the measured
+      // standalone-cluster runs set graft.workdir explicitly.)
+      val wd = workDir(s)
+      val scheme = new org.apache.hadoop.fs.Path(wd).toUri.getScheme
+      if (!s.sparkContext.isLocal && (scheme == null || scheme == "file") &&
+          !s.conf.getOption("graft.workdir.assumeShared").contains("true"))
+        throw new IllegalStateException(
+          s"graft.checkpoint.reliable=true with a host-local workDir '$wd' on a " +
+            "non-local master: executors would write checkpoint parts to their own " +
+            "local filesystems and the read-back would silently drop rows. Point " +
+            "graft.workdir at a shared filesystem (hdfs://, s3a://, nfs mount), or " +
+            "set graft.workdir.assumeShared=true if the file: path IS a shared mount.")
+      val path = s"$wd/ckpt_${ckptSeq.incrementAndGet()}"
       df.write.mode("overwrite").parquet(path)
       s.read.parquet(path)
     } else df.localCheckpoint(eager)
@@ -231,6 +251,40 @@ object Tables {
       val vals = perFile.flatten.flatten
       if (vals.isEmpty) scanMax else vals.max
     }
+  }
+
+  /** Total bytes of a table's data files — driver-side METADATA only
+    * (Hadoop FS listing with the session conf, no row groups touched).
+    * The corpus-proportional operators size their shuffle width from
+    * this: `spark.sql.shuffle.partitions` is a throughput config, not
+    * a data-volume one, and a fixed 32 at sf100 means each task
+    * aggregates ~450 MB of token stream and spills (the measured
+    * text_perplexity sf100 reading: 14.5 GB spilled, linear but paid
+    * in disk for a config). Returns 0 on an unlistable path — callers
+    * fall back to the session default. */
+  def dirBytes(s: SparkSession, dir: String): Long =
+    try {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      val it = fs.listFiles(root, true)
+      var total = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
+          total += st.getLen
+      }
+      total
+    } catch { case _: java.io.IOException => 0L }
+
+  /** Shuffle width for an operator whose per-task work scales with a
+    * table's data volume: ~one task per `bytesPerTask` of source
+    * bytes, never below the session default (small inputs keep the
+    * session's parallelism; big inputs widen instead of spilling). */
+  def volumePartitions(s: SparkSession, dir: String,
+      bytesPerTask: Long = 32L << 20): Int = {
+    val default = s.sessionState.conf.numShufflePartitions
+    math.max(default, (dirBytes(s, dir) / bytesPerTask).toInt)
   }
 
   /** Build-once materialization with an ATOMIC commit — for persisted
