@@ -14,6 +14,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("GRAFT_STATESTORE")
+      .foreach(v => spark.conf.set("graft.stream.stateStore", v))
     // Warm up the JVM/codegen/FS paths so the first timed query isn't
     // charged for session start (~3 s otherwise), then PRE-BUILD every
     // persisted index (ANN buckets/cells/codes, the dedup band index,
@@ -97,10 +99,22 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Let the async listener bus drain before snapshotting (progress
-    // events for the final op's last batches can lag ~100 ms); then
-    // emit per-op batch counts and the floor split, all in ms. The
-    // "warmup" bucket (pre-build streams) is dropped.
-    Thread.sleep(500)
+    // events for the final op's last batches can lag behind q.stop()):
+    // a fixed sleep is a race under host load, so poll until the
+    // aggregate batch count is STABLE across two consecutive 100 ms
+    // reads (bounded at 5 s) — deterministic for any lag the bus
+    // actually has. Then emit per-op batch counts and the floor split,
+    // all in ms. The "warmup" bucket (pre-build streams) is dropped.
+    locally {
+      import scala.jdk.CollectionConverters._
+      def snap(): Long = floorAgg.asScala.values.map(a => a.synchronized(a(0))).sum
+      var prev = -1L
+      var cur = snap()
+      val deadline = System.nanoTime() + 5000000000L
+      while (cur != prev && System.nanoTime() < deadline) {
+        Thread.sleep(100); prev = cur; cur = snap()
+      }
+    }
     val floor = {
       import scala.jdk.CollectionConverters._
       floorAgg.asScala.toSeq.filterNot(_._1 == "warmup").sortBy(_._1).map {

@@ -14,6 +14,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // GRAFT_STATESTORE=rocksdb reruns the whole gate with stateful
+    // streams on the RocksDB provider (the scale posture) — results
+    // must be provider-invisible, and this env is how that is proven
+    // against the full DuckDB oracle set rather than spec samples.
+    sys.env.get("GRAFT_STATESTORE")
+      .foreach(v => spark.conf.set("graft.stream.stateStore", v))
     new java.io.File(outDir).mkdirs()
     // A query that throws must be LOUD: r6's testdata schema drift broke
     // 14 queries and the only symptom was a missing row in the driver's

@@ -203,12 +203,38 @@ object Streams extends OpFamily {
     * per-trigger volume, and the session value is restored before the
     * post-stream batch stages plan. Physical planning happens at
     * start(), so scoping around the stream run is sufficient. */
+  /** `graft.stream.stateStore=rocksdb` swaps every stateful stream_*
+    * operator onto Spark's in-box RocksDBStateStoreProvider — the
+    * 100 TB posture. The default HDFSBackedStateStoreProvider keeps
+    * every key's state ON HEAP per state shard; at production key
+    * cardinality (the reference keys state by aggregate id — its
+    * KTable is RocksDB-backed by default for exactly this reason,
+    * surge/kafka/streams/CustomRocksDBConfigSetter.scala:32) the
+    * per-executor state working set must live off-heap with heap only
+    * as cache, which is precisely RocksDB's contract. Provider class
+    * is read at query start, so scoping it here covers every operator
+    * without touching any of them; results are provider-invisible
+    * (StreamStateStoreSpec re-proves op-level parity, and a full
+    * Verify+parity run under the flag is the round-10 evidence). */
+  private val stateStoreKey = "spark.sql.streaming.stateStore.providerClass"
+  private val rocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   private[graft] def withStreamShards[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
+    val prevProvider = s.conf.getOption(stateStoreKey)
     s.conf.set(key,
       s.conf.getOption("graft.stream.statePartitions").getOrElse("8"))
-    try body finally s.conf.set(key, prev)
+    if (s.conf.getOption("graft.stream.stateStore").contains("rocksdb"))
+      s.conf.set(stateStoreKey, rocksProvider)
+    try body finally {
+      s.conf.set(key, prev)
+      prevProvider match {
+        case Some(p) => s.conf.set(stateStoreKey, p)
+        case None => s.conf.unset(stateStoreKey)
+      }
+    }
   }
 
   def runToTable(s: SparkSession, df: DataFrame, name: String, mode: String): DataFrame = {

@@ -34,8 +34,15 @@ object ClusterProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    if (sys.env.get("GRAFT_RELIABLE").contains("true"))
+    if (sys.env.get("GRAFT_RELIABLE").contains("true")) {
       spark.conf.set("graft.checkpoint.reliable", "true")
+      // the sandbox standalone cluster is single-HOST (workers share
+      // the driver's filesystem), so its /tmp workDir really is shared
+      // — on a genuine multi-host cluster set graft.workdir to a
+      // shared scheme instead (stableCheckpoint fails fast otherwise)
+      if (sys.env.get("GRAFT_SHARED_TMP").contains("true"))
+        spark.conf.set("graft.workdir.assumeShared", "true")
+    }
     spark.sparkContext.setLogLevel("WARN")
 
     val rows = queryList.split(',').map(_.trim).filter(_.nonEmpty).map { name =>

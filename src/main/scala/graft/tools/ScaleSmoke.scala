@@ -108,9 +108,16 @@ object ScaleSmoke {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    if (sys.env.get("GRAFT_RELIABLE").contains("true"))
+    if (sys.env.get("GRAFT_RELIABLE").contains("true")) {
       spark.conf.set("graft.checkpoint.reliable", "true")
+      // single-HOST standalone cluster: /tmp is genuinely shared (see
+      // ClusterProbe); multi-host clusters must set graft.workdir
+      if (sys.env.get("GRAFT_SHARED_TMP").contains("true"))
+        spark.conf.set("graft.workdir.assumeShared", "true")
+    }
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("GRAFT_STATESTORE")
+      .foreach(v => spark.conf.set("graft.stream.stateStore", v))
     val vol = new VolumeListener
     spark.sparkContext.addSparkListener(vol)
 
@@ -149,11 +156,18 @@ object ScaleSmoke {
     }
 
     // a subset may name ANY SparkEntry query (not just headliners) —
-    // e.g. the dedup_exact_join index build probed as a plain query
+    // e.g. the dedup_exact_join index build probed as a plain query.
+    // Unknown names are reported and dropped UP FRONT: the lookup
+    // below sits outside the per-query try, so a typo would otherwise
+    // abort the whole smoke run with a NoSuchElementException.
+    val known = subset.filter(n =>
+      extraQueries.contains(n) || graft.SparkEntry.queries.contains(n))
+    (subset -- known).toSeq.sorted.foreach(n =>
+      println(s"""{"phase":"query","query":"$n","ok":false,"error":"unknown query name"}"""))
     val toRun =
       if (subset.isEmpty) headliners
-      else headliners.filter(subset) ++
-        subset.toSeq.sorted.filterNot(headliners.contains)
+      else headliners.filter(known) ++
+        known.toSeq.sorted.filterNot(headliners.contains)
     val queryRows = toRun.map { n =>
       spark.sharedState.cacheManager.clearCache()
       val fn = extraQueries.getOrElse(n, graft.SparkEntry.queries(n))
