@@ -80,7 +80,13 @@ object ScaleSmoke {
     * oracle pins their small-corpus configs; these are the settings a
     * 100x corpus calls for). */
   val extraQueries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-    Map("knn_graph_scaled" -> ((s, dir) => {
+    Map(
+      // state-store A/B probe: one state entry PER EVENT (never
+      // evicted), run under GRAFT_STATESTORE=rocksdb vs default heap —
+      // the provider posture evidence (StateScaleProbe has the
+      // metric-rich standalone main)
+      "stream_state_scale" -> ((s, dir) => StateScaleProbe.summary(s, dir)),
+      "knn_graph_scaled" -> ((s, dir) => {
       // corpus-sized plane count (12 at the sf10 smoke's 200k vectors)
       val n = graft.sources.Tables.maxIdFromStats(
         s, s"$dir/embeddings.parquet", "vec_id",
