@@ -43,9 +43,23 @@ object Clusters extends OpFamily {
     * the executors see data. */
   private[graft] def components(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
+    // Value-pin the edge list BEFORE the symmetrizing union. A
+    // contracted edge stream's CONTENT is partitioning-dependent (the
+    // in-task union-find emits whichever valid spanning star its task
+    // boundary induces), and `union(e, swap(e))` evaluates `e` TWICE —
+    // under a cold cache the two executions can materialize different
+    // (each individually valid) star sets, leaving some edges present
+    // in only ONE direction. Min-label propagation needs the
+    // symmetric closure; an asymmetric sym silently loses connectivity
+    // (caught at sf0.01: a cold-cache run clustered docs 60/316 apart
+    // from their oracle cluster; warm-cache runs — the full-Verify
+    // order — happened to agree and passed). The checkpoint also
+    // halves the closure's input cost: the producing pair pipeline
+    // runs once, not once per union branch.
+    val e = Tables.stableCheckpoint(edges)
     val sym = Tables.stableCheckpoint(
-      edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .distinct())
     var labels = Tables.stableCheckpoint(
       sym.select(col("src").as("node")).distinct()

@@ -477,15 +477,24 @@ object Dedup extends OpFamily {
     * single-evaluation); every later call is a 6-row parquet read. */
   private[graft] def bandProfile(s: SparkSession, d: String,
       planes: Int, bands: Int, n: DataFrame): Map[Int, Long] = {
-    val path = s"${Tables.workDir(s)}/emb_profile_${planes}x${bands}_" +
+    // v2: the profile also carries max|component| as a band = -1 row —
+    // the range check that licenses the 16-bit packed wire format for
+    // this dataset's band joins (PackShorts). Same capital discipline:
+    // a pure function of the dataset, measured once.
+    val path = s"${Tables.workDir(s)}/emb_profile_v2_${planes}x${bands}_" +
       Tables.datasetTag(d)
     Tables.buildOnce(path) {
       n.select(posexplode(
           array((0 until bands).map(b => col(s"bk$b")): _*)).as(Seq("band", "bk")))
         .groupBy("band", "bk").agg(count(lit(1)).as("c"))
         .groupBy("band").agg(max("c").as("m"))
+        .union(n
+          .select(array_max(transform(col("v"), x => abs(x))).as("ma"))
+          .agg(max(col("ma")).as("m"))
+          .select(lit(-1).as("band"), col("m")))
     }
     s.read.parquet(path).collect()
+      .filter(!_.isNullAt(1))
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
   }
 
@@ -538,25 +547,38 @@ object Dedup extends OpFamily {
       q.withColumn("nn", Similarity.sqNorm(col("v")))) {
       (df, b) => df.withColumn(s"bk$b", Similarity.lshBucket(col("v"), planes, b))
     }.cache()
-    // max bucket size per band — persisted per-dataset capital (6 rows)
+    // max bucket size per band + max|component| — persisted
+    // per-dataset capital (7 rows)
     val maxBucket: Map[Int, Long] = bandProfile(s, d, planes, bands, n)
     val tileBudget = 2e7
+    // 16-bit packed wire format when the measured range allows it
+    // (any normalized embedding does): the quantized vector is the
+    // ~550 B payload of EVERY band-join shuffle row, and 128 B of it
+    // is information — packing on the way out of the cache cut the
+    // sf30 dedup_semantic shuffle ~4×. Values are bit-identical
+    // (PackedDotProduct is the same int64 loop over int16 lanes).
+    val packed = maxBucket.getOrElse(-1, Long.MaxValue) <= 32767L
+    val pv: Column =
+      if (packed) Similarity.packShorts(col("v")) else col("v")
+    def cos(a: Column, bb: Column, na: Column, nb: Column): Column =
+      if (packed) Similarity.cosinePacked(a, bb, na, nb)
+      else Similarity.cosine(a, bb, na, nb)
     (0 until bands).map { b =>
       // (band decision below squares in Double on the driver; the
       // per-bucket sizer squares in Double too — see tileBlocks)
       if (maxBucket.getOrElse(b, 0L).toDouble * maxBucket.getOrElse(b, 0L) <= tileBudget) {
         // healthy band: the plain single-key self-join (the r8 shape)
         n.select(col(s"bk$b").as("bk"), col("vec_id").as("vec_a"),
-            col("v").as("av"), col("nn").as("an"))
+            pv.as("av"), col("nn").as("an"))
           .join(n.select(col(s"bk$b").as("bk"), col("vec_id").as("vec_b"),
-            col("v").as("bv"), col("nn").as("bn")), "bk")
+            pv.as("bv"), col("nn").as("bn")), "bk")
           .filter(col("vec_a") < col("vec_b"))
           .select(col("vec_a"), col("vec_b"),
-            Similarity.cosine(col("av"), col("bv"), col("an"), col("bn")).as("cos_sim"))
+            cos(col("av"), col("bv"), col("an"), col("bn")).as("cos_sim"))
           .filter(col("cos_sim") >= 0.4)
       } else {
         val rows = n.select(col(s"bk$b").as("bk"), col("vec_id"),
-          col("v"), col("nn"))
+          pv.as("v"), col("nn"))
         val sizes = rows.groupBy("bk").agg(count(lit(1)).as("cnt"))
           .select(col("bk"), tileBlocks(col("cnt"), tileBudget).as("g"))
         val blocked = rows.join(broadcast(sizes), "bk")
@@ -575,7 +597,7 @@ object Dedup extends OpFamily {
             (col("ba") === col("bb") && col("va") < col("vb")))
           .select(least(col("va"), col("vb")).as("vec_a"),
             greatest(col("va"), col("vb")).as("vec_b"),
-            Similarity.cosine(col("av"), col("bv"), col("an"), col("bn")).as("cos_sim"))
+            cos(col("av"), col("bv"), col("an"), col("bn")).as("cos_sim"))
           .filter(col("cos_sim") >= 0.4)
       }
     }

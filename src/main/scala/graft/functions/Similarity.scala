@@ -39,6 +39,29 @@ object Similarity extends OpFamily {
   /** Σ v_i² (exact int64). */
   def sqNorm(v: Column): Column = dot(v, v)
 
+  /** `array<bigint>` → 16-bit packed binary — the band-join wire
+    * format ([[expressions.PackShorts]]): ~4× fewer shuffle bytes per
+    * vector, dot products unchanged. Only valid when the dataset's
+    * measured max|component| fits int16 (callers check their pack
+    * profile; the kernel throws rather than truncate). */
+  private[graft] def packShorts(v: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(expressions.PackShorts(ColumnBridge.expression(v)))
+  }
+
+  /** Exact int64 dot over two packed binaries — bit-identical to
+    * [[dot]] over the unpacked arrays. */
+  private[graft] def packedDot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(expressions.PackedDotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** cos(a,b) over packed vectors, exact int64 norms ride alongside. */
+  private[graft] def cosinePacked(
+      a: Column, b: Column, na: Column, nb: Column): Column =
+    packedDot(a, b).cast("double") / sqrt((na * nb).cast("double"))
+
   def sqNormSql(v: String): String =
     s"CAST(list_sum(list_transform($v, x -> x * x)) AS BIGINT)"
 

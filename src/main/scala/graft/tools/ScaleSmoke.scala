@@ -177,8 +177,16 @@ object ScaleSmoke {
     val queryRows = toRun.map { n =>
       spark.sharedState.cacheManager.clearCache()
       val fn = extraQueries.getOrElse(n, graft.SparkEntry.queries(n))
+      // GRAFT_COLD_ONLY also skips the plan probe: CONSTRUCTING an
+      // op's DataFrame runs its eager capital jobs (a closure op's
+      // whole pair pipeline materializes inside stableCheckpoint), so
+      // plan-cell + timed run = the full pipeline TWICE — at sf100
+      // that alone doubled the shuffle scratch and filled the disk
+      // (measured: the sf30 event log shows the 12 band-join input
+      // stages duplicated, 25.1 GB written for a 12.5 GB query).
+      val coldOnly = sys.env.get("GRAFT_COLD_ONLY").contains("true")
       var planCell = "\"plan\":\"stream\""
-      if (!n.startsWith("stream_")) {
+      if (!n.startsWith("stream_") && !coldOnly) {
         val plan = fn(spark, scaleDir).queryExecution.executedPlan.toString
         val sh = Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
           "Exchange SinglePartition").map(p => p.r.findAllIn(plan).length).sum
@@ -206,7 +214,6 @@ object ScaleSmoke {
       // shuffle files (~40 GB for the dedup_semantic closure) live
       // until JVM exit, so cold+warm would double the disk footprint
       // past what the sandbox has free. warm_s = -1 marks the skip.
-      val coldOnly = sys.env.get("GRAFT_COLD_ONLY").contains("true")
       val (ok2, warm, _) =
         if (!ok1) (false, -1.0, -1L)
         else if (coldOnly) (true, -1.0, -1L)

@@ -109,4 +109,24 @@ class Round10Spec extends SparkSpec {
     assert(labs.filter(_._2 == 0L).map(_._1) == (0L until 40L).toSet)
     assert(labs.filter(_._2 == 100L).map(_._1) == (100L until 140L).toSet)
   }
+
+  test("components evaluates its edge input exactly once (nondeterministic contraction safety)") {
+    // A contracted edge stream's content is partitioning-dependent:
+    // evaluating it twice can yield two DIFFERENT valid spanning
+    // stars, and union(e, swap(e)) over two materializations builds
+    // an ASYMMETRIC graph that silently loses connectivity (the
+    // cold-cache dedup_clusters parity failure this pins). components
+    // must value-pin its input — exactly one evaluation.
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("edgeEvals")
+    val edges = Seq((2L, 1L), (3L, 2L), (5L, 4L)).toDS()
+      .repartition(3)
+      .mapPartitions { it => acc.add(1L); it }
+      .toDF("doc_a", "doc_b")
+    val labs = graft.functions.Clusters.components(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labs == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+    assert(acc.value == 3L,
+      s"edge input evaluated ${acc.value / 3} times (accumulator ${acc.value}, 3 partitions)")
+  }
 }
