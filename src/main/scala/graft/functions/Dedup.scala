@@ -454,15 +454,21 @@ object Dedup extends OpFamily {
   }
 
   /** Block count for a bucket of `cnt` rows under a pair budget of
-    * `budget` cosines per block-pair task: g = ceil(cnt²/budget),
-    * squared in DOUBLE — two LongType columns multiplied wrap negative
-    * past cnt ≈ 3.04e9 under non-ANSI semantics, silently collapsing g
-    * to 1 task at exactly the degenerate scale tiling exists for.
-    * Capped at cnt (a block never needs fewer than one row) and at
-    * Int.MaxValue so the int cast cannot wrap either. */
+    * `budget` cosines per block-pair task. A block-pair task scores
+    * (cnt/g)² pairs, so the budget fixes the BLOCK SIZE, not the
+    * block count: g = ceil(cnt / √budget). (The r9 sizer used
+    * g = ceil(cnt²/budget) — correct only at cnt ≈ √budget, and
+    * quadratically OVERSPLIT beyond it: input replication grows as
+    * cnt·g = cnt³/budget, which at the sf100 profile's measured 113k-row
+    * bucket meant g = 649 and ~325× row replication, ~35 GB of band-join
+    * shuffle for a query whose correct tiling ships ~13×/26 blocks.
+    * Round10Spec pins pairs-per-task ≈ budget across scales.)
+    * Computed in DOUBLE (no squaring — nothing to overflow), capped at
+    * cnt (a block never holds fewer than one row) and at Int.MaxValue
+    * so the int cast cannot wrap. */
   private[graft] def tileBlocks(cnt: Column, budget: Double): Column =
     greatest(lit(1L),
-      least(ceil(cnt.cast("double") * cnt.cast("double") / lit(budget)),
+      least(ceil(cnt.cast("double") / lit(math.sqrt(budget))),
         cnt.cast("long"), lit(Int.MaxValue.toLong))).cast("int")
 
   /** Max bucket size per band — the 6-row measurement the per-band
@@ -530,10 +536,11 @@ object Dedup extends OpFamily {
     // (probe one salt, build replicated) is top-k-only — dedup needs
     // EVERY within-bucket pair exactly once — so oversized buckets
     // get the D17 BLOCK-PAIR tiling instead: rows of a bucket of size
-    // c split into g = ceil(c²/2e7) blocks, each unordered block pair
-    // (i ≤ j) is its own join key, so every vector pair still meets
-    // exactly once but the hot bucket becomes g(g+1)/2 bounded tasks
-    // (≈2e7 cosines each). The tiling machinery (count-agg + broadcast
+    // c split into g = ceil(c/√2e7) blocks (the budget fixes the BLOCK
+    // SIZE — see tileBlocks), each unordered block pair (i ≤ j) is its
+    // own join key, so every vector pair still meets exactly once but
+    // the hot bucket becomes g(g+1)/2 bounded tasks of ≈2e7 cosines,
+    // at c·(g+1)/2 input replication. The tiling machinery (count-agg + broadcast
     // + exploded pair keys per band) costs real time on healthy data
     // (measured 0.4 → 3.1 s at sf0.1), so the shape is decided PER
     // BAND from one measurement job over the cached signatures — the

@@ -21,25 +21,35 @@ class Round10Spec extends SparkSpec {
       .head.getLong(0)
   }
 
-  test("tileBlocks matches the documented formula at sane sizes") {
-    // the sf100 point-mass bucket: 20k rows -> ceil(4e8/2e7) = 20 blocks
-    assert(g(20000L) == 20L)
+  test("tileBlocks holds pairs-per-task at the budget across scales") {
+    // the budget fixes the BLOCK SIZE: g = ceil(c/√budget), so a
+    // block-pair task scores (c/g)² ≈ budget pairs at ANY bucket size.
+    // (The r9 sizer g = ceil(c²/budget) oversplit quadratically: the
+    // sf100 profile's 113k-row bucket got 649 blocks and ~325× input
+    // replication — ~35 GB of band-join shuffle where 26 blocks ship
+    // ~13×.)
+    for (c <- Seq(5000L, 20000L, 113864L, 1000000L, 100000000L)) {
+      val blocks = g(c)
+      val pairsPerTask = (c.toDouble / blocks) * (c.toDouble / blocks)
+      assert(pairsPerTask <= 2e7 * 1.05,
+        s"c=$c g=$blocks pairs/task=$pairsPerTask over budget")
+      assert(blocks <= math.ceil(c / math.sqrt(2e7)).toLong,
+        s"c=$c oversplit: g=$blocks")
+    }
+    // the sf100 measured hot bucket: 113,864 rows -> 26 blocks, ~19M
+    // pairs per block-pair task
+    assert(g(113864L) == 26L)
     // healthy bucket under budget: 1 block (single-task join)
     assert(g(1000L) == 1L)
     assert(g(0L) >= 1L) // never zero or negative
   }
 
-  test("tileBlocks does not wrap at a 4e9-row bucket (int64 overflow regression)") {
-    // 4e9^2 wraps negative in int64; in double it is 1.6e19 and the
-    // cap clamps to Int.MaxValue — the invariant is monotone, positive,
-    // and far more than one block
+  test("tileBlocks cannot wrap or collapse at degenerate bucket sizes") {
+    // no squaring anywhere: 4e9 rows -> ceil(4e9/4472) ≈ 894k blocks,
+    // positive, monotone, far under the Int.MaxValue cap
     val huge = g(4000000000L)
-    assert(huge == Int.MaxValue.toLong, s"expected cap, got $huge")
-    // just past the old wrap point: 3.1e9^2 > Long.MaxValue
-    val wrapEdge = g(3100000000L)
-    assert(wrapEdge > 1L, s"sizer collapsed to $wrapEdge at the wrap edge")
-    // monotone through the former wrap region
-    assert(g(3000000000L) <= wrapEdge && wrapEdge <= huge)
+    assert(huge == math.ceil(4e9 / math.sqrt(2e7)).toLong, s"got $huge")
+    assert(g(3000000000L) <= g(3100000000L) && g(3100000000L) <= huge)
   }
 
   test("tileBlocks is capped by the row count itself") {
