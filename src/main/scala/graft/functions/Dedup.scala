@@ -149,36 +149,48 @@ object Dedup extends OpFamily {
   private[graft] def contractPairs(
       pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     val s = pairs.sparkSession
-    import s.implicits._
-    pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
-      .as[(Long, Long)]
-      .mapPartitions(contractIter _)
-      .toDF(aCol, bCol)
-  }
-
-  private[graft] def contractIter(
-      it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
-    val parent = new scala.collection.mutable.LongMap[Long]()
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent(r)
-      var c = x // path compression
-      while (c != r) { val nx = parent(c); parent(c) = r; c = nx }
-      r
-    }
-    it.foreach { case (a, b) =>
-      if (!parent.contains(a)) parent.update(a, a)
-      if (!parent.contains(b)) parent.update(b, b)
-      val ra = find(a)
-      val rb = find(b)
-      if (ra < rb) parent.update(rb, ra)
-      else if (rb < ra) parent.update(ra, rb)
-    }
-    // snapshot keys first: find() mutates the map while compressing
-    val nodes = parent.keys.toArray
-    nodes.iterator.map(n => (n, find(n))).filter { case (n, r) => n != r }
-    // roots emit nothing — every local component has ≥ 2 nodes (nodes
-    // only enter via a pair), so the root survives as some edge's dst
+    // Consume the verified pair stream as InternalRows
+    // (queryExecution.toRdd): the Dataset[(Long, Long)] encoder path
+    // allocates a Tuple2 + two boxed Longs PER PAIR, and a
+    // quadratic-mass cluster pushes ~1e10 verified pairs through this
+    // iterator at sf100 — the boxing was the contraction's own GC
+    // bill. Rows are read (two getLongs) before the iterator reuses
+    // the backing UnsafeRow; only the tiny star-edge output boxes.
+    val stars = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
+      .queryExecution.toRdd.mapPartitions { it =>
+        val parent = new scala.collection.mutable.LongMap[Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // path compression
+          while (c != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        while (it.hasNext) {
+          val row = it.next()
+          val a = row.getLong(0)
+          val b = row.getLong(1)
+          if (!parent.contains(a)) parent.update(a, a)
+          if (!parent.contains(b)) parent.update(b, b)
+          val ra = find(a)
+          val rb = find(b)
+          if (ra < rb) parent.update(rb, ra)
+          else if (rb < ra) parent.update(ra, rb)
+        }
+        // snapshot keys first: find() mutates the map while compressing
+        val nodes = parent.keys.toArray
+        nodes.iterator.map(n => (n, find(n))).collect {
+          case (n, r) if n != r => org.apache.spark.sql.Row(n, r)
+        }
+        // roots emit nothing — every local component has ≥ 2 nodes
+        // (nodes only enter via a pair), so the root survives as some
+        // edge's dst
+      }
+    s.createDataFrame(stars, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        aCol, org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        bCol, org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** CTE bundle ending in `cand(doc_a, doc_b)` — the D2 candidate pairs;
