@@ -62,6 +62,21 @@ object Similarity extends OpFamily {
       a: Column, b: Column, na: Column, nb: Column): Column =
     packedDot(a, b).cast("double") / sqrt((na * nb).cast("double"))
 
+  /** Whether `df`'s quantized vector column `v` fits int16 lanes —
+    * measured ONCE per (dataset, tag) and persisted as capital (the
+    * bandProfile discipline: a pure function of the data must not be
+    * re-measured per call). Empty or out-of-range data returns false
+    * and callers keep the exact `array<bigint>` path. */
+  private[graft] def packLicense(
+      s: SparkSession, d: String, tag: String, df: => DataFrame): Boolean = {
+    val path = s"${Tables.workDir(s)}/packmax_${tag}_" + Tables.datasetTag(d)
+    Tables.buildOnce(path)(
+      df.select(array_max(transform(col("v"), x => abs(x))).as("ma"))
+        .agg(max(col("ma")).as("m")))
+    val r = s.read.parquet(path).head()
+    !r.isNullAt(0) && r.getLong(0) <= 32767L
+  }
+
   def sqNormSql(v: String): String =
     s"CAST(list_sum(list_transform($v, x -> x * x)) AS BIGINT)"
 
@@ -977,18 +992,33 @@ object Similarity extends OpFamily {
     val counts = idx.groupBy("bucket").agg(count(lit(1)).as("bkt_n"))
     val sized = idx.join(broadcast(counts), Seq("bucket")).withColumn(
       "g", greatest(lit(1L), ceil(col("bkt_n") * col("bkt_n") / lit(2e7))).cast("int"))
+    // (salting keeps g = ceil(n²/budget): only the PROBE side splits,
+    // so a (bucket, salt) task scores n²/g ≤ budget pairs — unlike
+    // the dedup block-pair tiling, where both sides split and the
+    // budget fixes the block size instead.)
+    //
+    // 16-bit packed wire format, same license as the dedup band joins
+    // (measured per dataset+planes as buildOnce capital): the salted
+    // build side replicates every vector g times, so the vector
+    // payload IS this join's shuffle — 2-byte lanes cut it ~4×, and
+    // the packed dot is the same int64 arithmetic.
+    val packed = packLicense(s, d, s"knn_p$planes", idx)
+    val pv: Column => Column =
+      v => if (packed) packShorts(v) else v
+    val cos: (Column, Column, Column, Column) => Column =
+      if (packed) cosinePacked else cosine
     val p = s.sessionState.conf.numShufflePartitions
     // explicit pinned-count repartitions: AQE sizes the post-shuffle
     // stage from PRE-join bytes and would coalesce the expanding
     // self-join onto a couple of cores (observed at sf10)
     val a = sized
       .withColumn("salt", pmod(hash(col("vec_id")), col("g")))
-      .select(col("bucket"), col("salt"), col("vec_id"), col("v"), col("nn"))
+      .select(col("bucket"), col("salt"), col("vec_id"), pv(col("v")).as("v"), col("nn"))
       .repartition(p, col("bucket"), col("salt"))
     val c = sized
       .withColumn("salt", explode(sequence(lit(0), col("g") - 1)))
       .select(col("bucket"), col("salt"), col("vec_id").as("nbr_id"),
-        col("v").as("nv"), col("nn").as("nnn"))
+        pv(col("v")).as("nv"), col("nn").as("nnn"))
       .repartition(p, col("bucket"), col("salt"))
     // Sort-merge, NOT shuffle_hash: both sides share the (bucket,
     // salt) partitioning so either join runs in-stage, but SHJ must
@@ -1009,7 +1039,7 @@ object Similarity extends OpFamily {
     // set is never shuffled or sorted, only the 3 survivors per
     // vector reach the (tiny) rank window below.
     val scored = cand.select(col("bucket"), col("salt"), col("vec_id"),
-      col("nbr_id"), cosine(col("v"), col("nv"), col("nn"), col("nnn")).as("cos_sim"))
+      col("nbr_id"), cos(col("v"), col("nv"), col("nn"), col("nnn")).as("cos_sim"))
     val top = graft.plans.TopK.topKPerKeyIn(
       scored, 3, "vec_id", "cos_sim", "nbr_id", "bucket", "salt")
     val w = org.apache.spark.sql.expressions.Window
