@@ -71,12 +71,15 @@ object Clusters extends OpFamily {
     // per partition keeps a 10^9-edge graph at full width while a
     // small graph runs its rounds in 1-2 partitions.
     val shuffleKey = "spark.sql.shuffle.partitions"
-    val prevShuffle = s.conf.get(shuffleKey)
-    s.conf.set(shuffleKey,
-      math.max(1L, math.min(prevShuffle.toLong, sym.count() / 500000L + 1L)).toString)
+    val loopParts = math.max(1L, math.min(
+      s.conf.get(shuffleKey).toLong, sym.count() / 500000L + 1L))
     var converged = false
     var rounds = 0
-    try while (!converged && rounds < 32) {
+    // scoped + serialized (Tables.withScopedConf): the session conf is
+    // shared state, so the loop-width override must never interleave
+    // with another operator planning in the same session (VERDICT r10 #3)
+    Tables.withScopedConf(s, shuffleKey, loopParts.toString) {
+      while (!converged && rounds < 32) {
       // neighbor-min: lab(n) := min(lab(n), min over edges (n,m) of
       // lab(m)). The previous label rides along as max(old_tag) (each
       // node appears exactly once in `labels`), so convergence is read
@@ -104,10 +107,11 @@ object Clusters extends OpFamily {
       val changed = jumped.filter(col("lab") < col("old")).count()
       labels = jumped.select(col("node"), col("lab"))
       converged = changed == 0L
-      rounds += 1
-      if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(s"[cc-round] $rounds changed=$changed")
-    } finally s.conf.set(shuffleKey, prevShuffle)
+        rounds += 1
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          println(s"[cc-round] $rounds changed=$changed")
+      }
+    }
     // with pointer jumping 32 rounds covers any realistic diameter
     // (2^32 chain depth) — failing hard beats silently returning
     // non-minimal labels that would diverge from the oracle closure

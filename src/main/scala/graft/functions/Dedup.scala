@@ -168,6 +168,13 @@ object Dedup extends OpFamily {
         }
         while (it.hasNext) {
           val row = it.next()
+          // getLong on a null field silently yields 0 (unlike the old
+          // encoder path, which threw) — a null id would fabricate
+          // node-0 star edges and merge unrelated clusters. Ids come
+          // from inner joins today; guard loudly anyway (ADVICE r10).
+          if (row.isNullAt(0) || row.isNullAt(1))
+            throw new IllegalStateException(
+              "contractPairs: null pair id — caller must feed non-null ids")
           val a = row.getLong(0)
           val b = row.getLong(1)
           if (!parent.contains(a)) parent.update(a, a)
@@ -583,8 +590,8 @@ object Dedup extends OpFamily {
       if (packed) Similarity.cosinePacked(a, bb, na, nb)
       else Similarity.cosine(a, bb, na, nb)
     (0 until bands).map { b =>
-      // (band decision below squares in Double on the driver; the
-      // per-bucket sizer squares in Double too — see tileBlocks)
+      // (band decision below squares in Double on the driver — no
+      // int64 overflow at any bucket size)
       if (maxBucket.getOrElse(b, 0L).toDouble * maxBucket.getOrElse(b, 0L) <= tileBudget) {
         // healthy band: the plain single-key self-join (the r8 shape)
         n.select(col(s"bk$b").as("bk"), col("vec_id").as("vec_a"),
@@ -604,13 +611,19 @@ object Dedup extends OpFamily {
           .withColumn("blk", pmod(hash(col("vec_id")), col("g")))
         blocked.select(col("bk"), col("g"), col("blk").as("ba"),
             col("vec_id").as("va"), col("v").as("av"), col("nn").as("an"))
+          // pk in BIGINT: g caps at Int.MaxValue (tileBlocks), so the
+          // int form ba*g + j wraps for g > √Int.MaxValue ≈ 46k under
+          // non-ANSI semantics — colliding block-pair keys would score
+          // some pairs twice and miss others (ADVICE r10).
           .withColumn("pk",
-            explode(expr("transform(sequence(ba, g - 1), j -> ba * g + j)")))
+            explode(expr(
+              "transform(sequence(ba, g - 1), j -> CAST(ba AS BIGINT) * g + j)")))
           .drop("g")
           .join(blocked.select(col("bk"), col("g"), col("blk").as("bb"),
               col("vec_id").as("vb"), col("v").as("bv"), col("nn").as("bn"))
             .withColumn("pk",
-              explode(expr("transform(sequence(0, bb), i -> i * g + bb)")))
+              explode(expr(
+                "transform(sequence(0, bb), i -> CAST(i AS BIGINT) * g + bb)")))
             .drop("g"), Seq("bk", "pk"))
           .filter(col("ba") < col("bb") ||
             (col("ba") === col("bb") && col("va") < col("vb")))
@@ -816,16 +829,60 @@ object Dedup extends OpFamily {
   // dedup_recall grades LSH against it) and the prefix-filter join is
   // the expensive stage — recomputing it per consumer doubled its cost
   // in the bench (5.2 s + 5.4 s as two cold runs).
-  private[functions] def exactJoinTruth(s: SparkSession, d: String): DataFrame = {
-    val path = s"${Tables.workDir(s)}/exact_truth_" +
+  private[graft] def exactJoinTruth(s: SparkSession, d: String): DataFrame = {
+    val rateE6 = ssjoinSampleE6(s, d)
+    val suffix = if (rateE6 >= 1000000L) "" else s"s${rateE6}_"
+    val path = s"${Tables.workDir(s)}/exact_truth_$suffix" +
       Tables.datasetTag(d)
-    Tables.buildOnce(path)(exactJoinTruthBuild(s, d))
+    Tables.buildOnce(path)(exactJoinTruthBuild(s, d, rateE6))
     s.read.parquet(path)
   }
 
-  private def exactJoinTruthBuild(s: SparkSession, d: String): DataFrame = {
+  // SCALE finding 13: the exact J ≥ 0.5 truth TABLE is output-quadratic
+  // in the corpus's near-dup mass (sf100 measured ~1.6e8 pairs — 64×
+  // sf10's output on 10× the data; the full materialization DNF'd at
+  // 37 GB shuffle + 19 GB spill). No plan fixes a data property, so at
+  // probe scales the truth is EXACT ON A DETERMINISTIC DOC SAMPLE — the
+  // same posture D15/S13 already model (grade against sampled ground
+  // truth, never shrink the design). The gate is the T5/P13 md5-bucket
+  // family under an 'ssjoin:' salt; sampling DOCS at rate r keeps a
+  // pair iff both endpoints survive, so truth pairs scale ~r².
+  //
+  // The rate is auto-sized from the corpus doc count (parquet footer
+  // stats — no scan): rate = min(1, target/nDocs) holds the SAMPLED doc
+  // mass constant at the largest measured-green scale (sf10's 500k), so
+  // the truth's pair mass is bounded by construction at ANY corpus
+  // size (sf30 → ~33 %, sf100 → 10 %). At oracle scales the rate is
+  // 1.0 and NO gate is applied — plan, persisted path, and results are
+  // byte-identical to the unsampled build, so CORRECTNESS and D15's
+  // consumption are untouched. `graft.ssjoin.sampleE6` overrides.
+  private val ssjoinTargetDocs = 500000L
+  private[graft] def ssjoinSampleE6(s: SparkSession, d: String): Long =
+    s.conf.getOption("graft.ssjoin.sampleE6").map(_.toLong).getOrElse {
+      val n = Tables.maxIdFromStats(s, s"$d/documents.parquet", "doc_id",
+        Tables.documents(s, d)) + 1
+      if (n <= ssjoinTargetDocs) 1000000L
+      else math.max(1L, 1000000L * ssjoinTargetDocs / n)
+    }
+
+  private[graft] def inSsjoinSample(docId: Column, rateE6: Long): Column =
+    conv(substring(md5(concat(lit("ssjoin:"), docId.cast("string"))), 1, 8),
+      16, 10).cast("long") % 1000000L < lit(rateE6)
+
+  private def exactJoinTruthBuild(
+      s: SparkSession, d: String, rateE6: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dsh = shingled(s, d).distinct().cache()
+    // rate 1.0 ⇒ no filter node at all (identical plan, the oracle
+    // path). Prefix-filter completeness holds under ANY fixed total
+    // order of shingles, so computing document frequencies WITHIN the
+    // sample is still exact: sampled truth ≡ full truth filtered to
+    // pairs with both endpoints in the sample (Round11Spec proves the
+    // equivalence on the oracle corpus).
+    val docs =
+      if (rateE6 >= 1000000L) Tables.documents(s, d)
+      else Tables.documents(s, d)
+        .filter(inSsjoinSample(col("doc_id"), rateE6))
+    val dsh = shingledDocs(docs).distinct().cache()
     val sz = dsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val dfq = dsh.groupBy("s").agg(count(lit(1)).as("df"))
     val wr = Window.partitionBy("doc_id").orderBy("df", "s")
@@ -908,9 +965,21 @@ object Dedup extends OpFamily {
   // One full-outer join of two small pair sets (shuffle-hash, the E19
   // shape) + one global hash-agg to a single exact-integer row.
   private def dedupRecall(s: SparkSession, d: String): DataFrame = {
+    val rateE6 = ssjoinSampleE6(s, d)
     val t = exactJoinTruth(s, d)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("in_t"))
-    val c = candidatePairs(s, d)
+    // When the truth is sampled (probe scales only — rate 1.0 adds no
+    // filter at oracle scales), the candidate side is gated by the SAME
+    // doc sample so recall AND precision are measured within one
+    // population; an ungated candidate set would count out-of-sample
+    // candidates as precision misses against a truth that never saw
+    // their docs.
+    val c0 = candidatePairs(s, d)
+    val cg =
+      if (rateE6 >= 1000000L) c0
+      else c0.filter(inSsjoinSample(col("doc_a"), rateE6) &&
+        inSsjoinSample(col("doc_b"), rateE6))
+    val c = cg
       .select(col("doc_a"), col("doc_b"), lit(1L).as("in_c"))
     t.join(c.hint("shuffle_hash"), Seq("doc_a", "doc_b"), "full")
       .agg(sum(coalesce(col("in_t"), lit(0L))).as("n_true"),

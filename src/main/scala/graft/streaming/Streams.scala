@@ -219,20 +219,40 @@ object Streams extends OpFamily {
   private val stateStoreKey = "spark.sql.streaming.stateStore.providerClass"
   private val rocksProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  // RocksDB CHANGELOG checkpointing (round 11): by default the RocksDB
+  // provider snapshots the full state store to the checkpoint every
+  // batch; with changelog checkpointing each batch uploads only the
+  // batch's state DELTA and periodic snapshots bound replay length —
+  // the Spark analog of the reference rebuilding a died instance's
+  // KTable from the Kafka changelog topic rather than re-reading the
+  // log (surge/kafka/streams/AggregateStateStoreKafkaStreams.scala:35).
+  // Scoped per stream run under `graft.stream.rocksdbChangelog=true`
+  // (rocksdb provider only); StreamRestartSpec proves restore +
+  // no-replay + equal output under it.
+  private val rocksChangelogKey =
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
 
   private[graft] def withStreamShards[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     val prevProvider = s.conf.getOption(stateStoreKey)
+    val prevChangelog = s.conf.getOption(rocksChangelogKey)
     s.conf.set(key,
       s.conf.getOption("graft.stream.statePartitions").getOrElse("8"))
-    if (s.conf.getOption("graft.stream.stateStore").contains("rocksdb"))
+    if (s.conf.getOption("graft.stream.stateStore").contains("rocksdb")) {
       s.conf.set(stateStoreKey, rocksProvider)
+      if (s.conf.getOption("graft.stream.rocksdbChangelog").contains("true"))
+        s.conf.set(rocksChangelogKey, "true")
+    }
     try body finally {
       s.conf.set(key, prev)
       prevProvider match {
         case Some(p) => s.conf.set(stateStoreKey, p)
         case None => s.conf.unset(stateStoreKey)
+      }
+      prevChangelog match {
+        case Some(p) => s.conf.set(rocksChangelogKey, p)
+        case None => s.conf.unset(rocksChangelogKey)
       }
     }
   }

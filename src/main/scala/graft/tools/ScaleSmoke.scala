@@ -185,7 +185,11 @@ object ScaleSmoke {
       // (measured: the sf30 event log shows the 12 band-join input
       // stages duplicated, 25.1 GB written for a 12.5 GB query).
       val coldOnly = sys.env.get("GRAFT_COLD_ONLY").contains("true")
-      var planCell = "\"plan\":\"stream\""
+      // a cold-only batch query's plan cell is SKIPPED, not "stream" —
+      // mislabeling dropped golden-drift detection silently (ADVICE r10)
+      var planCell =
+        if (n.startsWith("stream_")) "\"plan\":\"stream\""
+        else "\"plan\":\"skipped_cold_only\""
       if (!n.startsWith("stream_") && !coldOnly) {
         val plan = fn(spark, scaleDir).queryExecution.executedPlan.toString
         val sh = Seq("Exchange hashpartitioning", "Exchange rangepartitioning",

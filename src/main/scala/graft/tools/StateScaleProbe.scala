@@ -47,7 +47,13 @@ object StateScaleProbe {
         .foreachBatch {
           (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
            id: Long) =>
-            rows += b.count(); ()
+            // count batches HERE: recentProgress is a bounded ring
+            // buffer (default 100 entries), so long runs undercount if
+            // read off the progress log (ADVICE r10)
+            val n = b.count()
+            rows += n
+            if (n > 0) batches += 1
+            ()
         }
         .outputMode("append")
         .start()
@@ -65,7 +71,6 @@ object StateScaleProbe {
             .map { case (k, v) => s""""$k":${v.longValue}""" }
             .mkString("{", ",", "}")
         }
-      batches = q.recentProgress.count(_.numInputRows > 0)
       q.stop()
     }
     (rows, stateRows, stateMem, custom, batches)

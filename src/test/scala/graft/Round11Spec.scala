@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Dedup
+import graft.sources.Tables
+
+/** Round 11 fixes.
+  *
+  * D14 sampled exact-truth posture (VERDICT r10 next-round #1, SCALE
+  * finding 13): the exact ssjoin truth table is output-quadratic in
+  * the corpus's near-dup mass, so at probe scales the truth is exact
+  * on a deterministic md5-bucket doc sample. The invariants these
+  * tests pin:
+  *   - rate 1.0 (all oracle scales) applies NO gate — byte-identical
+  *     build, so the driver CORRECTNESS path is untouched;
+  *   - a sampled truth is EXACT within its sample: identical to the
+  *     full truth restricted to pairs with both endpoints sampled
+  *     (prefix-filter completeness holds under any fixed shingle
+  *     order, so in-sample document frequencies stay a valid order);
+  *   - D15 dedup_recall grades candidates against the truth within
+  *     ONE population: under sampling the candidate side is gated by
+  *     the same doc sample.
+  *
+  * Tables.withScopedConf (VERDICT r10 what's-wrong #3): session-conf
+  * overrides inside operator bodies are scoped + serialized, never a
+  * hidden channel between concurrently planned ops.
+  */
+class Round11Spec extends SparkSpec {
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+    df.select("doc_a", "doc_b", "inter_n", "union_n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("ssjoin sample rate is 1.0 at oracle scales; conf overrides it") {
+    // sf0.001 has far fewer docs than the 500k target -> full rate
+    assert(Dedup.ssjoinSampleE6(spark, sf) == 1000000L)
+    Tables.withScopedConf(spark, "graft.ssjoin.sampleE6", "123456") {
+      assert(Dedup.ssjoinSampleE6(spark, sf) == 123456L)
+    }
+    assert(Dedup.ssjoinSampleE6(spark, sf) == 1000000L)
+  }
+
+  test("ssjoin doc-sample gate is deterministic and actually partitions the corpus") {
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    val total = docs.count()
+    val kept = docs.filter(Dedup.inSsjoinSample(col("doc_id"), 500000L)).count()
+    assert(kept > 0 && kept < total, s"kept $kept of $total at rate 0.5")
+    // deterministic: same gate, same answer
+    assert(docs.filter(Dedup.inSsjoinSample(col("doc_id"), 500000L)).count() == kept)
+  }
+
+  test("sampled ssjoin truth equals the full truth restricted to the doc sample") {
+    val full = pairSet(Dedup.exactJoinTruth(spark, sf))
+    for (rate <- Seq(700000L, 400000L)) {
+      val expected = pairSet(Dedup.exactJoinTruth(spark, sf)
+        .filter(Dedup.inSsjoinSample(col("doc_a"), rate) &&
+          Dedup.inSsjoinSample(col("doc_b"), rate)))
+      val sampled = Tables.withScopedConf(
+          spark, "graft.ssjoin.sampleE6", rate.toString) {
+        pairSet(Dedup.exactJoinTruth(spark, sf))
+      }
+      assert(sampled == expected, s"rate=$rate")
+      assert(sampled.subsetOf(full), s"rate=$rate not a truth subset")
+    }
+  }
+
+  test("dedup_recall under sampling grades candidates within the same doc sample") {
+    val rate = 400000L
+    val row = Tables.withScopedConf(
+        spark, "graft.ssjoin.sampleE6", rate.toString) {
+      run("dedup_recall").collect().head
+    }
+    val expectedTrue = Dedup.exactJoinTruth(spark, sf)
+      .filter(Dedup.inSsjoinSample(col("doc_a"), rate) &&
+        Dedup.inSsjoinSample(col("doc_b"), rate)).count()
+    val expectedCand = Dedup.candidatePairs(spark, sf)
+      .filter(Dedup.inSsjoinSample(col("doc_a"), rate) &&
+        Dedup.inSsjoinSample(col("doc_b"), rate)).count()
+    assert(row.getLong(row.fieldIndex("n_true")) == expectedTrue)
+    assert(row.getLong(row.fieldIndex("n_cand")) == expectedCand)
+  }
+
+  test("withScopedConf restores prior values and unsets previously-missing keys") {
+    val key = "graft.test.scopedconf"
+    assert(spark.conf.getOption(key).isEmpty)
+    Tables.withScopedConf(spark, key, "inner") {
+      assert(spark.conf.get(key) == "inner")
+    }
+    assert(spark.conf.getOption(key).isEmpty, "missing key must be unset on exit")
+    spark.conf.set(key, "orig")
+    try {
+      Tables.withScopedConf(spark, key, "inner2") {
+        assert(spark.conf.get(key) == "inner2")
+      }
+      assert(spark.conf.get(key) == "orig", "prior value must be restored")
+    } finally spark.conf.unset(key)
+  }
+
+  test("withScopedConf serializes concurrent same-key users (no interleaved values)") {
+    val key = "graft.test.scopedconf.race"
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 4).map { tid =>
+      new Thread(() => {
+        var i = 0
+        while (i < 50) {
+          Tables.withScopedConf(spark, key, s"t$tid") {
+            if (spark.conf.get(key) != s"t$tid") failures.incrementAndGet()
+          }
+          i += 1
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(failures.get() == 0, s"${failures.get()} interleaved observations")
+    assert(spark.conf.getOption(key).isEmpty)
+  }
+
+  test("components runs under a scoped conf and leaves the session width untouched") {
+    import spark.implicits._
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val labs = graft.functions.Clusters.components(
+        Seq((2L, 1L), (3L, 2L)).toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labs == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+  }
+}
