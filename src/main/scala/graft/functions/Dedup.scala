@@ -1030,10 +1030,33 @@ object Dedup extends OpFamily {
     conv(substring(md5(vecId.cast("string")), 1, 8), 16, 10)
       .cast("long") % 2 === 0
 
+  // SCALE finding 14 applies here too: the mod-2 gate keeps a fixed
+  // 50 % FRACTION, so the sweep's exhaustive |S|²/2 truth grows
+  // quadratically with the corpus. The absolute-size thinning bucket
+  // (salt 'sweep:') caps the sampled vector count at
+  // sweepTargetVectors (|S|² ≈ 1.25e9 cosines); 1.0 — no extra
+  // expression, oracle untouched — whenever the mod-2 sample already
+  // fits (every oracle scale).
+  private val sweepTargetVectors = 50000L
+  private[graft] def sweepThinE6(s: SparkSession, d: String): Long =
+    s.conf.getOption("graft.bandsweep.thinE6").map(_.toLong).getOrElse {
+      val n = math.max(1L, Tables.maxIdFromStats(s, s"$d/embeddings.parquet",
+        "vec_id", Tables.embeddings(s, d)) + 1)
+      val sAt50 = n / 2
+      if (sAt50 <= sweepTargetVectors) 1000000L
+      else math.max(1L, 1000000L * sweepTargetVectors / sAt50)
+    }
+
+  private[graft] def inSweepSampleThinned(vecId: Column, thinE6: Long): Column =
+    if (thinE6 >= 1000000L) inSweepSample(vecId)
+    else inSweepSample(vecId) &&
+      conv(substring(md5(concat(lit("sweep:"), vecId.cast("string"))), 1, 8),
+        16, 10).cast("long") % 1000000L < lit(thinE6)
+
   private def dedupBandSweep(s: SparkSession, d: String): DataFrame = {
     val B = bandSweepBlocks
     val smp = Tables.embeddings(s, d)
-      .filter(inSweepSample(col("vec_id")))
+      .filter(inSweepSampleThinned(col("vec_id"), sweepThinE6(s, d)))
       .select(col("vec_id"), Similarity.quantize(col("embedding")).as("v"))
     val n = smp.withColumn("nn", Similarity.sqNorm(col("v")))
       .withColumn("bk", pmod(col("vec_id"), lit(B.toLong)))

@@ -1071,9 +1071,38 @@ object Similarity extends OpFamily {
     conv(substring(md5(vecId.cast("string")), 1, 8), 16, 10)
       .cast("long") % 4 === 0
 
+  // SCALE finding 14 (round 11): the mod-4 gate alone keeps a fixed
+  // FRACTION of the corpus as eval queries, so the exact ground truth
+  // (queries × corpus brute force) grows QUADRATICALLY — the sf30
+  // probe measured the 25 % gate grinding ~9e10 cosines (150 k
+  // queries × 600 k vectors) for a one-row recall summary. "Shrink
+  // the rate, not the design" only holds if the rate actually
+  // shrinks: an additional absolute-size md5 bucket (salt 'knnq:')
+  // caps the query count at ~targetTruthCosines / n, holding the
+  // truth's total work constant at ANY corpus size. Whenever the
+  // mod-4 sample already fits the budget (every oracle scale) the
+  // thinning term is not even added — bit-identical plan, oracle
+  // untouched. Same posture as the D14 sampled ssjoin truth.
+  private val targetTruthCosines = 2e9
+  private[graft] def evalThinE6(s: SparkSession, d: String): Long =
+    s.conf.getOption("graft.knnrecall.thinE6").map(_.toLong).getOrElse {
+      val n = math.max(1L, Tables.maxIdFromStats(s, s"$d/embeddings.parquet",
+        "vec_id", Tables.embeddings(s, d)) + 1)
+      val qCap = math.max(1L, (targetTruthCosines / n).toLong)
+      val qAt25 = n / 4
+      if (qAt25 <= qCap) 1000000L else math.max(1L, 1000000L * qCap / qAt25)
+    }
+
+  private[graft] def inEvalSampleThinned(vecId: Column, thinE6: Long): Column =
+    if (thinE6 >= 1000000L) inEvalSample(vecId)
+    else inEvalSample(vecId) &&
+      conv(substring(md5(concat(lit("knnq:"), vecId.cast("string"))), 1, 8),
+        16, 10).cast("long") % 1000000L < lit(thinE6)
+
   private[graft] def knnRecallWith(s: SparkSession, d: String, planes: Int): DataFrame = {
+    val thin = evalThinE6(s, d)
     val all = quantized(s, d)
-    val q = broadcast(all.filter(inEvalSample(col("vec_id")))
+    val q = broadcast(all.filter(inEvalSampleThinned(col("vec_id"), thin))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qnn")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
@@ -1084,7 +1113,7 @@ object Similarity extends OpFamily {
       .filter(col("rn") <= 3)
       .select(col("q_id"), col("vec_id"))
     val g = knnGraphWith(s, d, planes)
-      .filter(inEvalSample(col("vec_id")))
+      .filter(inEvalSampleThinned(col("vec_id"), thin))
       .select(col("vec_id").as("q_id"), col("nbr_id").as("vec_id"),
         lit(1L).as("hit"))
     truth.join(g.hint("shuffle_hash"), Seq("q_id", "vec_id"), "left")

@@ -945,9 +945,11 @@ object Streams extends OpFamily {
     * instead of appending duplicate rows. Readers list the root
     * recursively; `_staging_*` stays invisible (underscore-prefixed
     * paths are filtered from every Spark file listing). */
-  private def appendBatchOnce(df: DataFrame, root: String, id: Long): Unit = {
+  private[graft] def appendBatchOnce(df: DataFrame, root: String, id: Long): Unit = {
     val dst = new java.io.File(root, s"delta_b$id")
-    if (dst.exists()) return
+    // committed = the delta dir exists (possibly retired awaiting its
+    // grace deletion) OR a compaction already folded this id into a base
+    if (dst.exists() || liveGrowth(root)._1 >= id) return
     val stg = new java.io.File(root, s"_staging_b$id")
     def rec(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rec)); f.delete(); ()
@@ -959,8 +961,73 @@ object Streams extends OpFamily {
     ()
   }
 
-  private def readGrown(s: SparkSession, root: String): DataFrame =
-    s.read.option("recursiveFileLookup", "true").parquet(root)
+  // ---- append-only growth store with bounded fan-in (round 11) ----
+  //
+  // The admission index's growth root accumulates one `delta_b<id>`
+  // dir per micro-batch; without compaction every batch's merge-on-read
+  // pays O(#deltas) listing + union fan-in — O(run length) per batch,
+  // O(run²) over an unbounded ingest run. Same cure as LiveStore's
+  // base_v machinery (cadence [[LiveStore.compactEvery]]), but simpler
+  // semantics: rows are APPEND-ONLY, so compaction is a pure union
+  // fold into `grown_v<upTo>` — no monoid merge, and verdicts are
+  // invariant even under a replayed append of already-folded rows
+  // (exact_of/near_of are min-aggregated over distinct pairs). Commit
+  // discipline is LiveStore's: staged write + atomic rename; folded
+  // inputs are RETIRED (outranked by the new base) and physically
+  // deleted one compaction cycle later, so an in-flight scan that
+  // planned over the old roots keeps its files.
+  private def deleteRecG(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecG))
+    f.delete(); ()
+  }
+
+  private def growSubdirs(root: String, prefix: String): Seq[(Long, java.io.File)] =
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .map(f => (f.getName.stripPrefix(prefix).toLong, f)).toSeq.sortBy(_._1)
+
+  /** Newest folded base version (-1 if none) and the LIVE roots:
+    * newest `grown_v` + deltas past it. */
+  private[graft] def liveGrowth(root: String): (Long, Seq[java.io.File]) = {
+    val bases = growSubdirs(root, "grown_v")
+    val v = bases.lastOption.map(_._1).getOrElse(-1L)
+    (v, bases.lastOption.map(_._2).toSeq ++
+      growSubdirs(root, "delta_b").collect { case (id, f) if id > v => f })
+  }
+
+  /** Dirs a previous compaction retired — deletable after one cycle. */
+  private def staleGrowth(root: String): Seq[java.io.File] = {
+    val bases = growSubdirs(root, "grown_v")
+    val v = bases.lastOption.map(_._1).getOrElse(-1L)
+    bases.dropRight(1).map(_._2) ++
+      growSubdirs(root, "delta_b").collect { case (id, f) if id <= v => f }
+  }
+
+  private[graft] def readGrown(s: SparkSession, root: String): Option[DataFrame] = {
+    val (_, live) = liveGrowth(root)
+    if (live.isEmpty) None
+    else Some(live.map(f => s.read.parquet(f.getPath)).reduce(_.unionByName(_)))
+  }
+
+  /** Fold live deltas into a new `grown_v<upTo>` once they exceed the
+    * LiveStore cadence; bounded fan-in ≤ 1 + compactEvery + 1. */
+  private[graft] def maybeCompactGrowth(s: SparkSession, root: String): Unit = {
+    val (v, _) = liveGrowth(root)
+    val deltas = growSubdirs(root, "delta_b").filter(_._1 > v)
+    if (deltas.size <= LiveStore.compactEvery) return
+    // grace drain: what the PREVIOUS compaction retired has had a full
+    // cycle for in-flight scans to finish
+    staleGrowth(root).foreach(deleteRecG)
+    val upTo = deltas.map(_._1).max
+    val folded = readGrown(s, root).get
+    val stg = new java.io.File(root, s"_staging_grown_v$upTo")
+    deleteRecG(stg)
+    folded.write.mode("overwrite").parquet(stg.getPath)
+    java.nio.file.Files.move(stg.toPath,
+      new java.io.File(root, s"grown_v$upTo").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
 
   /** Base index ∪ this run's committed growth deltas. The base is the
     * IMMUTABLE signature of the pre-existing corpus — built once per
@@ -968,13 +1035,20 @@ object Streams extends OpFamily {
     * bench's three reps were each re-signaturing and re-writing the
     * whole old corpus; at production scale the base index is capital,
     * not per-run work). Only the growth root is per-invocation: a
-    * rerun must not see a previous run's appends. */
-  private def baseAndGrowth(s: SparkSession, base: String, growRoot: String): DataFrame = {
-    val b = s.read.parquet(base)
-    val hasDeltas = Option(new java.io.File(growRoot).listFiles())
-      .exists(_.exists(f => f.isDirectory && f.getName.startsWith("delta_b")))
-    if (hasDeltas) b.unionByName(readGrown(s, growRoot)) else b
-  }
+    * rerun must not see a previous run's appends.
+    *
+    * `base` is the PRE-READ base DataFrame, constructed once per
+    * invocation outside the foreachBatch loop: AdmitProbe (round 11)
+    * attributed ~0.5 s/batch of driver-side gap between jobs, part of
+    * which was re-listing + footer-schema-inferring the immutable base
+    * parquet on EVERY batch — a per-batch re-plan of per-run capital.
+    * Only the growth root (which genuinely changes between batches) is
+    * re-listed per batch. */
+  private def baseAndGrowth(s: SparkSession, base: DataFrame, growRoot: String): DataFrame =
+    readGrown(s, growRoot) match {
+      case Some(g) => base.unionByName(g)
+      case None => base
+    }
 
   private def streamAdmit(s: SparkSession, d: String): DataFrame = {
     import graft.functions.Dedup
@@ -987,6 +1061,10 @@ object Streams extends OpFamily {
     Tables.buildOnce(baseBands)(Dedup.bandRows(old))
     Tables.buildOnce(baseDigests)(
       old.select(col("doc_id"), md5(col("text")).as("h")))
+    // read the immutable base index ONCE per invocation (see
+    // baseAndGrowth) — the foreachBatch closure reuses these frames
+    val baseBandsDf = s.read.parquet(baseBands)
+    val baseDigestsDf = s.read.parquet(baseDigests)
     val tag = dtag + s"_$inv"
     val bandsPath = s"${Tables.workDir(s)}/admit_bands_$tag"
     val digestPath = s"${Tables.workDir(s)}/admit_digests_$tag"
@@ -1003,11 +1081,11 @@ object Streams extends OpFamily {
           val digests = Tables.stableCheckpoint(batch.toDF()
             .select(col("doc_id"), md5(col("text")).as("h")))
           val exact = digests.alias("n")
-            .join(baseAndGrowth(s2, baseDigests, digestPath).unionByName(digests).alias("o"),
+            .join(baseAndGrowth(s2, baseDigestsDf, digestPath).unionByName(digests).alias("o"),
               col("o.h") === col("n.h") && col("o.doc_id") < col("n.doc_id"))
             .groupBy(col("n.doc_id").as("doc_id"))
             .agg(min(col("o.doc_id")).as("exact_of"))
-          val near = baseAndGrowth(s2, baseBands, bandsPath).unionByName(bands).alias("a")
+          val near = baseAndGrowth(s2, baseBandsDf, bandsPath).unionByName(bands).alias("a")
             .join(bands.hint("shuffle_hash").alias("b"),
               col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
                 col("a.doc_id") < col("b.doc_id"))
@@ -1029,6 +1107,10 @@ object Streams extends OpFamily {
           // cannot append its rows twice
           appendBatchOnce(bands, bandsPath, id)
           appendBatchOnce(digests, digestPath, id)
+          // bound the merge-on-read fan-in over an unbounded run (the
+          // LiveStore cadence; a no-op until deltas exceed it)
+          maybeCompactGrowth(s2, bandsPath)
+          maybeCompactGrowth(s2, digestPath)
           ()
         }
         .start()

@@ -141,8 +141,11 @@ object ScaleSmoke {
     def mb(b: Long): Double = b / 1e6
 
     // session + FS warm-up so query 1's cold number is the QUERY cold,
-    // not JVM/codegen start
-    graft.sources.Tables.lineitem(spark, scaleDir).count()
+    // not JVM/codegen start (partial datasets — e.g. a documents-only
+    // probe generation — fall back to the documents table)
+    try { graft.sources.Tables.lineitem(spark, scaleDir).count(); () }
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      graft.sources.Tables.documents(spark, scaleDir).count(); () }
 
     // one-time persisted index builds, timed as their own evidence rows
     // (at 100 TB these are the capital cost of the vector/dedup stack)

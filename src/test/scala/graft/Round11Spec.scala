@@ -116,6 +116,57 @@ class Round11Spec extends SparkSpec {
     assert(spark.conf.getOption(key).isEmpty)
   }
 
+  test("eval-sample thinning is identity at oracle scales and a strict subset when engaged") {
+    import graft.functions.Similarity
+    // oracle scales: the thinning term must not even be added — the
+    // gate is the bare mod-4 sample (bit-identical plan)
+    assert(Similarity.evalThinE6(spark, sf) == 1000000L)
+    assert(Dedup.sweepThinE6(spark, sf) == 1000000L)
+    val ids = Tables.embeddings(spark, sf).select("vec_id")
+    val full = ids.filter(Similarity.inEvalSampleThinned(col("vec_id"), 1000000L)).count()
+    val bare = ids.filter(Similarity.inEvalSample(col("vec_id"))).count()
+    assert(full == bare)
+    // engaged: thinned queries are a strict nonempty subset of the
+    // mod-4 sample (deterministic either way)
+    val thin = ids.filter(Similarity.inEvalSampleThinned(col("vec_id"), 500000L)).count()
+    assert(thin > 0 && thin < full, s"thinned $thin of $full")
+    val sw = ids.filter(Dedup.inSweepSampleThinned(col("vec_id"), 400000L)).count()
+    val swFull = ids.filter(Dedup.inSweepSample(col("vec_id"))).count()
+    assert(sw > 0 && sw < swFull, s"sweep-thinned $sw of $swFull")
+  }
+
+  test("admit growth store: compaction bounds fan-in, preserves rows, keeps appends idempotent") {
+    import spark.implicits._
+    import graft.streaming.Streams
+    val root = new java.io.File("/tmp/graft_growth_spec")
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(); ()
+    }
+    deleteRec(root); root.mkdirs()
+    val n = 12 // past the LiveStore cadence (8) -> at least one compaction
+    for (id <- 0 until n) {
+      Streams.appendBatchOnce(
+        Seq((id.toLong, s"h$id")).toDF("doc_id", "h"), root.getPath, id.toLong)
+      Streams.maybeCompactGrowth(spark, root.getPath)
+    }
+    // rows preserved exactly across folds
+    val got = Streams.readGrown(spark, root.getPath).get
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == (0 until n).map(id => (id.toLong, s"h$id")).toSet)
+    // fan-in bounded: live roots ≤ 1 base + cadence deltas
+    val (v, live) = Streams.liveGrowth(root.getPath)
+    assert(v >= 0, "a compaction must have folded a base")
+    assert(live.size <= graft.streaming.LiveStore.compactEvery + 1,
+      s"live fan-in ${live.size} exceeds the cadence bound")
+    // idempotence: re-appending an already-FOLDED id is a no-op even
+    // after its delta dir was grace-deleted
+    Streams.appendBatchOnce(
+      Seq((0L, "duplicate")).toDF("doc_id", "h"), root.getPath, 0L)
+    val again = Streams.readGrown(spark, root.getPath).get.count()
+    assert(again == n.toLong, s"replayed folded batch re-appended (rows=$again)")
+    deleteRec(root)
+  }
+
   test("components runs under a scoped conf and leaves the session width untouched") {
     import spark.implicits._
     val before = spark.conf.get("spark.sql.shuffle.partitions")
