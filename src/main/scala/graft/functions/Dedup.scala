@@ -1054,7 +1054,16 @@ object Dedup extends OpFamily {
         16, 10).cast("long") % 1000000L < lit(thinE6)
 
   private def dedupBandSweep(s: SparkSession, d: String): DataFrame = {
-    val B = bandSweepBlocks
+    // block count sized from the CAPPED sample estimate so a
+    // block-pair task stays near the 2e7-cosine budget at any corpus
+    // (B was a fixed 4: at the 50 k cap that is (50k/4)² ≈ 1.5e8
+    // cosines per task — bounded, but 8× the budget). Result-invariant:
+    // B only shapes the Spark-side pair partitioning, never the pair
+    // set; oracle scales keep the familiar 4.
+    val nEst = math.max(1L, Tables.maxIdFromStats(s, s"$d/embeddings.parquet",
+      "vec_id", Tables.embeddings(s, d)) + 1)
+    val estS = math.min(nEst / 2, sweepTargetVectors).toDouble
+    val B = math.max(bandSweepBlocks, math.ceil(estS / math.sqrt(2e7)).toInt)
     val smp = Tables.embeddings(s, d)
       .filter(inSweepSampleThinned(col("vec_id"), sweepThinE6(s, d)))
       .select(col("vec_id"), Similarity.quantize(col("embedding")).as("v"))
@@ -1077,7 +1086,12 @@ object Dedup extends OpFamily {
     bandSweepConfigs.map { case (p, b) =>
       val cand = embCandidatesFrom(smp, p, b)
         .select(col("vec_a"), col("vec_b"), lit(1L).as("in_c"))
-      truth.join(cand.hint("shuffle_hash"), Seq("vec_a", "vec_b"), "full")
+      // NO shuffle_hash hint: the candidate side scales with the
+      // sample² at the loose shapes (the sf30 probe measured the 4×2
+      // shape OOMing the per-task hash relation at ~1e8 pairs under
+      // full core occupancy) — big-big joins sort-merge, and AQE still
+      // downgrades to SHJ when the measured sizes genuinely allow it.
+      truth.join(cand, Seq("vec_a", "vec_b"), "full")
         .agg(sum(coalesce(col("in_t"), lit(0L))).as("n_true"),
           sum(coalesce(col("in_c"), lit(0L))).as("n_cand"),
           sum(coalesce(col("in_t"), lit(0L)) * coalesce(col("in_c"), lit(0L)))

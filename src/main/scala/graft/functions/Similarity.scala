@@ -1101,16 +1101,35 @@ object Similarity extends OpFamily {
 
   private[graft] def knnRecallWith(s: SparkSession, d: String, planes: Int): DataFrame = {
     val thin = evalThinE6(s, d)
-    val all = quantized(s, d)
+    // cache() BEFORE the expanding join: the interpreted quantize
+    // transform left in the lineage gets CollapseProject-inlined into
+    // the broadcast-join output and re-evaluated PER JOINED ROW (the
+    // knn_graph lesson) — at sf30 that was a 128-element interpreted
+    // transform × 2e9 joined rows, the other half of the killed
+    // probe's grind alongside the window shuffle.
+    val all = quantized(s, d).cache()
     val q = broadcast(all.filter(inEvalSampleThinned(col("vec_id"), thin))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qnn")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
-    val truth = all.join(q, col("vec_id") =!= col("q_id"))
+    // top-3 per query via the TWO-PHASE TopK operator, not a window:
+    // every query's rows appear in EVERY corpus partition (the join's
+    // build side is broadcast), so the window form shuffles the entire
+    // queries × corpus score matrix to sort it — the sf30 probe
+    // measured 4.7+ GB of scratch before being killed. The local pass
+    // heaps in-stage (nothing exchanged); only the ≤ 3·partitions
+    // survivors per query reach the global pass. Identical ranking
+    // contract (cos_sim DESC, vec_id ASC — the window's orderBy).
+    // round-robin repartition the UN-expanded corpus first: the
+    // broadcast join + heap scan run inside the corpus scan's stage,
+    // so their parallelism is the parquet SPLIT COUNT — the sf30
+    // embeddings table is ~2 splits, putting 2e9 cosines on 2 cores
+    // (the dedup_substring explode rule, applied to a join).
+    val corpus = all.repartition(s.sessionState.conf.numShufflePartitions)
+    val scored = corpus.join(q, col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         cosine(col("qv"), col("v"), col("qnn"), col("nn")).as("cos_sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+    val truth = graft.plans.TopK.topKPerKey(
+        graft.plans.TopK.topKPerKeyLocal(scored, 3, "q_id", "cos_sim", "vec_id"),
+        3, "q_id", "cos_sim", "vec_id")
       .select(col("q_id"), col("vec_id"))
     val g = knnGraphWith(s, d, planes)
       .filter(inEvalSampleThinned(col("vec_id"), thin))

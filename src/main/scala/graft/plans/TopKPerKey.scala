@@ -55,8 +55,13 @@ final case class TopKPerKeyExec(
   // functionally determines vec_id in the kNN-graph self-join) makes
   // the heap scan run INSIDE the producing stage with no exchange at
   // all — the candidate set is never shuffled, only the k survivors.
+  // EMPTY distKeys = the partition-LOCAL pass of the two-phase form:
+  // no distribution requirement at all, heaps within whatever
+  // partitions the child already has (see TopK.topKPerKeyLocal).
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(distKeys) :: Nil
+    if (distKeys.isEmpty)
+      org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(distKeys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
@@ -156,6 +161,32 @@ object TopK {
     * distKeys group, e.g. the (LSH bucket, salt) pair that contains
     * every candidate of a salted self-join's stream-side vec_id), so
     * the heap scan needs no exchange of its own. */
+  /** Partition-LOCAL top-k per key — no distribution requirement;
+    * heaps run inside whatever partitions the child already has.
+    * Composes with [[topKPerKey]] into the two-phase form (local
+    * k-best per partition, then global k-best of the survivors): the
+    * full scored stream is NEVER exchanged, only the ≤ k·partitions
+    * survivors per key. Exact — top-k under (score DESC, tie ASC) is
+    * associative, so top-k of per-partition top-ks is the global
+    * top-k. This is the broadcast-join eval shape (knn_recall's
+    * ground truth): each key's rows appear in EVERY corpus partition,
+    * so no coarser co-located distKeys exists, and the window form
+    * would shuffle the entire queries × corpus score matrix (the sf30
+    * probe measured 4.7+ GB of scratch for a 3,333-query truth). */
+  def topKPerKeyLocal(df: DataFrame, k: Int, key: String,
+      scoreDesc: String, tieAsc: String): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
+    val analyzed = df.queryExecution.analyzed
+    def resolve(name: String): Expression =
+      analyzed.output.find(_.name == name)
+        .getOrElse(sys.error(s"cannot resolve $name among ${analyzed.output.map(_.name)}"))
+    ColumnBridge.dataFrame(spark,
+      TopKPerKeyNode(k, resolve(key), resolve(scoreDesc), resolve(tieAsc),
+        Nil, analyzed))
+  }
+
   def topKPerKeyIn(df: DataFrame, k: Int, key: String, scoreDesc: String,
       tieAsc: String, distKeys: String*): DataFrame = {
     val spark = df.sparkSession

@@ -93,6 +93,17 @@ object ScaleSmoke {
         graft.sources.Tables.embeddings(s, dir)) + 1
       graft.functions.Similarity.knnGraphWith(
         s, dir, graft.functions.Similarity.planesFor(n))
+    }),
+      // knn_recall at the corpus-sized plane count — the op itself
+      // grades the ORACLE-pinned 8-plane graph (its static SQL), which
+      // at probe corpora means quadratically overgrown buckets; the
+      // 100 TB path self-sizes the planes exactly like knn_graph_scaled
+      "knn_recall_scaled" -> ((s, dir) => {
+      val n = graft.sources.Tables.maxIdFromStats(
+        s, s"$dir/embeddings.parquet", "vec_id",
+        graft.sources.Tables.embeddings(s, dir)) + 1
+      graft.functions.Similarity.knnRecallWith(
+        s, dir, graft.functions.Similarity.planesFor(n))
     }))
 
   def main(args: Array[String]): Unit = {

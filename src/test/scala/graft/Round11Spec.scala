@@ -135,6 +135,42 @@ class Round11Spec extends SparkSpec {
     assert(sw > 0 && sw < swFull, s"sweep-thinned $sw of $swFull")
   }
 
+  test("two-phase TopK (local then global) equals the window form exactly") {
+    import spark.implicits._
+    import graft.plans.TopK
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    // keys spread across every partition (the broadcast-join eval
+    // shape), duplicate scores to exercise the tie-break, and -0.0/0.0
+    // boundary values
+    val rows = (0 until 20000).map { i =>
+      val score = rnd.nextInt(40) match {
+        case 0 => 0.0
+        case 1 => -0.0
+        case n => rnd.nextInt(500).toDouble / 100.0 - 2.0
+      }
+      (rnd.nextInt(37).toLong, i.toLong, score)
+    }
+    val df = rows.toDF("q_id", "vec_id", "cos_sim").repartition(13)
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("q_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaTopK = TopK.topKPerKey(
+        TopK.topKPerKeyLocal(df, 3, "q_id", "cos_sim", "vec_id"),
+        3, "q_id", "cos_sim", "vec_id")
+      .select("q_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaTopK == viaWindow)
+    // the local pass must not add an exchange of its own
+    val localPlan = TopK.topKPerKeyLocal(df, 3, "q_id", "cos_sim", "vec_id")
+      .queryExecution.executedPlan.toString
+    val basePlan = df.queryExecution.executedPlan.toString
+    def ex(p: String): Int = "Exchange".r.findAllIn(p).length
+    assert(ex(localPlan) == ex(basePlan),
+      s"local TopK pass added an exchange:\n$localPlan")
+  }
+
   test("admit growth store: compaction bounds fan-in, preserves rows, keeps appends idempotent") {
     import spark.implicits._
     import graft.streaming.Streams
