@@ -138,16 +138,29 @@ object Similarity extends OpFamily {
   // S1: brute-force cosine top-10 — queries (vec_id < 5) broadcast
   // against the corpus; one corpus scan, ranking window per query.
   private def cosineTopK(s: SparkSession, d: String): DataFrame = {
-    val all = quantized(s, d)
+    // Same scale shape as knn_recall's ground truth (SCALE finding 14's
+    // stacked lessons): cache the quantized corpus so the interpreted
+    // quantize transform is not CollapseProject-inlined into the
+    // expanding broadcast join; round-robin repartition the un-expanded
+    // corpus (the join runs at parquet-SPLIT parallelism otherwise);
+    // and rank via the TWO-PHASE TopK — the old row_number window
+    // shuffled the entire |queries| × corpus score matrix into
+    // |queries| tasks (5 keys: a hard skew ceiling at any corpus size).
+    // The rn window afterwards orders ≤ 10·|queries| surviving rows.
+    val all = quantized(s, d).cache()
     val queries = broadcast(all.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qnn")))
     val corpus = all.filter(col("vec_id") >= 5)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
-    corpus.join(queries)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+    val scored = corpus.join(queries)
       .select(col("q_id"), col("vec_id"),
         cosine(col("qv"), col("v"), col("qnn"), col("nn")).as("cos_sim"))
-      .withColumn("rn", row_number().over(w).cast("long"))
+    val top = graft.plans.TopK.topKPerKey(
+      graft.plans.TopK.topKPerKeyLocal(scored, 10, "q_id", "cos_sim", "vec_id"),
+      10, "q_id", "cos_sim", "vec_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    top.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 10)
   }
 
