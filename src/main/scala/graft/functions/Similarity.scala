@@ -206,11 +206,18 @@ object Similarity extends OpFamily {
     val queries = broadcast(all.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qnn"),
         lshBucket(col("v")).cast("int").as("bucket")))
+    // two-phase TopK, not a |queries|-key window: the window form
+    // shuffles every bucket-pruned candidate into one task per query —
+    // a 5-task skew wall at any corpus size. Survivors (≤ 5·|Q| rows)
+    // get their rn from a window that is now trivially small.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
-    idx.join(queries, Seq("bucket"))
+    val scored = idx.join(queries, Seq("bucket"))
       .select(col("q_id"), col("vec_id"), col("bucket").cast("long").as("bucket"),
         cosine(col("qv"), col("v"), col("qnn"), col("nn")).as("cos_sim"))
+    graft.plans.TopK.topKPerKey(
+        graft.plans.TopK.topKPerKeyLocal(scored, 5, "q_id", "cos_sim", "vec_id"),
+        5, "q_id", "cos_sim", "vec_id")
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)
   }
@@ -317,11 +324,16 @@ object Similarity extends OpFamily {
         .partitionBy("q_id").orderBy(col("dist2"), col("cid"))))
       .filter(col("rn") <= probes)
       .select(col("q_id"), col("qv"), col("qnn"), col("cid").cast("int").as("cell"))
+    // two-phase TopK over the cell-probed candidates (same rationale
+    // as annLsh — a |queries|-key window is a 5-task skew wall)
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
-    idx.join(broadcast(qcells), Seq("cell"))
+    val scored = idx.join(broadcast(qcells), Seq("cell"))
       .select(col("q_id"), col("vec_id"), col("cell").cast("long").as("cell"),
         cosine(col("qv"), col("v"), col("qnn"), col("nn")).as("cos_sim"))
+    graft.plans.TopK.topKPerKey(
+        graft.plans.TopK.topKPerKeyLocal(scored, 5, "q_id", "cos_sim", "vec_id"),
+        5, "q_id", "cos_sim", "vec_id")
       .withColumn("rn", row_number().over(wRank).cast("long"))
       .filter(col("rn") <= 5)
   }
@@ -532,8 +544,14 @@ object Similarity extends OpFamily {
         (col("snn") + col("cnn") - lit(2L) * dot(col("sv"), col("cbv"))).as("d2q")))
     val approx = codes.join(dt, Seq("j", "code"))
       .groupBy("q_id", "vec_id").agg(sum(col("d2q")).as("approx_d2"))
+    // two-phase: the local pass heaps on the ADC groupBy's existing
+    // (q_id, vec_id) partitioning — the single-phase keyed TopK
+    // re-shuffled the FULL ADC score stream into one task per query
     val cand = graft.plans.TopK.topKPerKey(
-      approx.withColumn("neg", -col("approx_d2")), rerankFrom, "q_id", "neg", "vec_id")
+      graft.plans.TopK.topKPerKeyLocal(
+        approx.withColumn("neg", -col("approx_d2")),
+        rerankFrom, "q_id", "neg", "vec_id"),
+      rerankFrom, "q_id", "neg", "vec_id")
       .select("q_id", "vec_id", "approx_d2")
     // exact rerank of the tiny candidate list (broadcast both sides)
     val queries = broadcast(all.filter(col("vec_id") < 5)
@@ -602,8 +620,14 @@ object Similarity extends OpFamily {
     val approx = idx.join(broadcast(qcells), Seq("cell"))
       .join(dt, Seq("q_id", "j", "code"))
       .groupBy("q_id", "vec_id").agg(sum(col("d2q")).as("approx_d2"))
+    // two-phase: the local pass heaps on the ADC groupBy's existing
+    // (q_id, vec_id) partitioning — the single-phase keyed TopK
+    // re-shuffled the FULL ADC score stream into one task per query
     val cand = graft.plans.TopK.topKPerKey(
-      approx.withColumn("neg", -col("approx_d2")), rerankFrom, "q_id", "neg", "vec_id")
+      graft.plans.TopK.topKPerKeyLocal(
+        approx.withColumn("neg", -col("approx_d2")),
+        rerankFrom, "q_id", "neg", "vec_id"),
+      rerankFrom, "q_id", "neg", "vec_id")
       .select("q_id", "vec_id", "approx_d2")
     val queries = broadcast(all.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qnn")))
@@ -1203,18 +1227,27 @@ object Similarity extends OpFamily {
   // the probe prunes to one label directory); ranking windows
   // partition per query over the label-bounded candidate list.
   private def annFiltered(s: SparkSession, d: String): DataFrame = {
+    // cache(): keep the interpreted quantize transform out of the
+    // label-join lineage (CollapseProject would re-evaluate it per
+    // joined row); two-phase TopK for the per-query rank (the window
+    // form is a |queries|-task skew wall over the label-bounded
+    // candidate lists).
     val all = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), quantize(col("embedding")).as("v"))
       .withColumn("nn", sqNorm(col("v")))
+      .cache()
     val queries = broadcast(all.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("label"),
         col("v").as("qv"), col("nn").as("qnn")))
     val corpus = all.filter(col("vec_id") >= 5)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
-    corpus.join(queries, Seq("label"))
+    val scored = corpus.join(queries, Seq("label"))
       .select(col("q_id"), col("label"), col("vec_id"),
         cosine(col("qv"), col("v"), col("qnn"), col("nn")).as("cos_sim"))
+    graft.plans.TopK.topKPerKey(
+        graft.plans.TopK.topKPerKeyLocal(scored, 5, "q_id", "cos_sim", "vec_id"),
+        5, "q_id", "cos_sim", "vec_id")
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)
   }
