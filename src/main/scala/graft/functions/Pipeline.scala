@@ -875,7 +875,79 @@ object Pipeline extends OpFamily {
        |    // count(*) AS BIGINT) AS flagged_e4
        |FROM base CROSS JOIN t GROUP BY 1""".stripMargin
 
+  // P19 `corpus_deciles`: EXACT global quantile bucketing — every doc
+  // labeled with its corpus-wide length decile (the curriculum /
+  // quality-stratification input: "train on the top half by length",
+  // "hold deciles 0-1 out for the short-doc eval"). The naive form is
+  // ntile() over a GLOBAL sort of the corpus (one task, and
+  // tie-ORDER-dependent so not even deterministic); here the corpus
+  // collapses to the bounded token-count GRID in one map-side-partial
+  // hash-agg, the cumulative cutoffs are windows over that tiny grid
+  // (single-task by design, ≤ |distinct lengths| rows — the E24
+  // bounded-grid pattern), and the verdict broadcasts back onto the
+  // scan. A doc's decile is a pure function of its length — exact,
+  // tie-stable, engine-neutral: decile = (10 · |docs strictly
+  // shorter|) div N.
+  private def corpusDeciles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def docs = Tables.documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val grid = docs.groupBy("n_tok").agg(count(lit(1)).as("c"))
+    val wOrd = Window.orderBy("n_tok")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cuts = grid
+      .withColumn("below", sum(col("c")).over(wOrd) - col("c"))
+      .withColumn("total", sum(col("c")).over(Window.partitionBy()))
+      .select("n_tok", "below", "total")
+    docs.join(broadcast(cuts), Seq("n_tok"))
+      .select(col("doc_id"), col("n_tok"),
+        expr("(10 * below) div total").as("decile"))
+  }
+
+  private val corpusDecilesSql =
+    """WITH sdoc AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |g AS (SELECT n_tok, count(*) AS c FROM sdoc GROUP BY 1),
+      |cuts AS (SELECT n_tok,
+      |    CAST(SUM(c) OVER (ORDER BY n_tok ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS BIGINT) AS below,
+      |    CAST(SUM(c) OVER () AS BIGINT) AS total
+      |  FROM g)
+      |SELECT d.doc_id, d.n_tok, (10 * below) // total AS decile
+      |FROM sdoc d JOIN cuts USING (n_tok)""".stripMargin
+
+  // P20 `corpus_domain_cap`: the per-domain document cap (the
+  // Gopher/FineWeb mixing rule — no source may contribute more than k
+  // docs), decided by a salted content-hash rank so the survivors are
+  // a deterministic uniform sample WITHIN each source. Planned by the
+  // custom TopKPerKey operator: one hash shuffle on source, bounded
+  // k-entry heaps, zero sort — the window form (row_number per source)
+  // sorts every source's full document list, and a hot domain at
+  // 100 TB is exactly where that sort explodes. Same salted-hash
+  // family as T5/T23; 'cap:' salt keeps the three samples independent.
+  private def domainCap(s: SparkSession, d: String): DataFrame = {
+    val k = 15
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr("cast(conv(substr(md5(concat('cap:', cast(doc_id as string))), 1, 15), 16, 10) as bigint)").as("h"))
+      .withColumn("nh", -col("h"))
+    graft.plans.TopK.topKPerKey(base, k, "source", "nh", "doc_id")
+      .select("doc_id", "source", "h")
+  }
+
+  private val domainCapSql =
+    """WITH b AS (
+      |  SELECT doc_id, source,
+      |    CAST(list_sum(list_transform(range(0, 15), i ->
+      |      (strpos('0123456789abcdef', substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1 + CAST(i AS INT), 1)) - 1)
+      |        * CAST(pow(16, 14 - i) AS BIGINT))) AS BIGINT) AS h
+      |  FROM documents),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn FROM b)
+      |SELECT doc_id, source, h FROM r WHERE rn <= 15""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("corpus_deciles", corpusDeciles, Some(corpusDecilesSql)),
+    Op("corpus_domain_cap", domainCap, Some(domainCapSql)),
     Op("corpus_contamination_sweep", contaminationSweep, Some(contaminationSweepSql)),
     Op("corpus_eval_holdout", evalHoldout, Some(evalHoldoutSql)),
     Op("corpus_card", corpusCard, Some(corpusCardSql)),

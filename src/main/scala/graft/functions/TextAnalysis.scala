@@ -907,7 +907,132 @@ object TextAnalysis extends OpFamily {
        |  CAST((10000 * sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS novelty_e4
        |FROM ds d JOIN f USING (s) GROUP BY 1""".stripMargin
 
+  // T22 `vocab_heavy_hitters`: EXACT heavy hitters over the token
+  // stream without a vocabulary-cardinality shuffle — the two-pass
+  // Misra-Gries design a 100 TB frequent-items job needs. The plain
+  // groupBy(token) route (vocab_topk's first stage) shuffles one row
+  // per DISTINCT token; at web scale that is billions of keys for an
+  // answer that only names the few dozen above the frequency floor.
+  // Pass 1 runs a capacity-64 Misra-Gries summary INSIDE each input
+  // partition (mapPartitions — bounded imperative state, the
+  // TopKPerKey justification) and emits ≤ 64 candidates plus the
+  // partition's token count; pigeonhole makes the union of
+  // per-partition survivors a SUPERSET of every token with global
+  // freq > N/65 under ANY partitioning (freq_p(t) ≤ N_p/65 in every
+  // partition would sum to freq(t) ≤ N/65). Pass 2 re-scans the
+  // corpus and exact-counts ONLY those candidates via a broadcast
+  // semi-join, so the single real shuffle carries ≤ 64·partitions
+  // candidate counts, never the vocabulary. The summary's CONTENT is
+  // partitioning-dependent (any valid superset) and is read twice
+  // (candidates + partition totals) — value-pinned first, per the
+  // components() exactly-one-evaluation lesson. The final threshold
+  // filter makes the output partitioning-INdependent and exact.
+  private val hhCap = 64
+
+  /** Pass-1 Misra-Gries summary rows: (candidate token, partition id,
+    * partition token count). Package-visible for the property spec. */
+  private[graft] def mgSummary(tokens: DataFrame): DataFrame = {
+    val s = tokens.sparkSession
+    import s.implicits._
+    tokens.select("token").as[String].mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      var total = 0L
+      it.foreach { t =>
+        total += 1L
+        val cur = counts.getOrElse(t, -1L)
+        if (cur >= 0L) counts.update(t, cur + 1L)
+        else if (counts.size < hhCap) counts.update(t, 1L)
+        else {
+          // full and t unseen: decrement every counter (t cancels too)
+          val keys = counts.keys.toArray
+          var i = 0
+          while (i < keys.length) {
+            val v = counts(keys(i))
+            if (v == 1L) counts.remove(keys(i)) else counts.update(keys(i), v - 1L)
+            i += 1
+          }
+        }
+      }
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      // a partition with ≥1 token always retains ≥1 counter, so every
+      // nonempty partition's total is represented in the output
+      counts.keysIterator.map(t => (t, pid, total))
+    }.toDF("token", "pid", "ptotal")
+  }
+
+  /** The two-pass frequent-items pipeline over any `token` column —
+    * exposed for the partitioning-independence property spec. `tokens`
+    * must be re-evaluable (it is scanned twice — that IS the design). */
+  private[graft] def heavyHittersOf(tokens: => DataFrame): DataFrame = {
+    val pinned = Tables.stableCheckpoint(mgSummary(tokens)) // ≤ 64·partitions rows
+    val freq = tokens.join(broadcast(pinned.select("token").distinct()), Seq("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    // attach the exact corpus total N = Σ partition totals to the tiny
+    // candidate-frequency table without a 1-row cross join: marker
+    // rows + a global window over the bounded union
+    val totals = pinned.groupBy("pid").agg(max(col("ptotal")).as("freq"))
+      .select(lit(null).cast("string").as("token"), col("freq"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    freq.unionByName(totals)
+      .withColumn("total",
+        sum(when(col("token").isNull, col("freq")).otherwise(0L)).over(wAll))
+      .filter(col("token").isNotNull && col("freq") * (hhCap + 1) > col("total"))
+      .select(col("token"), col("freq"))
+  }
+
+  private def heavyHitters(s: SparkSession, d: String): DataFrame =
+    heavyHittersOf(Tables.documents(s, d)
+      // the explode runs inside the scan stage — spread the docs so
+      // pass parallelism isn't the parquet split count
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .select(explode(toks).as("token"))
+      .filter(col("token") =!= ""))
+
+  private val heavyHittersSql =
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |tk AS (SELECT token FROM tok WHERE token <> ''),
+       |f AS (SELECT token, count(*) AS freq FROM tk GROUP BY 1),
+       |n AS (SELECT count(*) AS total FROM tk)
+       |SELECT token, freq FROM f, n WHERE freq * ${hhCap + 1} > total""".stripMargin
+
+  // T23 `sample_uniform`: a fixed-SIZE deterministic uniform sample
+  // (the reservoir-sample contract) as bottom-k over a salted content
+  // hash — rank is a pure function of doc_id, so the sample is stable
+  // across runs, engines, and partitionings, and the TWO-PHASE TopK
+  // keeps it sort-free at any corpus size: partition-local 100-entry
+  // heaps inside the scan stage, then a global pass over the
+  // ≤ 100·partitions survivors. The ORDER BY hash LIMIT k form either
+  // globally sorts the corpus or (TakeOrderedAndProject) funnels
+  // k·partitions rows through the DRIVER — at 100k partitions that is
+  // a driver-side merge of 10^7 rows; here the merge is an executor
+  // task. T5 samples a fixed FRACTION per stratum; this op is the
+  // fixed-COUNT dual (eval sets, human-review batches, finding-14's
+  // absolute-size gates).
+  private def sampleUniform(s: SparkSession, d: String): DataFrame = {
+    val k = 100
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("cast(conv(substr(md5(concat('usample:', cast(doc_id as string))), 1, 15), 16, 10) as bigint)").as("h"))
+      .withColumn("g", lit(0L))
+      .withColumn("nh", -col("h"))
+    val local = graft.plans.TopK.topKPerKeyLocal(base, k, "g", "nh", "doc_id")
+    graft.plans.TopK.topKPerKey(local, k, "g", "nh", "doc_id")
+      .select("doc_id", "lang", "source", "h")
+  }
+
+  private val sampleUniformSql =
+    """WITH b AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(list_sum(list_transform(range(0, 15), i ->
+      |      (strpos('0123456789abcdef', substr(md5('usample:' || CAST(doc_id AS VARCHAR)), 1 + CAST(i AS INT), 1)) - 1)
+      |        * CAST(pow(16, 14 - i) AS BIGINT))) AS BIGINT) AS h
+      |  FROM documents)
+      |SELECT doc_id, lang, source, h FROM b ORDER BY h, doc_id LIMIT 100""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("vocab_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    Op("sample_uniform", sampleUniform, Some(sampleUniformSql)),
     Op("text_ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),
     Op("text_keywords", textKeywords, Some(textKeywordsSql)),
     Op("text_length_hist", textLengthHist, Some(textLengthHistSql)),
