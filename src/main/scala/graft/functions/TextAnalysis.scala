@@ -982,9 +982,15 @@ object TextAnalysis extends OpFamily {
 
   private def heavyHitters(s: SparkSession, d: String): DataFrame =
     heavyHittersOf(Tables.documents(s, d)
-      // the explode runs inside the scan stage — spread the docs so
-      // pass parallelism isn't the parquet split count
-      .repartition(s.sessionState.conf.numShufflePartitions)
+      // deliberately NO repartition: this op's whole contract is that
+      // the corpus is never exchanged (the sf100 probe measured the
+      // explode-rule repartition at 2.4 GB of shuffle — ×2 passes —
+      // for an op whose real shuffle is ≤ 64·partitions candidate
+      // counts). Both passes run at scan-split parallelism: a token
+      // stream folded into O(64) state is map-side-linear work, and at
+      // production scale split count dwarfs core count — the
+      // explode-repartition rule is for per-row SUPERLINEAR expansion
+      // (substring windows), not a flat stream consumed in-scan.
       .select(explode(toks).as("token"))
       .filter(col("token") =!= ""))
 

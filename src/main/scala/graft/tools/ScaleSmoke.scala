@@ -154,8 +154,10 @@ object ScaleSmoke {
     // session + FS warm-up so query 1's cold number is the QUERY cold,
     // not JVM/codegen start (partial datasets — e.g. a documents-only
     // probe generation — fall back to the documents table)
+    // a missing table surfaces as AnalysisException OR a wrapped
+    // FileNotFoundException depending on when the listing happens
     try { graft.sources.Tables.lineitem(spark, scaleDir).count(); () }
-    catch { case _: org.apache.spark.sql.AnalysisException =>
+    catch { case scala.util.control.NonFatal(_) =>
       graft.sources.Tables.documents(spark, scaleDir).count(); () }
 
     // one-time persisted index builds, timed as their own evidence rows
