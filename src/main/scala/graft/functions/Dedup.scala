@@ -1083,21 +1083,28 @@ object Dedup extends OpFamily {
       .select(least(col("va"), col("vb")).as("vec_a"),
         greatest(col("va"), col("vb")).as("vec_b"), lit(1L).as("in_t"))
       .cache()
+    // n_true is config-independent: count it ONCE while materializing
+    // the cache (bounded metadata — one long on the driver). This lets
+    // each config grade via a LEFT join with the cap-bounded TRUTH as
+    // the hash build side, instead of the old full-outer SORT-MERGE
+    // whose sort of the sample²-scaled candidate side was the sweep's
+    // entire 5.4 GB sort-spill at sf30/sf100 (bounded by the cap, but
+    // pure waste — recall/precision only need candidate∩truth, never
+    // an ordering of the candidates).
+    val nTrue = truth.count()
     bandSweepConfigs.map { case (p, b) =>
       val cand = embCandidatesFrom(smp, p, b)
-        .select(col("vec_a"), col("vec_b"), lit(1L).as("in_c"))
-      // NO shuffle_hash hint: the candidate side scales with the
-      // sample² at the loose shapes (the sf30 probe measured the 4×2
-      // shape OOMing the per-task hash relation at ~1e8 pairs under
-      // full core occupancy) — big-big joins sort-merge, and AQE still
-      // downgrades to SHJ when the measured sizes genuinely allow it.
-      truth.join(cand, Seq("vec_a", "vec_b"), "full")
-        .agg(sum(coalesce(col("in_t"), lit(0L))).as("n_true"),
-          sum(coalesce(col("in_c"), lit(0L))).as("n_cand"),
-          sum(coalesce(col("in_t"), lit(0L)) * coalesce(col("in_c"), lit(0L)))
-            .as("n_hit"))
-        .select(lit(s"${p}x$b").as("config"), col("n_true"), col("n_cand"),
-          col("n_hit"),
+      // shuffle_hash on the TRUTH side only: truth is cap-bounded
+      // (≤ |S|² pairs at cos ≥ 0.4 of the ≤ 50 k-vector sample), the
+      // legitimate small aggregated build side; the candidate side —
+      // which scales with sample² at the loose shapes and OOMed a
+      // per-task hash relation in the sf30 probe — streams through
+      // unsorted and unbuilt.
+      cand.join(truth.hint("shuffle_hash"), Seq("vec_a", "vec_b"), "left")
+        .agg(count(lit(1)).as("n_cand"),
+          sum(coalesce(col("in_t"), lit(0L))).as("n_hit"))
+        .select(lit(s"${p}x$b").as("config"), lit(nTrue).as("n_true"),
+          col("n_cand"), col("n_hit"),
           expr("(10000 * n_hit) div n_true").as("recall_e4"),
           expr("(10000 * n_hit) div n_cand").as("precision_e4"))
     }.reduce(_ unionAll _)
