@@ -73,6 +73,10 @@ object ScaleSmoke {
     "dedup_containment", "vocab_bpe_merge", "text_perplexity",
     "es_outbox_routed", "corpus_funnel", "retention",
     "metric_percentile",
+    // r12 corpus operators (each built scale-first; HH is the
+    // zero-corpus-exchange two-pass, deciles the bounded-grid 2-scan)
+    "vocab_heavy_hitters", "corpus_deciles", "corpus_domain_cap",
+    "sample_uniform",
     // streaming representative (micro-batch floor + state scale)
     "stream_fold", "stream_admit")
 
