@@ -888,11 +888,18 @@ object Pipeline extends OpFamily {
   // scan. A doc's decile is a pure function of its length — exact,
   // tie-stable, engine-neutral: decile = (10 · |docs strictly
   // shorter|) div N.
-  private def corpusDeciles(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def docs = Tables.documents(s, d)
+  /** (doc_id, n_tok) projection shared with the streaming twin. */
+  private[graft] def docTok(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
-    val grid = docs.groupBy("n_tok").agg(count(lit(1)).as("c"))
+
+  /** Length grid → per-doc decile resolution, shared with the
+    * streaming twin (which maintains the grid live and repaints the
+    * verdicts per refresh over THIS same code path — structural
+    * batch/stream parity). `grid` must be (n_tok, c) with one row per
+    * distinct length. */
+  private[graft] def decilesFromGrid(docs: DataFrame, grid: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wOrd = Window.orderBy("n_tok")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cuts = grid
@@ -904,7 +911,12 @@ object Pipeline extends OpFamily {
         expr("(10 * below) div total").as("decile"))
   }
 
-  private val corpusDecilesSql =
+  private def corpusDeciles(s: SparkSession, d: String): DataFrame = {
+    val docs = docTok(s, d)
+    decilesFromGrid(docs, docs.groupBy("n_tok").agg(count(lit(1)).as("c")))
+  }
+
+  private[graft] val corpusDecilesSql =
     """WITH sdoc AS (
       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
       |  FROM documents),

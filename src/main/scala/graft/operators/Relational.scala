@@ -603,7 +603,52 @@ object Relational extends OpFamily {
       |    ON c_custkey = o.o_custkey)
       |GROUP BY 1""".stripMargin
 
+  // R27 `semi_join_bloom`: the runtime-filter form of semi-join
+  // reduction — the fact side is pre-probed by a BLOOM FILTER built
+  // over the (filtered) dim keys, so rows that cannot possibly match
+  // are dropped AT THE SCAN, before any exchange; the exact semi join
+  // then removes the bloom's false positives, so the result is
+  // bit-identical to the plain EXISTS. This is the join shape that
+  // matters when the fact-side SHUFFLE dominates (Spark's own
+  // InjectRuntimeFilter makes the same move for shuffle joins; here
+  // it is explicit, oracle-checked, and independent of optimizer
+  // thresholds). The bloom itself is bounded metadata — a fixed-size
+  // bit array collected once on the driver (the footer-stats
+  // precedent) and shipped as a literal into the scan-side filter;
+  // the probe is one codegen'd xxhash64 + O(1) bit tests per row.
+  // Built from the Catalyst expressions Spark's runtime filter uses
+  // (BloomFilterAggregate / BloomFilterMightContain) — a native
+  // Expression, not a UDF; args parsed with CatalystSqlParser per
+  // the ColumnBridge rule.
+  private def semiJoinBloom(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val dim = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val bloomBytes = dim
+      .agg(ColumnBridge.column(new BloomFilterAggregate(
+        CatalystSqlParser.parseExpression("xxhash64(o_custkey)"), 1000000L)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+      CatalystSqlParser.parseExpression("xxhash64(c_custkey)")))
+    Tables.customer(s, d)
+      .filter(mightContain)
+      .join(dim, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+  }
+
+  private val semiJoinBloomSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("semi_join_bloom", semiJoinBloom, Some(semiJoinBloomSql)),
     Op("q21_waiting", q21Waiting, Some(q21Sql)),
     Op("q13_custdist", q13CustDist, Some(q13Sql)),
     Op("q4_priority", q4Priority, Some(q4Sql)),

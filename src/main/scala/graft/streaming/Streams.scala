@@ -888,6 +888,37 @@ object Streams extends OpFamily {
       "graft_stream_anomaly", "append").drop("_batch_id")
   }
 
+  // P19's streaming twin `stream_deciles`: the corpus length
+  // distribution maintained LIVE while documents are ingested, with
+  // the per-doc decile verdicts repainted per refresh — the curriculum
+  // dashboard during an ingest run. The corpus-scale stage (the
+  // bounded length GRID) is a complete-mode streaming count agg over
+  // the arriving docs (sum monoid, O(1) state per distinct length);
+  // the already-ingested base corpus contributes a STATIC grid merged
+  // in by monoid append (the E13 snapshot+delta contract — streaming
+  // unions with static frames are unsupported, grid⊕grid is the
+  // monoid the design wants anyway); the verdict join runs THROUGH
+  // Pipeline.decilesFromGrid — the literal batch code path — per
+  // refresh. The split source replays every doc > t exactly once, so
+  // base ⊕ streamed = the full corpus grid and the final repaint IS
+  // the batch P19 result; oracle = P19's ⇒ batch/stream decile
+  // parity for every document.
+  private def streamDeciles(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Pipeline
+    val t = graft.functions.Dedup.incThreshold(s, d)
+    val baseGrid = Pipeline.docTok(s, d).filter(col("doc_id") <= t)
+      .groupBy("n_tok").agg(count(lit(1)).as("c"))
+    val streamedGrid = runToTable(s,
+      s.readStream.schema(Tables.documents(s, d).schema)
+        .option("maxFilesPerTrigger", "1").parquet(docSplitSource(s, d))
+        .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy("n_tok").agg(count(lit(1)).as("c")),
+      "graft_stream_deciles", "complete")
+    val grid = baseGrid.unionByName(streamedGrid)
+      .groupBy("n_tok").agg(sum(col("c")).as("c"))
+    Pipeline.decilesFromGrid(Pipeline.docTok(s, d), grid)
+  }
+
   // D10's streaming twin `stream_admit`: the admission gate as the
   // LIVE ingest loop it is in production — new docs arrive in
   // micro-batches, each batch is graded against the PERSISTED
@@ -1166,5 +1197,7 @@ object Streams extends OpFamily {
     Op("stream_availability", streamAvailability,
       Some(graft.operators.MetricsOps.availabilitySql)),
     Op("stream_join", streamJoin, Some(streamJoinSql)),
+    Op("stream_deciles", streamDeciles,
+      Some(graft.functions.Pipeline.corpusDecilesSql)),
     Op("stream_signal", streamSignal, Some(graft.operators.Windows.signalPatternSql)))
 }
