@@ -48,6 +48,31 @@ class Round12bSpec extends SparkSpec {
       s"might_contain must sit below the semi join:\n$plan")
   }
 
+  test("dedup_bloom_gate equals the plain digest left-join gate (no false negatives possible)") {
+    val got = run("dedup_bloom_gate").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val t = graft.sources.Tables.documents(spark, sf)
+      .agg(max(col("doc_id"))).head().getLong(0) * 4L / 5L
+    val base = docs.filter(col("doc_id") <= t)
+      .groupBy("h").agg(min(col("doc_id")).as("dup_of"))
+    val plain = docs.filter(col("doc_id") > t)
+      .join(base, Seq("h"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of").isNotNull, "dup").otherwise("new").as("verdict"),
+        col("dup_of"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == plain)
+    // sf0.001's 100 new docs contain no byte-exact dup of the base 400
+    // (spec-scale data property — dup coverage is exercised by the
+    // sf0.01 driver oracle and the sf100 probe's 1M-row verdict set)
+    assert(got.nonEmpty && got.forall(v => v._2 == "dup" || v._2 == "new"))
+  }
+
   test("stream_deciles equals batch corpus_deciles frame-for-frame") {
     val streamed = run("stream_deciles").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
