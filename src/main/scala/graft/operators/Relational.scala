@@ -647,7 +647,56 @@ object Relational extends OpFamily {
       |WHERE EXISTS (SELECT 1 FROM orders
       |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
 
+  // R28 `skew_profile`: the join-key skew diagnostic read BEFORE any
+  // salting decision — per candidate join key of the event log, the
+  // top-20 heaviest values with their exact row share (e4). Every
+  // skew mitigation in this repo (q3_salted, es_fold_salted, AQE
+  // skew-join, the salted LSH buckets) is sized from exactly this
+  // table; at 100 TB you measure the celebrity keys first, then pick
+  // the salt. One map-side-partial hash-agg per key column collapses
+  // the corpus to the value histogram; the top-20 rides the
+  // TopKPerKey heaps (no per-key sort); the total for the share is a
+  // global window over the tiny survivor set. The DataGen/driver hot
+  // user (~10% of events on user 7 at probe scales) is precisely what
+  // this op exists to surface.
+  private def skewProfile(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    // corpus row count once (an empty-schema parquet pass — bounded
+    // metadata, the footer-stats precedent): the share that matters
+    // for a salting decision is "of the CORPUS", not of the top-k
+    val total = ev.count()
+    val keys = Seq("user_id", "event_type")
+    keys.map { k =>
+      val counts = ev.groupBy(col(k).cast("string").as("key_value"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("key_col", lit(k))
+        .withColumn("tid", expr(
+          "cast(conv(substr(md5(key_value), 1, 15), 16, 10) as bigint)"))
+      graft.plans.TopK.topKPerKey(counts, 20, "key_col", "n", "tid")
+        .select(col("key_col"), col("key_value"), col("n"),
+          // div, not / — `/` on longs is double division (house gotcha)
+          expr(s"(10000 * n) div ${total}L").as("share_e4"))
+    }.reduce(_ unionByName _)
+  }
+
+  private val skewProfileSql =
+    """WITH keys AS (
+      |  SELECT 'user_id' AS key_col, CAST(user_id AS VARCHAR) AS key_value FROM events
+      |  UNION ALL
+      |  SELECT 'event_type' AS key_col, event_type AS key_value FROM events),
+      |c AS (SELECT key_col, key_value, count(*) AS n FROM keys GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY key_col ORDER BY n DESC,
+      |    CAST(list_sum(list_transform(range(0, 15), i ->
+      |      (strpos('0123456789abcdef', substr(md5(key_value), 1 + CAST(i AS INT), 1)) - 1)
+      |        * CAST(pow(16, 14 - i) AS BIGINT))) AS BIGINT)) AS rn
+      |  FROM c),
+      |tot AS (SELECT count(*) AS total FROM events)
+      |SELECT key_col, key_value, n, (10000 * n) // (SELECT total FROM tot) AS share_e4
+      |FROM r WHERE rn <= 20""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("skew_profile", skewProfile, Some(skewProfileSql)),
     Op("semi_join_bloom", semiJoinBloom, Some(semiJoinBloomSql)),
     Op("q21_waiting", q21Waiting, Some(q21Sql)),
     Op("q13_custdist", q13CustDist, Some(q13Sql)),
