@@ -1165,24 +1165,36 @@ object Dedup extends OpFamily {
   // The two branches each scan the new side once (two scans beat
   // shuffling the full new side at any corpus size); dup_of is the
   // minimum matching base doc (the D6/D10 canonical-survivor rule).
-  private def dedupBloomGate(s: SparkSession, d: String): DataFrame = {
+  /** Build a membership Bloom over `df`'s `h` column (collected once —
+    * bounded metadata, the R27 contract) and return the MightContain
+    * predicate over a probe side's `h`. Shared by the batch gate and
+    * its streaming twin. */
+  private[graft] def bloomMightOverH(df: DataFrame): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val t = incThreshold(s, d)
-    def newDocs = Tables.documents(s, d).filter(col("doc_id") > t)
-      .select(col("doc_id"), md5(col("text")).as("h"))
-    val base = Tables.documents(s, d).filter(col("doc_id") <= t)
-      .select(col("doc_id"), md5(col("text")).as("h"))
-    val bloomBytes = base
+    val bloomBytes = df
       .agg(ColumnBridge.column(new BloomFilterAggregate(
         CatalystSqlParser.parseExpression("xxhash64(h)"), 1000000L)
         .toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
-    val might = ColumnBridge.column(BloomFilterMightContain(
+    ColumnBridge.column(BloomFilterMightContain(
       Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
       CatalystSqlParser.parseExpression("xxhash64(h)")))
+  }
+
+  /** (doc_id, h) of the prior-corpus side of the admission gate. */
+  private[graft] def bloomGateBase(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") <= incThreshold(s, d))
+      .select(col("doc_id"), md5(col("text")).as("h"))
+
+  private def dedupBloomGate(s: SparkSession, d: String): DataFrame = {
+    val t = incThreshold(s, d)
+    def newDocs = Tables.documents(s, d).filter(col("doc_id") > t)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val base = bloomGateBase(s, d)
+    val might = bloomMightOverH(base)
     val positives = newDocs.filter(might)
       .join(base.groupBy("h").agg(min(col("doc_id")).as("dup_of"))
         .hint("shuffle_hash"), Seq("h"), "left")
@@ -1195,7 +1207,7 @@ object Dedup extends OpFamily {
         col("dup_of"))
   }
 
-  private def bloomGateSql =
+  private[graft] def bloomGateSql =
     """WITH thr AS (SELECT (max(doc_id) * 4) // 5 AS t FROM documents),
       |b AS (
       |  SELECT md5(text) AS h, min(doc_id) AS dup_of FROM documents

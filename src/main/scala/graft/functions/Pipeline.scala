@@ -957,7 +957,98 @@ object Pipeline extends OpFamily {
       |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn FROM b)
       |SELECT doc_id, source, h FROM r WHERE rn <= 15""".stripMargin
 
+  // P22 `corpus_delta`: the recrawl DIFF — every corpus refresh starts
+  // by answering "what changed since the last snapshot" so downstream
+  // passes (signatures, indexes, shards) process only the delta instead
+  // of re-running the whole pipeline. Two snapshot READS (derived
+  // deterministically from the one test table: the old crawl misses
+  // doc_id%10==7, the new one misses %10==3 and re-edited every %5==0
+  // doc) are diffed by CONTENT HASH on the stable doc key, emitting
+  // only added/removed/changed rows — the E19 changelog contract
+  // applied to the corpus. The join is a full-outer on the unique
+  // uniform doc_id: sort-merge scales linearly, and at 100 TB both
+  // snapshots live bucketed by doc_id (the BucketedJoinSpec
+  // counterfactual) so the diff runs shuffle-free — the plan property
+  // that makes DAILY recrawl diffs affordable. unchanged rows (the
+  // overwhelming mass) are filtered before anything leaves the join.
+  private def corpusDelta(s: SparkSession, d: String): DataFrame = {
+    val old = Tables.documents(s, d).filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"), md5(col("text")).as("old_h"))
+    val neu = Tables.documents(s, d).filter(col("doc_id") % 10 =!= 3)
+      .select(col("doc_id"), md5(
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).as("new_h"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .filter(col("old_h").isNull || col("new_h").isNull ||
+        col("old_h") =!= col("new_h"))
+      .select(col("doc_id"),
+        when(col("old_h").isNull, "added")
+          .when(col("new_h").isNull, "removed")
+          .otherwise("changed").as("status"),
+        col("old_h"), col("new_h"))
+  }
+
+  private val corpusDeltaSql =
+    """WITH old AS (
+      |  SELECT doc_id, md5(text) AS old_h FROM documents WHERE doc_id % 10 != 7),
+      |neu AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END) AS new_h
+      |  FROM documents WHERE doc_id % 10 != 3)
+      |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       ELSE 'changed' END AS status,
+      |  o.old_h, n.new_h
+      |FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id
+      |WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.old_h <> n.new_h""".stripMargin
+
+  // P23 `corpus_compaction_plan`: the small-files maintenance pass —
+  // a long-running ingest leaves each source's shard directory littered
+  // with files far below the scan-efficient target (the classic lake
+  // pathology: a 100 TB corpus in 10 MB files is 10^7 open/seek costs
+  // per scan and a planner with 10^7 splits). The planner reads the
+  // FILE MANIFEST (here derived: one "file" per (source, doc_id%64)
+  // with its exact byte mass), orders each source's files
+  // size-DESCENDING (first-fit-decreasing — big files anchor bins,
+  // small ones fill them), and assigns out_file = exclusive-prefix-sum
+  // div target: the deterministic, engine-neutral form of greedy
+  // packing, window-expressible because the cumulative sum IS the bin
+  // state. The corpus collapses to the bounded manifest grid in ONE
+  // map-side-partial hash-agg; every window partitions by source, so
+  // no single-task global sort exists at any scale (the P19 grid
+  // discipline — the window input is |sources|·64 rows, not the
+  // corpus).
+  private val compactTarget = 2000L // target output-file bytes
+
+  private def compactionPlan(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val manifest = Tables.documents(s, d)
+      .groupBy(col("source"), (col("doc_id") % 64).as("part"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+    val w = Window.partitionBy("source").orderBy(col("bytes").desc, col("part"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    manifest
+      .withColumn("before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .select(col("source"), col("part"), col("n_docs"), col("bytes"),
+        expr(s"before div $compactTarget").as("out_file"))
+  }
+
+  private val compactionPlanSql =
+    s"""WITH m AS (
+       |  SELECT source, doc_id % 64 AS part, count(*) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS bytes
+       |  FROM documents GROUP BY 1, 2)
+       |SELECT source, part, n_docs, bytes,
+       |  COALESCE(CAST(sum(bytes) OVER (
+       |    PARTITION BY source ORDER BY bytes DESC, part
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |    // $compactTarget AS out_file
+       |FROM m""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("corpus_delta", corpusDelta, Some(corpusDeltaSql)),
+    Op("corpus_compaction_plan", compactionPlan, Some(compactionPlanSql)),
     Op("corpus_deciles", corpusDeciles, Some(corpusDecilesSql)),
     Op("corpus_domain_cap", domainCap, Some(domainCapSql)),
     Op("corpus_contamination_sweep", contaminationSweep, Some(contaminationSweepSql)),

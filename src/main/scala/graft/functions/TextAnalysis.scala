@@ -1036,7 +1036,61 @@ object TextAnalysis extends OpFamily {
       |  FROM documents)
       |SELECT doc_id, lang, source, h FROM b ORDER BY h, doc_id LIMIT 100""".stripMargin
 
+  // T24 `text_quality_model`: the MODEL-scoring stage of a quality
+  // pipeline — a hashed-feature linear classifier (the fastText /
+  // quality-classifier shape every modern corpus filter runs after the
+  // T2 heuristics: token → hash bucket → weight, doc score = mean
+  // bucket weight, threshold verdict) evaluated entirely IN-SCAN.
+  // The hashing trick means no vocabulary table exists at all: the
+  // feature index is the T5/D14 md5 convention mod 256 and the weight
+  // vector is a pure function of the bucket id, so scoring is one
+  // projection over the corpus — ZERO shuffle, zero joins, zero
+  // broadcast — and throughput is the scan itself (the property that
+  // lets the 100 TB filter run as a side-effect of any other pass).
+  // All arithmetic is exact int64 (e4 score, div), so the verdict
+  // hash-compares across engines. A real model swaps qmWeight for a
+  // trained weight-vector literal (still bucket-indexed, still
+  // in-scan); the plumbing under test — per-token hashing, array
+  // aggregation, mean-score thresholding — is the production shape.
+  private val qmBuckets = 256
+
+  /** Hashing-trick feature index of one token (md5 first-8-hex mod
+    * buckets — the engine-neutral T5 convention, 'qm:' salt). */
+  private def qmBucket(t: Column): Column =
+    conv(substring(md5(concat(lit("qm:"), t)), 1, 8), 16, 10)
+      .cast("long") % qmBuckets
+
+  /** Deterministic stand-in weight vector: w(b) = (37·b + 11) mod 201,
+    * range 0..200 (non-negative keeps `div` engine-neutral — Spark
+    * `div` truncates toward zero, DuckDB `//` floors). */
+  private def qmWeight(b: Column): Column = (b * 37L + 11L) % 201L
+
+  private def qualityModel(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        aggregate(split(col("text"), " "), lit(0L),
+          (acc, t) => acc + qmWeight(qmBucket(t))).as("w_sum"))
+      .withColumn("score_e4", expr("(10000 * w_sum) div n_tok"))
+      .withColumn("verdict",
+        when(col("score_e4") >= 1000000L, "keep").otherwise("drop"))
+
+  private val qualityModelSql =
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    CAST(list_sum(list_transform(string_split(text, ' '), t ->
+       |      ((CAST(list_sum(list_transform(range(1, 9), i ->
+       |          (strpos('0123456789abcdef', substr(md5('qm:' || t), CAST(i AS INT), 1)) - 1)
+       |            * CAST(pow(16, 8 - i) AS BIGINT))) AS BIGINT) % $qmBuckets) * 37 + 11) % 201)) AS BIGINT) AS w_sum
+       |  FROM documents)
+       |SELECT doc_id, n_tok, w_sum,
+       |  CAST((10000 * w_sum) // n_tok AS BIGINT) AS score_e4,
+       |  CASE WHEN (10000 * w_sum) // n_tok >= 1000000 THEN 'keep' ELSE 'drop' END AS verdict
+       |FROM b""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("text_quality_model", qualityModel, Some(qualityModelSql)),
     Op("vocab_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     Op("sample_uniform", sampleUniform, Some(sampleUniformSql)),
     Op("text_ngram_novelty", ngramNovelty, Some(ngramNoveltySql)),

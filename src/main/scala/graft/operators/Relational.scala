@@ -695,7 +695,60 @@ object Relational extends OpFamily {
       |SELECT key_col, key_value, n, (10000 * n) // (SELECT total FROM tot) AS share_e4
       |FROM r WHERE rn <= 20""".stripMargin
 
+  // R29 `layout_zorder`: the DATA-LAYOUT planner — assign every fact
+  // row to an output file along a Z-ORDER (Morton) curve over the two
+  // hottest filter keys, and report each file's per-dimension min/max
+  // envelope (exactly the parquet footer stats a scan prunes on).
+  // This is the maintenance pass (Delta OPTIMIZE ZORDER / Iceberg
+  // sort-order rewrite) that makes BOTH `WHERE l_partkey=…` and
+  // `WHERE l_suppkey=…` prune to ~√F of F files, where a plain
+  // single-key sort prunes one predicate perfectly and the other not
+  // at all. Mechanics: each key is range-bucketed to 8 bits against
+  // its FOOTER-STATS max (no scan, the Tables.maxIdFromStats
+  // contract), the 16 bucket bits interleave arithmetically into the
+  // z-value (pure int64 expressions — engine-neutral, codegen'd), and
+  // file = z div 256 → 256 files whose envelopes this op emits. ONE
+  // map-side-partial hash-agg keyed by the bounded file id is the
+  // whole plan: no sort, no join, shuffle carries ≤ 256 rows. The
+  // LayoutSpec quantifies the prune: z-order file envelopes cover a
+  // partkey (or suppkey) point predicate in ~√256·skew files vs the
+  // row-order layout's "every file matches".
+  private def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val maxP = Tables.maxIdFromStats(s, s"$d/lineitem.parquet", "l_partkey", li)
+    val maxS = Tables.maxIdFromStats(s, s"$d/lineitem.parquet", "l_suppkey", li)
+    val interleave = (0 until 8).map(i =>
+      s"((bx div ${1L << i}) % 2) * ${1L << (2 * i + 1)} + " +
+        s"((by div ${1L << i}) % 2) * ${1L << (2 * i)}").mkString(" + ")
+    li.select(col("l_partkey"), col("l_suppkey"),
+        expr(s"(l_partkey * 256) div ${maxP + 1}").as("bx"),
+        expr(s"(l_suppkey * 256) div ${maxS + 1}").as("by"))
+      .withColumn("zfile", expr(s"($interleave) div 256"))
+      .groupBy("zfile")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+        min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
+  }
+
+  private val zorderSql = {
+    val interleave = (0 until 8).map(i =>
+      s"((bx // ${1L << i}) % 2) * ${1L << (2 * i + 1)} + " +
+        s"((by // ${1L << i}) % 2) * ${1L << (2 * i)}").mkString(" + ")
+    s"""WITH mx AS (
+       |  SELECT max(l_partkey) + 1 AS mp, max(l_suppkey) + 1 AS ms FROM lineitem),
+       |b AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    (l_partkey * 256) // (SELECT mp FROM mx) AS bx,
+       |    (l_suppkey * 256) // (SELECT ms FROM mx) AS by
+       |  FROM lineitem)
+       |SELECT ($interleave) // 256 AS zfile, count(*) AS n_rows,
+       |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+       |  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+       |FROM b GROUP BY 1""".stripMargin
+  }
+
   override def ops: Seq[Op] = Seq(
+    Op("layout_zorder", zorderLayout, Some(zorderSql)),
     Op("skew_profile", skewProfile, Some(skewProfileSql)),
     Op("semi_join_bloom", semiJoinBloom, Some(semiJoinBloomSql)),
     Op("q21_waiting", q21Waiting, Some(q21Sql)),

@@ -919,6 +919,42 @@ object Streams extends OpFamily {
     Pipeline.decilesFromGrid(Pipeline.docTok(s, d), grid)
   }
 
+  // D18's streaming twin `stream_bloom_gate` (D19): the Bloom-gated
+  // exact-dup admission where it actually runs in production — in
+  // front of the LIVE ingest stream. The base corpus's membership
+  // bloom is built ONCE (bounded metadata, re-shipped as a literal —
+  // the R27/D18 machinery) and probed INSIDE every micro-batch's
+  // scan: bloom-negative docs are provably new and bypass the join
+  // entirely (per batch, the join input is only the positive sliver),
+  // bloom-positive docs pay the digest left-join against the static
+  // base where FPs fall out exactly. The base index is IMMUTABLE
+  // capital (built before the stream starts, never rebuilt per batch
+  // — the stream_admit lesson); per-batch work is O(batch) hashing +
+  // one sliver join. Append-mode emission: each doc is graded in
+  // exactly the batch that carries it, so the accumulated sink is
+  // byte-identical to the batch D18 verdict set and the oracle IS
+  // D18's ⇒ batch/stream admission parity.
+  private def streamBloomGate(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Dedup
+    val base = Dedup.bloomGateBase(s, d)
+    val might = Dedup.bloomMightOverH(base)
+    val baseAgg = base.groupBy("h").agg(min(col("doc_id")).as("dup_of"))
+    val stream = s.readStream.schema(Tables.documents(s, d).schema)
+      .option("maxFilesPerTrigger", "1").parquet(docSplitSource(s, d))
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val positives = stream.filter(might)
+      .join(baseAgg.hint("shuffle_hash"), Seq("h"), "left")
+      .select(col("doc_id"), col("dup_of"))
+    val negatives = stream.filter(!might)
+      .select(col("doc_id"), lit(null).cast("long").as("dup_of"))
+    runToTable(s,
+      positives.unionByName(negatives)
+        .select(col("doc_id"),
+          when(col("dup_of").isNotNull, "dup").otherwise("new").as("verdict"),
+          col("dup_of")),
+      "graft_stream_bloom_gate", "append").drop("_batch_id")
+  }
+
   // D10's streaming twin `stream_admit`: the admission gate as the
   // LIVE ingest loop it is in production — new docs arrive in
   // micro-batches, each batch is graded against the PERSISTED
@@ -1199,5 +1235,7 @@ object Streams extends OpFamily {
     Op("stream_join", streamJoin, Some(streamJoinSql)),
     Op("stream_deciles", streamDeciles,
       Some(graft.functions.Pipeline.corpusDecilesSql)),
+    Op("stream_bloom_gate", streamBloomGate,
+      Some(graft.functions.Dedup.bloomGateSql)),
     Op("stream_signal", streamSignal, Some(graft.operators.Windows.signalPatternSql)))
 }

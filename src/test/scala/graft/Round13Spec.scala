@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round 13: the lake-maintenance / model-scoring tranche —
+  * `text_quality_model` (T24), `corpus_delta` (P22),
+  * `corpus_compaction_plan` (P23), `layout_zorder` (R29) and
+  * `stream_bloom_gate` (D19).
+  *
+  * Each oracle-checked op gets the independent-replay treatment here:
+  * the scoring model is replayed token-by-token in plain Scala, the
+  * delta is APPLIED to the old snapshot and must reproduce the new one
+  * (the E19 old ⊕ changelog = new law), the packing is replayed as a
+  * literal prefix-sum walk, the Morton interleave is replayed bit by
+  * bit, and the z-order layout's reason to exist — point-predicate
+  * pruning on BOTH dimensions — is quantified against the row-order
+  * counterfactual layout.
+  */
+class Round13Spec extends SparkSpec {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // ---- T24 text_quality_model ----
+
+  private def replayScore(text: String): (Long, Long) = {
+    val toks = text.split(" ", -1)
+    val wsum = toks.map { t =>
+      val b = java.lang.Long.parseLong(md5hex("qm:" + t).take(8), 16) % 256
+      (b * 37 + 11) % 201
+    }.sum
+    (toks.length.toLong, wsum)
+  }
+
+  test("text_quality_model matches a plain-Scala per-token replay of the hashed model") {
+    val got = run("text_quality_model").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+    assert(docs.nonEmpty && got.size == docs.length)
+    docs.foreach { r =>
+      val (nTok, wSum) = replayScore(r.getString(1))
+      val score = 10000L * wSum / nTok
+      val verdict = if (score >= 1000000L) "keep" else "drop"
+      assert(got(r.getLong(0)) == ((nTok, wSum, score, verdict)),
+        s"doc ${r.getLong(0)}: got ${got(r.getLong(0))}, replay ($nTok,$wSum,$score,$verdict)")
+    }
+  }
+
+  test("text_quality_model is a pure projection: zero exchanges in the plan") {
+    val plan = run("text_quality_model").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"the in-scan scorer must not shuffle:\n$plan")
+  }
+
+  // ---- P22 corpus_delta ----
+
+  test("corpus_delta applied to the old snapshot reproduces the new snapshot exactly") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val old = docs.collect { case (id, t) if id % 10 != 7 => id -> md5hex(t) }
+    val neu = docs.collect { case (id, t) if id % 10 != 3 =>
+      id -> md5hex(if (id % 5 == 0) t + " rev2" else t)
+    }
+    val delta = run("corpus_delta").collect().map(r =>
+      (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3)))
+    // every status present, and old_h/new_h populated per contract
+    assert(delta.exists(_._2 == "added") && delta.exists(_._2 == "removed")
+      && delta.exists(_._2 == "changed"))
+    val applied = delta.foldLeft(old) {
+      case (acc, (id, "removed", oldH, _)) =>
+        assert(acc.get(id).contains(oldH)); acc - id
+      case (acc, (id, "added", oldH, newH)) =>
+        assert(oldH == null && !acc.contains(id)); acc + (id -> newH)
+      case (acc, (id, "changed", oldH, newH)) =>
+        assert(acc.get(id).contains(oldH) && oldH != newH); acc + (id -> newH)
+      case (_, row) => fail(s"unexpected delta row $row")
+    }
+    assert(applied == neu, "old snapshot + delta must equal the new snapshot")
+  }
+
+  // ---- P23 corpus_compaction_plan ----
+
+  test("corpus_compaction_plan is the literal size-descending prefix-sum packing") {
+    val target = 2000L
+    val got = run("corpus_compaction_plan").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      // replay: first-fit-decreasing order, bin = exclusive prefix div target
+      val ordered = rows.sortBy(r => (-r._4, r._2))
+      var before = 0L
+      ordered.foreach { case (src, part, _, bytes, outFile) =>
+        assert(outFile == before / target,
+          s"$src/$part: out_file $outFile != replay ${before / target}")
+        before += bytes
+      }
+      // bins are contiguous in the packing order and start at 0
+      val bins = ordered.map(_._5)
+      assert(bins.head == 0L && bins.zip(bins.tail).forall { case (a, b) => b - a <= 1 && b >= a })
+    }
+    // at least one source actually splits into multiple output files
+    assert(got.groupBy(_._1).exists(_._2.map(_._5).distinct.length > 1))
+  }
+
+  // ---- R29 layout_zorder ----
+
+  private def morton(bx: Long, by: Long): Long =
+    (0 until 8).map(i => (((bx >> i) & 1L) << (2 * i + 1)) | (((by >> i) & 1L) << (2 * i))).sum
+
+  test("layout_zorder matches an independent Morton-encode replay") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val maxP = li.map(_._1).max + 1
+    val maxS = li.map(_._2).max + 1
+    val replay = li.groupBy { case (p, sk) =>
+      morton(p * 256 / maxP, sk * 256 / maxS) / 256
+    }.map { case (zf, rows) =>
+      (zf, rows.length.toLong, rows.map(_._1).min, rows.map(_._1).max,
+        rows.map(_._2).min, rows.map(_._2).max)
+    }.toSet
+    val got = run("layout_zorder").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == replay)
+  }
+
+  test("layout_zorder envelopes prune point predicates on BOTH keys; row-order prunes neither") {
+    // counterfactual: the same rows laid out in natural l_orderkey
+    // order (64 files) — the layout an append-only ingest leaves behind
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(r => (r._1, r._2, r._3))
+    val perFile = math.max(1, li.length / 64)
+    val rowOrder = li.grouped(perFile).toSeq.map { rows =>
+      (rows.map(_._2).min, rows.map(_._2).max, rows.map(_._3).min, rows.map(_._3).max)
+    }
+    val z = run("layout_zorder").collect().map(r =>
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    def covering(env: Seq[(Long, Long)], v: Long): Double =
+      env.count { case (lo, hi) => lo <= v && v <= hi }.toDouble / env.length
+    val pks = li.map(_._2).distinct.sorted
+    val sks = li.map(_._3).distinct.sorted
+    val probesP = (1 to 19).map(i => pks(pks.length * i / 20))
+    val probesS = (1 to 19).map(i => sks(sks.length * i / 20))
+    val zP = probesP.map(v => covering(z.map(e => (e._1, e._2)), v)).sum / probesP.length
+    val zS = probesS.map(v => covering(z.map(e => (e._3, e._4)), v)).sum / probesS.length
+    val rP = probesP.map(v => covering(rowOrder.map(e => (e._1, e._2)), v)).sum / probesP.length
+    val rS = probesS.map(v => covering(rowOrder.map(e => (e._3, e._4)), v)).sum / probesS.length
+    // row-order: every file's envelope spans ~the whole key range on
+    // both dims (no pruning); z-order: a point predicate touches only
+    // the files sharing its 4-bit bucket prefix on that dim
+    assert(rP > 0.9 && rS > 0.9, s"counterfactual should not prune: rP=$rP rS=$rS")
+    assert(zP < 0.5 * rP, s"z-order partkey pruning too weak: $zP vs $rP")
+    assert(zS < 0.5 * rS, s"z-order suppkey pruning too weak: $zS vs $rS")
+  }
+
+  // ---- D19 stream_bloom_gate ----
+
+  test("stream_bloom_gate equals the batch bloom gate verdict-for-verdict") {
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sortBy(_._1).toSeq
+    assert(canon(run("stream_bloom_gate")) == canon(run("dedup_bloom_gate")))
+  }
+}
