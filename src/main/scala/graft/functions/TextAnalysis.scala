@@ -1075,6 +1075,16 @@ object TextAnalysis extends OpFamily {
       .withColumn("verdict",
         when(col("score_e4") >= 1000000L, "keep").otherwise("drop"))
 
+  /** Probe form: a checksum aggregate OVER the scorer's output. A pure
+    * projection under a bare count() action gets column-pruned to a
+    * footer-stats row count (the scoring never runs — scale finding
+    * 17), so scale evidence must force the work through an aggregate
+    * of the scores themselves. */
+  private[graft] def qualityModelScored(s: SparkSession, d: String): DataFrame =
+    qualityModel(s, d).agg(sum(col("score_e4")).as("score_sum"),
+      sum(when(col("verdict") === "keep", 1L).otherwise(0L)).as("n_keep"),
+      count(lit(1)).as("n_docs"))
+
   private val qualityModelSql =
     s"""WITH b AS (
        |  SELECT doc_id,

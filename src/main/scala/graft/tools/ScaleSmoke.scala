@@ -90,6 +90,12 @@ object ScaleSmoke {
       // the provider posture evidence (StateScaleProbe has the
       // metric-rich standalone main)
       "stream_state_scale" -> ((s, dir) => StateScaleProbe.summary(s, dir)),
+      // a PURE-PROJECTION op under the probe's bare count() action is
+      // column-pruned to a parquet-footer row count — the scoring never
+      // executes (measured: 0.16 s "cold" for 5 M docs, finding 17).
+      // The honest probe aggregates the op's OUTPUT.
+      "text_quality_model_scored" -> ((s, dir) =>
+        graft.functions.TextAnalysis.qualityModelScored(s, dir)),
       "knn_graph_scaled" -> ((s, dir) => {
       // corpus-sized plane count (12 at the sf10 smoke's 200k vectors)
       val n = graft.sources.Tables.maxIdFromStats(
@@ -226,7 +232,16 @@ object ScaleSmoke {
       def once(): (Boolean, Double, Long) = {
         vol.reset()
         val t0 = System.nanoTime()
-        val rows = try fn(spark, scaleDir).count() catch { case e: Throwable =>
+        // force the op's OWN plan, not a count() rewrite of it: a bare
+        // count() is vacuous for a pure-projection op (column-pruned to
+        // a parquet-footer row count) AND for a global aggregate
+        // (OptimizeOneRowPlan folds the count to 1 without evaluating
+        // the aggregates) — scale finding 17, measured: 0.16 s / 0.99 s
+        // "cold" for a 5 M-doc scorer whose real cost is 40.5 s.
+        // toRdd.count() materializes every InternalRow of the plan as
+        // the driver's parquet dump would, with nothing collected.
+        val rows = try fn(spark, scaleDir).queryExecution.toRdd.count()
+        catch { case e: Throwable =>
           System.err.println(s"[scale] FAILED $n: ${e.getMessage}")
           return (false, (System.nanoTime() - t0) / 1e9, -1L)
         }
