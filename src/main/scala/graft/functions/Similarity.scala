@@ -1323,7 +1323,64 @@ object Similarity extends OpFamily {
        |GROUP BY 1""".stripMargin
   }
 
+  // S14 `ann_scalar_quant`: the int8 SCALAR-quantization error
+  // envelope — the vector-compression tier between raw floats
+  // (4 B/dim) and PQ codes (S4's 128×): symmetric int8 SQ is what
+  // production vector stores ship first (4× smaller, SIMD-friendly,
+  // no codebook training), and this op is the acceptance gate run
+  // before flipping an index to SQ — per label, the EXACT
+  // reconstruction-error envelope. All arithmetic is integer: v is
+  // the ×1000-quantized int64 lane, the global scale maxabs is one
+  // bounded-metadata aggregate (collected once, shipped as a
+  // literal — the D18 bloom contract), code = (v·127) div maxabs ∈
+  // [−127,127], recon = (code·maxabs) div 127, and both engines
+  // truncate integer division toward zero so the per-dimension error
+  // |v − recon| hash-compares exactly. ONE corpus scan + one tiny
+  // hash-agg on the bounded label grid; the scale pre-pass is its own
+  // scan collapsing map-side to one long. rel_err_e4 bounds the
+  // envelope corpus-wide: err ≤ maxabs/127 per dim by construction,
+  // and the measured e4 ratio is what the ANN recall owner signs off.
+  private def annScalarQuant(s: SparkSession, d: String): DataFrame = {
+    val q = quantize(col("embedding"))
+    val maxabs = Tables.embeddings(s, d)
+      .agg(max(array_max(transform(q, x => abs(x))))).head().getLong(0)
+    // `div` (true integral division) exists only in SQL form — Column
+    // `/`/divide are double division, floor(double) drifts on big longs
+    val errsSql = s"transform(v, x -> abs(x - (((x * 127) div $maxabs) * $maxabs) div 127))"
+    Tables.embeddings(s, d)
+      .select(col("label"), q.as("v"))
+      .select(col("label"),
+        expr(s"aggregate($errsSql, 0L, (a, x) -> a + x)").as("err_sum_v"),
+        expr(s"array_max($errsSql)").as("err_max_v"),
+        expr("aggregate(transform(v, x -> abs(x)), 0L, (a, x) -> a + x)").as("mass_v"))
+      .groupBy("label").agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("err_sum_v")).as("err_sum"),
+        max(col("err_max_v")).as("err_max"),
+        sum(col("mass_v")).as("mass"))
+      .withColumn("rel_err_e4", expr("(10000 * err_sum) div mass"))
+  }
+
+  private def annScalarQuantSql =
+    s"""WITH q AS (SELECT label, ${quantizeSql("embedding")} AS v FROM embeddings),
+       |mx AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS ma FROM q),
+       |e AS (
+       |  SELECT label,
+       |    CAST(list_sum(list_transform(v, x ->
+       |      abs(x - (((x * 127) // ma) * ma) // 127))) AS BIGINT) AS err_sum_v,
+       |    CAST(list_max(list_transform(v, x ->
+       |      abs(x - (((x * 127) // ma) * ma) // 127))) AS BIGINT) AS err_max_v,
+       |    CAST(list_sum(list_transform(v, x -> abs(x))) AS BIGINT) AS mass_v
+       |  FROM q CROSS JOIN mx)
+       |SELECT label, count(*) AS n_vecs,
+       |  CAST(sum(err_sum_v) AS BIGINT) AS err_sum,
+       |  max(err_max_v) AS err_max,
+       |  CAST(sum(mass_v) AS BIGINT) AS mass,
+       |  CAST((10000 * sum(err_sum_v)) // sum(mass_v) AS BIGINT) AS rel_err_e4
+       |FROM e GROUP BY 1""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("ann_scalar_quant", annScalarQuant, Some(annScalarQuantSql)),
     Op("ann_probe_sweep", annProbeSweep, Some(annProbeSweepSql)),
     Op("ann_filtered", annFiltered, Some(annFilteredSql)),
     Op("knn_graph", knnGraph, Some(knnGraphSql)),

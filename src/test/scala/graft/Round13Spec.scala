@@ -162,6 +162,87 @@ class Round13Spec extends SparkSpec {
     assert(zS < 0.5 * rS, s"z-order suppkey pruning too weak: $zS vs $rS")
   }
 
+  test("corpus_delta over doc_id-bucketed snapshots plans the diff join exchange-free") {
+    // the §2 claim made machine-checked: at 100 TB both snapshots live
+    // bucketed by doc_id, so the daily diff pays ZERO shuffle — and the
+    // delta is identical to the plain-parquet plan's
+    val runTag = java.lang.Long.toHexString(System.nanoTime())
+    val oldT = s"graft_snap_old_$runTag"
+    val newT = s"graft_snap_new_$runTag"
+    try {
+      val docs = graft.sources.Tables.documents(spark, sf)
+      docs.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"), md5(col("text")).as("old_h"))
+        .write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .mode("overwrite").saveAsTable(oldT)
+      docs.filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"), md5(
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text"))).as("new_h"))
+        .write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .mode("overwrite").saveAsTable(newT)
+      graft.sources.Tables.withScopedConf(spark,
+        "spark.sql.autoBroadcastJoinThreshold", "-1") {
+        val diff = spark.table(oldT)
+          .join(spark.table(newT), Seq("doc_id"), "full_outer")
+          .filter(col("old_h").isNull || col("new_h").isNull ||
+            col("old_h") =!= col("new_h"))
+          .select(col("doc_id"),
+            when(col("old_h").isNull, "added")
+              .when(col("new_h").isNull, "removed")
+              .otherwise("changed").as("status"))
+        val plan = diff.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        assert(!plan.contains("Exchange"),
+          s"bucketed snapshot diff must be exchange-free:\n$plan")
+        val got = diff.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        val plain = run("corpus_delta").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+        assert(got == plain)
+      }
+    } finally {
+      Seq(oldT, newT).foreach { t =>
+        val loc = try Some(spark.sql(s"DESCRIBE TABLE EXTENDED $t")
+          .filter(col("col_name") === "Location").head().getString(1))
+        catch { case _: Throwable => None }
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        loc.foreach { l =>
+          def rec(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rec)); f.delete(); ()
+          }
+          rec(new java.io.File(new java.net.URI(l)))
+        }
+      }
+    }
+  }
+
+  // ---- S14 ann_scalar_quant ----
+
+  test("ann_scalar_quant matches a plain-Scala int8 round-trip replay and its error envelope") {
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(x => math.round(x * 1000f).toLong)))
+    val maxabs = vecs.flatMap(_._2.map(math.abs)).max
+    val replay = vecs.groupBy(_._1).map { case (label, rows) =>
+      def errs(v: Seq[Long]) = v.map { x =>
+        val code = x * 127 / maxabs // JVM / truncates toward zero, like div and //
+        math.abs(x - code * maxabs / 127)
+      }
+      (label, rows.length.toLong,
+        rows.flatMap(r => errs(r._2)).sum,
+        rows.flatMap(r => errs(r._2)).max,
+        rows.flatMap(_._2.map(math.abs)).sum)
+    }.toSet
+    val got = run("ann_scalar_quant").collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == replay)
+    // the envelope law the acceptance gate rests on: per-dimension
+    // reconstruction error is bounded by one quantization step
+    val errMax = run("ann_scalar_quant").agg(max(col("err_max"))).head().getLong(0)
+    assert(errMax <= maxabs / 127 + 1,
+      s"err_max $errMax exceeds the quantization step ${maxabs / 127 + 1}")
+  }
+
   // ---- D19 stream_bloom_gate ----
 
   test("stream_bloom_gate equals the batch bloom gate verdict-for-verdict") {
