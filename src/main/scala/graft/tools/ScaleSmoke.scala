@@ -77,8 +77,11 @@ object ScaleSmoke {
     // zero-corpus-exchange two-pass, deciles the bounded-grid 2-scan)
     "vocab_heavy_hitters", "corpus_deciles", "corpus_domain_cap",
     "sample_uniform",
+    // r13 lake-maintenance / model-scoring tier
+    "text_quality_model", "corpus_delta", "corpus_compaction_plan",
+    "layout_zorder", "ann_scalar_quant",
     // streaming representative (micro-batch floor + state scale)
-    "stream_fold", "stream_admit")
+    "stream_fold", "stream_admit", "stream_bloom_gate")
 
   /** Scale-sized variants of config-pinned operators (the driver
     * oracle pins their small-corpus configs; these are the settings a
@@ -96,6 +99,11 @@ object ScaleSmoke {
       // The honest probe aggregates the op's OUTPUT.
       "text_quality_model_scored" -> ((s, dir) =>
         graft.functions.TextAnalysis.qualityModelScored(s, dir)),
+      // the fixed-12-plane twin of knn_graph_scaled: pins the config
+      // the sf10 narrative compares against (12 = planesFor(200k)), so
+      // the before/after record survives future self-sizing changes
+      "knn_graph_p12" -> ((s, dir) =>
+        graft.functions.Similarity.knnGraphWith(s, dir, 12)),
       "knn_graph_scaled" -> ((s, dir) => {
       // corpus-sized plane count (12 at the sf10 smoke's 200k vectors)
       val n = graft.sources.Tables.maxIdFromStats(
@@ -196,9 +204,17 @@ object ScaleSmoke {
       extraQueries.contains(n) || graft.SparkEntry.queries.contains(n))
     (subset -- known).toSeq.sorted.foreach(n =>
       println(s"""{"phase":"query","query":"$n","ok":false,"error":"unknown query name"}"""))
+    // the headliner list itself gets the same guard: a headliner whose
+    // registry entry was renamed/removed must drop with a loud row, not
+    // abort the whole smoke (r13: knn_graph_p12's lost extras entry
+    // killed the full run 13 minutes in)
+    val knownHeadliners = headliners.filter(n =>
+      extraQueries.contains(n) || graft.SparkEntry.queries.contains(n))
+    headliners.filterNot(knownHeadliners.contains).foreach(n =>
+      println(s"""{"phase":"query","query":"$n","ok":false,"error":"unknown query name"}"""))
     val toRun =
-      if (subset.isEmpty) headliners
-      else headliners.filter(known) ++
+      if (subset.isEmpty) knownHeadliners
+      else knownHeadliners.filter(known) ++
         known.toSeq.sorted.filterNot(headliners.contains)
     val queryRows = toRun.map { n =>
       spark.sharedState.cacheManager.clearCache()
