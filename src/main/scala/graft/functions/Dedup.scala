@@ -1220,7 +1220,56 @@ object Dedup extends OpFamily {
       |  b.dup_of
       |FROM nd LEFT JOIN b USING (h)""".stripMargin
 
+  // D20 `dedup_index_maintain`: the digest index maintained UNDER a
+  // corpus delta — the composition P22 exists for. A recrawl replaces
+  // a corpus slice; rebuilding the per-doc digest index from scratch
+  // re-hashes 100 TB of unchanged text to update a few percent of
+  // rows. Here the index is PERSISTED capital (Tables.buildOnce, the
+  // D9 contract — built once from the old snapshot, read as plain
+  // parquet after), and maintenance touches exactly the delta:
+  // removed/changed doc rows RETIRE via an anti join whose hash build
+  // is the delta-sized id set (the licensed small-build direction),
+  // added/changed docs hash only THEIR text and append. The canonical
+  // view (per digest: survivor count + min-id canon, the D6 rule)
+  // comes out of one hash-agg — and the ORACLE is the from-scratch
+  // rebuild over the new snapshot, so the driver hash-compare IS the
+  // maintained == rebuilt law (the E13 snapshot+delta contract, on
+  // the dedup store). Cost: one base-INDEX scan (34-byte rows, no
+  // text), |delta| hashes, one agg — never the unchanged corpus.
+  private def indexMaintain(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val path = s"${Tables.workDir(s)}/dedup_digest_idx_" +
+      Tables.datasetTag(d)
+    Tables.buildOnce(path)(
+      docs.filter(col("doc_id") % 10 =!= 7)
+        .select(md5(col("text")).as("h"), col("doc_id")))
+    val base = s.read.parquet(path)
+    // the P22 delta classes: removed = %10==3; changed = %5==0 (in
+    // both snapshots — the recrawl re-edited them); added = %10==7
+    val retired = docs
+      .filter(col("doc_id") % 10 === 3 || col("doc_id") % 5 === 0)
+      .select(col("doc_id"))
+    val inserted = docs
+      .filter(col("doc_id") % 10 =!= 3 &&
+        (col("doc_id") % 10 === 7 || col("doc_id") % 5 === 0))
+      .select(md5(when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" rev2")))
+        .otherwise(col("text"))).as("h"), col("doc_id"))
+    base.join(retired.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      .unionByName(inserted)
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canon"))
+  }
+
+  // the oracle IS the from-scratch rebuild over the new snapshot —
+  // hash-matching it proves incremental maintenance lost nothing
+  private val indexMaintainSql =
+    """SELECT md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END) AS h,
+      |  count(*) AS n_docs, min(doc_id) AS canon
+      |FROM documents WHERE doc_id % 10 != 3 GROUP BY 1""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("dedup_index_maintain", indexMaintain, Some(indexMaintainSql)),
     Op("dedup_bloom_gate", dedupBloomGate, Some(bloomGateSql)),
     Op("dedup_band_sweep", dedupBandSweep, Some(dedupBandSweepSql)),
     Op("dedup_exact_join", dedupExactJoin, Some(dedupExactJoinSql)),

@@ -243,6 +243,85 @@ class Round13Spec extends SparkSpec {
       s"err_max $errMax exceeds the quantization step ${maxabs / 127 + 1}")
   }
 
+  // ---- D20 dedup_index_maintain ----
+
+  test("dedup_index_maintain: the maintained law is not vacuous and the anti join builds on the delta") {
+    // the driver oracle IS maintained == rebuilt; here we pin that the
+    // law has teeth: the delta classes are non-empty, and SKIPPING the
+    // retire step produces a DIFFERENT index (so the equality cannot
+    // hold by accident of an empty delta)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val nRemoved = docs.filter(col("doc_id") % 10 === 3).count()
+    val nChanged = docs.filter(col("doc_id") % 5 === 0).count()
+    val nAdded = docs.filter(col("doc_id") % 10 === 7).count()
+    assert(nRemoved > 0 && nChanged > 0 && nAdded > 0)
+    val maintained = run("dedup_index_maintain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val noRetire = docs.filter(col("doc_id") % 10 =!= 7)
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .unionByName(docs.filter(col("doc_id") % 10 =!= 3 &&
+          (col("doc_id") % 10 === 7 || col("doc_id") % 5 === 0))
+        .select(md5(when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text"))).as("h"),
+          col("doc_id")))
+      .groupBy("h").agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canon"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(maintained != noRetire,
+      "retirement must be load-bearing: dropping it should change the index")
+    // cost shape: the retirement anti join must hash-build the
+    // delta-sized id set, not sort the corpus-sized index
+    val plan = run("dedup_index_maintain").queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("ShuffledHashJoin") && !plan.contains("SortMergeJoin"),
+      s"retire anti-join should be a hash join with the delta as build:\n$plan")
+  }
+
+  // ---- C10: raw-ingest JSONL with corrupt-record quarantine ----
+
+  test("C10: JSONL ingest quarantines corrupt lines without dropping or failing the batch") {
+    // the raw-crawl ingest stage in front of every corpus pipeline: a
+    // malformed line must neither kill the job (FAILFAST) nor vanish
+    // (DROPMALFORMED) — PERMISSIVE + columnNameOfCorruptRecord gives
+    // per-row quarantine, and the quarantined line survives VERBATIM
+    // for the dead-letter store (the C8/outbox posture for bad input)
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toFile
+    val good = (0 until 20).map(i => s"""{"doc_id":$i,"text":"doc $i","lang":"en"}""")
+    val bad = Seq(
+      """{"doc_id":20,"text":"unterminated""",
+      """not json at all""",
+      """{"doc_id":"NaN-ish","text":123,"lang":{}}""")
+    val lines = scala.util.Random.shuffle(good ++ bad)
+    java.nio.file.Files.write(new java.io.File(dir, "part0.jsonl").toPath,
+      lines.mkString("\n").getBytes("UTF-8"))
+    try {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_corrupt", org.apache.spark.sql.types.StringType)))
+      val df = spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(dir.getPath).cache()
+      val quarantined = df.filter(col("_corrupt").isNotNull)
+      val clean = df.filter(col("_corrupt").isNull)
+      assert(df.count() == 23)
+      assert(clean.count() == 20)
+      assert(quarantined.count() == 3)
+      // quarantine preserves the raw line verbatim for the dead-letter
+      // store; clean rows parsed with full fidelity
+      val rawBack = quarantined.select("_corrupt").collect().map(_.getString(0)).toSet
+      assert(bad.toSet.subsetOf(rawBack) || rawBack == bad.toSet)
+      assert(clean.agg(sum(col("doc_id"))).head().getLong(0) == (0 until 20).sum)
+      df.unpersist()
+    } finally {
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rec)); f.delete(); ()
+      }
+      rec(dir)
+    }
+  }
+
   // ---- D19 stream_bloom_gate ----
 
   test("stream_bloom_gate equals the batch bloom gate verdict-for-verdict") {
