@@ -747,7 +747,63 @@ object Relational extends OpFamily {
        |FROM b GROUP BY 1""".stripMargin
   }
 
+  // R30 `table_stats`: the ANALYZE pass that completes the
+  // lake-maintenance trio (R29 layout + P23 compaction + this) — per
+  // column: rows, nulls, EXACT ndv, min/max — the statistics layer
+  // every cost-based join reorder, broadcast decision, and partition
+  // prune rests on. Built as one single-column aggregate PER COLUMN,
+  // unioned: on columnar parquet each branch's scan reads exactly its
+  // one column (spec-pinned ReadSchema), so profiling k of n columns
+  // costs k column scans — at 100 TB that beats one Expand-based
+  // multi-distinct pass, which pipes k× the row count through a
+  // single aggregate. Two-phase partial-distinct hash-aggs, no sort;
+  // min/max surface as strings so one schema fits every column type
+  // (int64 and string casts are engine-identical; FP/timestamp
+  // columns stay out to keep the driver hash-compare exact).
+  private def tableStats(s: SparkSession, d: String): DataFrame = {
+    val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    val strCols = Seq("l_returnflag", "l_linestatus")
+    val numeric = numCols.map { c =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("ndv"),
+        min(col(c)).cast("string").as("min_s"),
+        max(col(c)).cast("string").as("max_s"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_null"),
+          col("ndv"), col("min_s"), col("max_s"))
+    }
+    // STRING min/max buffers are immutable ⇒ a direct aggregate plans
+    // SortAggregate over the CORPUS (the E1/M1 packed-argmax lesson's
+    // cousin). Collapse to the bounded value GRID first — one hash-agg
+    // keyed by the value — and run min/max/ndv on the grid: the only
+    // sort-agg left touches ndv rows, never the table (allowlisted in
+    // PlanLintSpec with this reason).
+    val string = strCols.map { c =>
+      Tables.lineitem(s, d).groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_rows"),
+          coalesce(sum(when(col(c).isNull, col("cnt"))), lit(0L)).as("n_null"),
+          sum(when(col(c).isNotNull, 1L).otherwise(0L)).as("ndv"),
+          min(col(c)).as("min_s"), max(col(c)).as("max_s"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_null"),
+          col("ndv"), col("min_s"), col("max_s"))
+    }
+    (numeric ++ string).reduce(_ unionByName _)
+  }
+
+  private val tableStatsSql =
+    Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_returnflag", "l_linestatus").map { c =>
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  count(DISTINCT $c) AS ndv,
+         |  CAST(min($c) AS VARCHAR) AS min_s,
+         |  CAST(max($c) AS VARCHAR) AS max_s
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   override def ops: Seq[Op] = Seq(
+    Op("table_stats", tableStats, Some(tableStatsSql)),
     Op("layout_zorder", zorderLayout, Some(zorderSql)),
     Op("skew_profile", skewProfile, Some(skewProfileSql)),
     Op("semi_join_bloom", semiJoinBloom, Some(semiJoinBloomSql)),

