@@ -1344,6 +1344,10 @@ object Similarity extends OpFamily {
     val q = quantize(col("embedding"))
     val maxabs = Tables.embeddings(s, d)
       .agg(max(array_max(transform(q, x => abs(x))))).head().getLong(0)
+    // a degenerate all-zero corpus would make the Spark transform emit
+    // nulls (x div 0) while the DuckDB oracle errors — fail loudly and
+    // identically on both sides instead
+    require(maxabs > 0, s"ann_scalar_quant: degenerate embedding corpus (maxabs=$maxabs)")
     // `div` (true integral division) exists only in SQL form — Column
     // `/`/divide are double division, floor(double) drifts on big longs
     val errsSql = s"transform(v, x -> abs(x - (((x * 127) div $maxabs) * $maxabs) div 127))"

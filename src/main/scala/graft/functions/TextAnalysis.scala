@@ -1061,8 +1061,10 @@ object TextAnalysis extends OpFamily {
       .cast("long") % qmBuckets
 
   /** Deterministic stand-in weight vector: w(b) = (37·b + 11) mod 201,
-    * range 0..200 (non-negative keeps `div` engine-neutral — Spark
-    * `div` truncates toward zero, DuckDB `//` floors). */
+    * range 0..200 (non-negative sidesteps signed-division questions
+    * entirely; for the record, BOTH Spark `div` and DuckDB 1.0 `//`
+    * truncate toward zero — −7 // 2 = −3 — so they agree even on
+    * signed operands, per the ann_scalar_quant envelope). */
   private def qmWeight(b: Column): Column = (b * 37L + 11L) % 201L
 
   private def qualityModel(s: SparkSession, d: String): DataFrame =

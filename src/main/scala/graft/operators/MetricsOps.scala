@@ -115,17 +115,74 @@ object MetricsOps extends OpFamily {
       |  count(*) AS n, CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS sum_c
       |FROM events GROUP BY 1, 2""".stripMargin
 
-  // M5: exact interpolated percentiles per sensor. Engines interpolate
-  // with differently-ordered arithmetic (last-ulp drift), but on
-  // integer cents every true percentile is a multiple of 0.1, so
-  // round(·,4) is exact on both sides.
-  private def percentiles(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy("event_type")
-      .agg(
-        round(expr("percentile(cast(round(value*100,0) as bigint), 0.5)"), 4).as("p50_c"),
-        round(expr("percentile(cast(round(value*100,0) as bigint), 0.9)"), 4).as("p90_c"),
-        count(lit(1)).as("n"))
+  // Shared bounded-value-grid percentile engine (round-14: the P19
+  // corpus_deciles / R30 table_stats construction applied to M5/M7).
+  // Spark's exact `percentile` aggregate buffers a per-group
+  // value→count MAP that rides the shuffle and lives in one agg buffer
+  // — O(ndv-per-group) memory, the one plan shape that dies when a
+  // sensor's value domain grows with the corpus. Here the corpus
+  // collapses to the (key, value) GRID in one map-side-partial
+  // hash-agg (the shuffle carries distinct values, and grid memory is
+  // sort-spillable, never a single buffer); cumulative counts are a
+  // window over the grid; the two interpolation neighbours v_i,
+  // v_{i+1} at h = p·(n−1) fall out of ONE conditional-min hash-agg;
+  // and because p = k/d is rational, `result·d` is exact int64 — the
+  // round(·,4) value hash-compares with `quantile_cont` by
+  // construction (the true percentile of integer inputs at d ∈ {2,10}
+  // is a multiple of 0.1, on-grid for round-4, so both engines' ≤½ulp
+  // double error snaps to the same value).
+  //
+  // `grid` must be (key, v: long, cnt: long) with one row per distinct
+  // value; `pcts` are (outName, k, d) for percentile k/d; `extra`
+  // aggregates are evaluated over the same grid (e.g. sum(cnt·v)).
+  // Returns key, n_ (total count), extra…, and one rounded double per
+  // percentile.
+  private[graft] def gridPercentiles(grid: DataFrame, key: String, v: String,
+      pcts: Seq[(String, Int, Int)],
+      extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    val wOrd = Window.partitionBy(key).orderBy(v)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(key)
+    val g = grid
+      .withColumn("ccnt", sum(col("cnt")).over(wOrd))
+      .withColumn("ntot", sum(col("cnt")).over(wAll))
+    // 0-indexed lower neighbour: i = floor((n−1)·k/d), exact integers.
+    val pctAggs = pcts.flatMap { case (name, k, dDen) =>
+      val i = expr(s"((ntot - 1) * $k) div $dDen")
+      Seq(
+        min(when(col("ccnt") - col("cnt") <= i && i < col("ccnt"), col(v)))
+          .as(s"__${name}_lo"),
+        min(when(col("ccnt") - col("cnt") <= i + 1 && i + 1 < col("ccnt"), col(v)))
+          .as(s"__${name}_hi"))
+    }
+    val allAggs = (max(col("ntot")).as("n_") +: pctAggs) ++ extra
+    val agged = g.groupBy(key).agg(allAggs.head, allAggs.tail: _*)
+    pcts.foldLeft(agged) { case (df, (name, k, dDen)) =>
+      val rem = expr(s"((n_ - 1) * $k) % $dDen")
+      val lo = col(s"__${name}_lo")
+      // i+1 = n (only when rem = 0) leaves hi null — weight is 0 there
+      val hi = coalesce(col(s"__${name}_hi"), lo)
+      df.withColumn(name,
+          round((lo * dDen + rem * (hi - lo)).cast("double") / dDen, 4))
+        .drop(s"__${name}_lo", s"__${name}_hi")
+    }
+  }
+
+  // M5: exact interpolated percentiles per sensor, via the bounded
+  // value grid above (no Percentile map buffer anywhere in the plan —
+  // pinned by Round14Spec). Engines interpolate with
+  // differently-ordered arithmetic (last-ulp drift), but on integer
+  // cents every true percentile is a multiple of 0.1, so round(·,4)
+  // is exact on both sides.
+  private def percentiles(s: SparkSession, d: String): DataFrame = {
+    val grid = Tables.events(s, d)
+      .groupBy(col("event_type"), cents(col("value")).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    gridPercentiles(grid, "event_type", "v",
+      Seq(("p50_c", 1, 2), ("p90_c", 9, 10)))
+      .withColumnRenamed("n_", "n")
+      .select("event_type", "p50_c", "p90_c", "n")
+  }
 
   private val percentilesSql =
     """SELECT event_type,
@@ -195,21 +252,51 @@ object MetricsOps extends OpFamily {
   // event log carries no explicit durations, so the timed quantity is
   // the inter-arrival gap per sensor — lag diff in exact epoch
   // seconds, then the same exact-percentile treatment as M5.
-  private def timer(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    Tables.events(s, d)
-      .select(col("event_type"), col("ts"), Tables.epochS(col("ts")).as("ts_s"),
+  /** All N−1 inter-arrival gaps per sensor in exact epoch seconds —
+    * WITHOUT the 5-partition corpus sort the naive per-type lag window
+    * forces (|event_type| = 5 ⇒ the whole log sorts in 5 tasks; the
+    * sf100 probe measured the old shape at 130 s with 1.7 GB of sort
+    * spill). The E24 bounded-grid decomposition applied to LAG:
+    * hour-bucket the log, lag WITHIN (type, bucket) partitions
+    * (parallelism = types × hours — grows with the time span, i.e.
+    * with the data), and stitch bucket BOUNDARIES on the tiny
+    * (type, bucket) grid: first(bucket) − last(previous bucket), a
+    * window over grid rows only. The union is exactly the naive
+    * window's gap multiset: consecutive differences of a sorted
+    * multiset are tie-order-invariant, and the bucket id is monotone
+    * in ts so cross-bucket order is preserved by construction. */
+  private[graft] def interArrivalGaps(events: DataFrame): DataFrame = {
+    val e = events
+      .select(col("event_type"), Tables.epochS(col("ts")).as("ts_s"),
         col("event_id"))
-      .withColumn("gap_s", col("ts_s") - lag(col("ts_s"), 1).over(w))
+      .withColumn("bucket", expr("ts_s div 3600"))
+    val wIn = Window.partitionBy("event_type", "bucket")
+      .orderBy("ts_s", "event_id")
+    val inner = e
+      .withColumn("gap_s", col("ts_s") - lag(col("ts_s"), 1).over(wIn))
       .filter(col("gap_s").isNotNull)
-      .groupBy("event_type")
-      .agg(
-        count(lit(1)).as("n_gaps"),
-        sum(col("gap_s")).as("sum_gap_s"),
-        round(expr("percentile(gap_s, 0.5)"), 4).as("p50_gap"),
-        round(expr("percentile(gap_s, 0.9)"), 4).as("p90_gap"))
+      .select(col("event_type"), col("gap_s"))
+    val grid = e.groupBy("event_type", "bucket")
+      .agg(min(col("ts_s")).as("first_ts"), max(col("ts_s")).as("last_ts"))
+    val wB = Window.partitionBy("event_type").orderBy("bucket")
+    val boundary = grid
+      .withColumn("gap_s", col("first_ts") - lag(col("last_ts"), 1).over(wB))
+      .filter(col("gap_s").isNotNull)
+      .select(col("event_type"), col("gap_s"))
+    inner.unionByName(boundary)
+  }
+
+  private def timer(s: SparkSession, d: String): DataFrame = {
+    val grid = interArrivalGaps(Tables.events(s, d))
+      .groupBy(col("event_type"), col("gap_s").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    gridPercentiles(grid, "event_type", "v",
+      Seq(("p50_gap", 1, 2), ("p90_gap", 9, 10)),
+      extra = Seq(sum(col("cnt") * col("v")).as("sum_gap_s")))
+      .withColumnRenamed("n_", "n_gaps")
       .withColumn("mean_gap",
         col("sum_gap_s").cast("double") / col("n_gaps").cast("double"))
+      .select("event_type", "n_gaps", "sum_gap_s", "p50_gap", "p90_gap", "mean_gap")
   }
 
   private val timerSql =
@@ -238,12 +325,9 @@ object MetricsOps extends OpFamily {
   private val apdexT = 900L // satisfied threshold, seconds; tolerating ≤ 4T
 
   private def apdex(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    Tables.events(s, d)
-      .select(col("event_type"), col("ts"), Tables.epochS(col("ts")).as("ts_s"),
-        col("event_id"))
-      .withColumn("gap_s", col("ts_s") - lag(col("ts_s"), 1).over(w))
-      .filter(col("gap_s").isNotNull)
+    // durations = M7's inter-arrival gaps, via the same bucketed-lag
+    // decomposition (the naive shared shape was a 5-partition sort)
+    interArrivalGaps(Tables.events(s, d))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n_total"),

@@ -100,9 +100,12 @@ class Round13Spec extends SparkSpec {
           s"$src/$part: out_file $outFile != replay ${before / target}")
         before += bytes
       }
-      // bins are contiguous in the packing order and start at 0
+      // bins start at 0 and are monotone nondecreasing in packing
+      // order (consecutive ids may legitimately skip whenever one
+      // (source,part) mass exceeds the target — the exact id is
+      // already pinned row-by-row by the prefix-sum replay above)
       val bins = ordered.map(_._5)
-      assert(bins.head == 0L && bins.zip(bins.tail).forall { case (a, b) => b - a <= 1 && b >= a })
+      assert(bins.head == 0L && bins.zip(bins.tail).forall { case (a, b) => b >= a })
     }
     // at least one source actually splits into multiple output files
     assert(got.groupBy(_._1).exists(_._2.map(_._5).distinct.length > 1))
@@ -221,7 +224,11 @@ class Round13Spec extends SparkSpec {
   test("ann_scalar_quant matches a plain-Scala int8 round-trip replay and its error envelope") {
     val vecs = graft.sources.Tables.embeddings(spark, sf)
       .select("label", "embedding").collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).map(x => math.round(x * 1000f).toLong)))
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(x =>
+        // mirror the op's round(cast(x as double)*1000, 0) exactly:
+        // double multiply, HALF_UP away from zero (math.round is
+        // float half-up toward +∞ — a latent tie/drift divergence)
+        BigDecimal(x.toDouble * 1000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)))
     val maxabs = vecs.flatMap(_._2.map(math.abs)).max
     val replay = vecs.groupBy(_._1).map { case (label, rows) =>
       def errs(v: Seq[Long]) = v.map { x =>
