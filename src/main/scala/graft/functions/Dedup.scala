@@ -1236,14 +1236,42 @@ object Dedup extends OpFamily {
   // maintained == rebuilt law (the E13 snapshot+delta contract, on
   // the dedup store). Cost: one base-INDEX scan (34-byte rows, no
   // text), |delta| hashes, one agg — never the unchanged corpus.
-  private def indexMaintain(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  /** The persisted per-doc digest index of the OLD snapshot — the
+    * shared capital D20 and its streaming twin (stream_index_maintain)
+    * both maintain. Built once per (session, dataset). */
+  private[graft] def digestIndexBase(s: SparkSession, d: String): DataFrame = {
     val path = s"${Tables.workDir(s)}/dedup_digest_idx_" +
       Tables.datasetTag(d)
     Tables.buildOnce(path)(
-      docs.filter(col("doc_id") % 10 =!= 7)
+      Tables.documents(s, d).filter(col("doc_id") % 10 =!= 7)
         .select(md5(col("text")).as("h"), col("doc_id")))
-    val base = s.read.parquet(path)
+    s.read.parquet(path)
+  }
+
+  /** The P22 recrawl delta as INDEX-MAINTENANCE actions: one `retire`
+    * row per removed/changed doc, one `upsert` row (with the new
+    * digest) per added/changed doc — what a maintenance stream
+    * carries. Changed docs emit BOTH, keyed to the same doc_id. */
+  private[graft] def indexDeltaActions(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val retired = docs
+      .filter(col("doc_id") % 10 === 3 || col("doc_id") % 5 === 0)
+      .select(col("doc_id"), lit("retire").as("action"),
+        lit(null).cast("string").as("h"))
+    val inserted = docs
+      .filter(col("doc_id") % 10 =!= 3 &&
+        (col("doc_id") % 10 === 7 || col("doc_id") % 5 === 0))
+      .select(col("doc_id"), lit("upsert").as("action"),
+        md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).as("h"))
+    retired.unionByName(inserted)
+  }
+
+  // private[graft]: the P24 maintenance report composes this (the
+  // maintained index is stage 2 of its day-2 operations trio)
+  private[graft] def indexMaintain(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = digestIndexBase(s, d)
     // the P22 delta classes: removed = %10==3; changed = %5==0 (in
     // both snapshots — the recrawl re-edited them); added = %10==7
     val retired = docs
@@ -1263,7 +1291,9 @@ object Dedup extends OpFamily {
 
   // the oracle IS the from-scratch rebuild over the new snapshot —
   // hash-matching it proves incremental maintenance lost nothing
-  private val indexMaintainSql =
+  // (shared with stream_index_maintain, whose maintained-under-
+  // streaming store must land on the same canonical view)
+  private[graft] val indexMaintainSql =
     """SELECT md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END) AS h,
       |  count(*) AS n_docs, min(doc_id) AS canon
       |FROM documents WHERE doc_id % 10 != 3 GROUP BY 1""".stripMargin

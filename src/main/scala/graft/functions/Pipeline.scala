@@ -1046,7 +1046,108 @@ object Pipeline extends OpFamily {
        |    // $compactTarget AS out_file
        |FROM m""".stripMargin
 
+  // P24 `corpus_maintenance_report`: the day-2 OPERATIONS report the
+  // lake-maintenance tier was built for — one oracle-checked op that
+  // runs the whole trio over the SAME recrawl and reconciles it into
+  // the numbers an operator signs off before promoting the refresh:
+  //   stage 1  P22 delta        → added/removed/changed counts;
+  //   stage 2  D20 index        → maintained digest-index size + ndv
+  //                               (composes the REAL maintained index,
+  //                               persisted capital and all — not a
+  //                               recomputation);
+  //   stage 3  P23 compaction   → the post-refresh small-files plan
+  //                               (manifest parts, planned output
+  //                               files, byte mass) over the NEW
+  //                               snapshot (changed docs carry their
+  //                               +5-char ' rev2' mass);
+  //   stage 4  R30-style stats  → new-snapshot rows + source/lang ndv.
+  // Every metric is an exact integer, so the whole report
+  // hash-compares against a from-scratch DuckDB evaluation; the
+  // reconciliation LAWS between stages (index_docs == stats_rows;
+  // stats_rows == old_rows − removed + added) are spec-pinned — the
+  // funnel-style audit that catches a maintenance pass dropping or
+  // double-counting rows. Plan shape: four independent bounded
+  // aggregates (each the underlying operator's own scale-certified
+  // shape) unioned as one-row frames — no new corpus-sized joins.
+  private def maintenanceReport(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val deltaCounts = corpusDelta(s, d)
+      .groupBy("status").agg(count(lit(1)).as("value"))
+      .select(concat(lit("delta_"), col("status")).as("metric"), col("value"))
+    val oldRows = Tables.documents(s, d).filter(col("doc_id") % 10 =!= 7)
+      .agg(count(lit(1)).as("v"))
+      .selectExpr("'old_rows' AS metric", "v AS value")
+    val idx = graft.functions.Dedup.indexMaintain(s, d)
+      .agg(sum(col("n_docs")).as("docs"), count(lit(1)).as("dig"))
+      .selectExpr(
+        "stack(2, 'index_docs', docs, 'index_digests', dig) AS (metric, value)")
+    // the NEW snapshot: %10==3 removed; changed docs' text grew ' rev2'
+    val neu = Tables.documents(s, d).filter(col("doc_id") % 10 =!= 3)
+      .select(col("source"), col("lang"), (col("doc_id") % 64).as("part"),
+        (col("n_chars") +
+          when(col("doc_id") % 5 === 0, 5L).otherwise(0L)).as("bytes"))
+    val manifest = neu.groupBy("source", "part")
+      .agg(sum(col("bytes")).as("bytes"))
+    val w = Window.partitionBy("source").orderBy(col("bytes").desc, col("part"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val plan = manifest
+      .withColumn("before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("out_file", expr(s"before div $compactTarget"))
+    val compactFiles = plan.groupBy("source")
+      .agg(max(col("out_file")).as("mf"))
+      .agg(sum(col("mf") + 1L).as("files"))
+      .selectExpr("'compact_out_files' AS metric", "files AS value")
+    val compactMass = plan
+      .agg(count(lit(1)).as("parts"), sum(col("bytes")).as("bytes"))
+      .selectExpr(
+        "stack(2, 'compact_parts', parts, 'compact_bytes', bytes) AS (metric, value)")
+    val stats = neu.agg(count(lit(1)).as("rows"),
+        countDistinct(col("source")).as("srcs"),
+        countDistinct(col("lang")).as("langs"))
+      .selectExpr("stack(3, 'stats_rows', rows, 'stats_sources', srcs, " +
+        "'stats_langs', langs) AS (metric, value)")
+    Seq(deltaCounts, oldRows, idx, compactFiles, compactMass, stats)
+      .reduce(_ unionByName _)
+  }
+
+  private val maintenanceReportSql =
+    s"""WITH old AS (
+       |  SELECT doc_id, md5(text) AS old_h FROM documents WHERE doc_id % 10 != 7),
+       |neu AS (
+       |  SELECT doc_id, source, lang, doc_id % 64 AS part,
+       |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END) AS new_h,
+       |    n_chars + CASE WHEN doc_id % 5 = 0 THEN 5 ELSE 0 END AS bytes
+       |  FROM documents WHERE doc_id % 10 != 3),
+       |delta AS (
+       |  SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+       |              WHEN n.doc_id IS NULL THEN 'removed'
+       |              ELSE 'changed' END AS status
+       |  FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id
+       |  WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.old_h <> n.new_h),
+       |idx AS (SELECT new_h, count(*) AS n_docs FROM neu GROUP BY 1),
+       |m AS (SELECT source, part, CAST(sum(bytes) AS BIGINT) AS bytes
+       |      FROM neu GROUP BY 1, 2),
+       |plan AS (
+       |  SELECT source, part, bytes,
+       |    COALESCE(CAST(sum(bytes) OVER (
+       |      PARTITION BY source ORDER BY bytes DESC, part
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |      // $compactTarget AS out_file
+       |  FROM m)
+       |SELECT 'delta_' || status AS metric, count(*) AS value FROM delta GROUP BY 1
+       |UNION ALL SELECT 'old_rows', count(*) FROM old
+       |UNION ALL SELECT 'index_docs', CAST(sum(n_docs) AS BIGINT) FROM idx
+       |UNION ALL SELECT 'index_digests', count(*) FROM idx
+       |UNION ALL SELECT 'compact_out_files', CAST(sum(mf + 1) AS BIGINT)
+       |  FROM (SELECT source, max(out_file) AS mf FROM plan GROUP BY 1)
+       |UNION ALL SELECT 'compact_parts', count(*) FROM plan
+       |UNION ALL SELECT 'compact_bytes', CAST(sum(bytes) AS BIGINT) FROM plan
+       |UNION ALL SELECT 'stats_rows', count(*) FROM neu
+       |UNION ALL SELECT 'stats_sources', count(DISTINCT source) FROM neu
+       |UNION ALL SELECT 'stats_langs', count(DISTINCT lang) FROM neu""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("corpus_maintenance_report", maintenanceReport, Some(maintenanceReportSql)),
     Op("corpus_delta", corpusDelta, Some(corpusDeltaSql)),
     Op("corpus_compaction_plan", compactionPlan, Some(compactionPlanSql)),
     Op("corpus_deciles", corpusDeciles, Some(corpusDecilesSql)),

@@ -713,22 +713,30 @@ object Relational extends OpFamily {
   // LayoutSpec quantifies the prune: z-order file envelopes cover a
   // partkey (or suppkey) point predicate in ~√256·skew files vs the
   // row-order layout's "every file matches".
-  private def zorderLayout(s: SparkSession, d: String): DataFrame = {
+  /** lineitem with its R29 z-file assignment attached — shared by the
+    * planner view below and the PHYSICAL writer (ZorderWriteProbe /
+    * Round14Spec), which materializes the assignment as real files
+    * and measures footer-stats pruning on them. */
+  private[graft] def withZfile(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val maxP = Tables.maxIdFromStats(s, s"$d/lineitem.parquet", "l_partkey", li)
     val maxS = Tables.maxIdFromStats(s, s"$d/lineitem.parquet", "l_suppkey", li)
     val interleave = (0 until 8).map(i =>
       s"((bx div ${1L << i}) % 2) * ${1L << (2 * i + 1)} + " +
         s"((by div ${1L << i}) % 2) * ${1L << (2 * i)}").mkString(" + ")
-    li.select(col("l_partkey"), col("l_suppkey"),
-        expr(s"(l_partkey * 256) div ${maxP + 1}").as("bx"),
-        expr(s"(l_suppkey * 256) div ${maxS + 1}").as("by"))
+    li.withColumn("bx", expr(s"(l_partkey * 256) div ${maxP + 1}"))
+      .withColumn("by", expr(s"(l_suppkey * 256) div ${maxS + 1}"))
       .withColumn("zfile", expr(s"($interleave) div 256"))
+      .drop("bx", "by")
+  }
+
+  private def zorderLayout(s: SparkSession, d: String): DataFrame =
+    withZfile(s, d)
+      .select(col("l_partkey"), col("l_suppkey"), col("zfile"))
       .groupBy("zfile")
       .agg(count(lit(1)).as("n_rows"),
         min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
         min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
-  }
 
   private val zorderSql = {
     val interleave = (0 until 8).map(i =>

@@ -970,32 +970,40 @@ object Streams extends OpFamily {
   private val docSplitCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Write a `_p`-tagged frame as [[sourceBatches]] single-parquet
+    * split files with ascending modification times, so a
+    * maxFilesPerTrigger=1 reader delivers them as ordered
+    * micro-batches (the docSplitSource layout, shared by every
+    * document-shaped split source). */
+  private def writeSplitFiles(base: String, tagged: DataFrame): Unit = {
+    new java.io.File(base).mkdirs()
+    for (i <- 0 until sourceBatches) {
+      val tmp = s"$base/_build_$i"
+      tagged.filter(col("_p") === i).drop("_p")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Option(new java.io.File(tmp).listFiles()).get
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      val dst = new java.io.File(base, f"$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(1700000000000L + i * 60000L)
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rec)); f.delete(); ()
+      }
+      rec(new java.io.File(tmp))
+    }
+  }
+
   // cache key = full target path (session-specific workDir), like splitSource
   private def docSplitSource(s: SparkSession, d: String): String = {
     val target = s"${Tables.workDir(s)}/docs_split_" +
       Tables.datasetTag(d)
     docSplitCache.computeIfAbsent(target, base => {
       val t = graft.functions.Dedup.incThreshold(s, d)
-      val tagged = Tables.stableCheckpoint(
+      writeSplitFiles(base, Tables.stableCheckpoint(
         Tables.documents(s, d).filter(col("doc_id") > t)
           .repartitionByRange(sourceBatches, col("doc_id"))
-          .withColumn("_p", spark_partition_id()))
-      new java.io.File(base).mkdirs()
-      for (i <- 0 until sourceBatches) {
-        val tmp = s"$base/_build_$i"
-        tagged.filter(col("_p") === i).drop("_p")
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = Option(new java.io.File(tmp).listFiles()).get
-          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
-        val dst = new java.io.File(base, f"$i%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        dst.setLastModified(1700000000000L + i * 60000L)
-        def rec(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rec)); f.delete(); ()
-        }
-        rec(new java.io.File(tmp))
-      }
+          .withColumn("_p", spark_partition_id())))
       base
     })
   }
@@ -1190,6 +1198,86 @@ object Streams extends OpFamily {
     s.read.parquet(batches.toIndexedSeq: _*)
   }
 
+  // D21 `stream_index_maintain`: D20's maintained digest index kept
+  // LIVE — the recrawl delta arrives as a stream of retire/upsert
+  // ACTIONS (interleaved within every micro-batch: a changed doc's
+  // retirement and its re-insert ride together, keyed to the same
+  // doc_id), and the persisted index grows under it through the same
+  // committed-delta-dir store as stream_admit (append idempotent
+  // under foreachBatch's at-least-once redelivery — the delta dir IS
+  // the replay marker; merge-on-read fan-in bounded by the LiveStore
+  // compaction cadence). Retirement on an append-only store is
+  // VERSIONED, never destructive: every appended row carries its
+  // batch id, and a retire at seq b kills only index rows with
+  // seq < b — so a changed doc's same-batch re-insert survives its
+  // own retirement, a replayed append cannot resurrect a retired
+  // row, and the rule is invariant under compaction's union-folds
+  // (rows keep their seq through a fold). The final canonical view
+  // (per digest: survivor count + min-id canon) must equal D20's
+  // from-scratch rebuild — the oracle IS indexMaintainSql, so the
+  // driver hash-compare proves the maintained-under-streaming law.
+  private val idxMaintainInvocations =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def idxDeltaSplitSource(s: SparkSession, d: String): String = {
+    val target = s"${Tables.workDir(s)}/idxdelta_split_" + Tables.datasetTag(d)
+    docSplitCache.computeIfAbsent(target, base => {
+      writeSplitFiles(base, Tables.stableCheckpoint(
+        graft.functions.Dedup.indexDeltaActions(s, d)
+          .repartitionByRange(sourceBatches, col("doc_id"))
+          .withColumn("_p", spark_partition_id())))
+      base
+    })
+  }
+
+  /** Canonical view of base ∪ maintained growth store under the
+    * versioned-retirement rule (shared with the redelivery spec). The
+    * retire set is delta-sized, so it is the licensed shuffle-hash
+    * build side; the base index never rewrites and only delta text
+    * was ever hashed. */
+  private[graft] def maintainedIndexView(s: SparkSession, base: DataFrame,
+      root: String): DataFrame = {
+    val delta = readGrown(s, root).getOrElse(
+      sys.error(s"maintained index at $root has no committed growth"))
+    val rows = base
+      .select(col("doc_id"), col("h"), lit(-1L).as("seq"))
+      .unionByName(delta.filter(col("action") === "upsert")
+        .select(col("doc_id"), col("h"), col("seq")))
+    val retires = delta.filter(col("action") === "retire")
+      .groupBy("doc_id").agg(max(col("seq")).as("rseq"))
+    rows.join(retires.hint("shuffle_hash"), Seq("doc_id"), "left")
+      // strictly-older rows die; the same-batch re-insert (seq == rseq)
+      // survives its own retirement — retire-then-upsert within a batch
+      .filter(col("rseq").isNull || col("seq") >= col("rseq"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canon"))
+  }
+
+  private def streamIndexMaintain(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Dedup
+    val inv = idxMaintainInvocations.incrementAndGet()
+    val base = Dedup.digestIndexBase(s, d)
+    val root = s"${Tables.workDir(s)}/idx_maintain_" +
+      Tables.datasetTag(d) + s"_$inv"
+    new java.io.File(root).mkdirs()
+    val srcDir = idxDeltaSplitSource(s, d)
+    val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    withStreamShards(s) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val s2 = batch.sparkSession
+          appendBatchOnce(batch.toDF().withColumn("seq", lit(id)), root, id)
+          maybeCompactGrowth(s2, root)
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    maintainedIndexView(s, base, root)
+  }
+
   override def ops: Seq[Op] = Seq(
     Op("stream_consumer_lag", streamConsumerLag,
       Some(graft.operators.MetricsOps.consumerLagSql)),
@@ -1200,6 +1288,8 @@ object Streams extends OpFamily {
     Op("stream_forecast", streamForecast,
       Some(graft.operators.MetricsOps.forecastSql)),
     Op("stream_admit", streamAdmit, Some(graft.functions.Dedup.admitSql)),
+    Op("stream_index_maintain", streamIndexMaintain,
+      Some(graft.functions.Dedup.indexMaintainSql)),
     Op("stream_slo_burn", streamSloBurn,
       Some(graft.operators.MetricsOps.sloBurnSql)),
     Op("stream_anomaly", streamAnomaly,

@@ -72,4 +72,288 @@ class Round14Spec extends SparkSpec {
       assert(p90 == replay(vs, 9, 10), s"$key p90: got $p90")
     }
   }
+
+  test("interArrivalGaps multiset equals the naive per-type lag window's") {
+    import org.apache.spark.sql.expressions.Window
+    val events = graft.sources.Tables.events(spark, sf)
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    val naive = events
+      .select(col("event_type"),
+        graft.sources.Tables.epochS(col("ts")).as("ts_s"),
+        col("ts"), col("event_id"))
+      .withColumn("gap_s", col("ts_s") - lag(col("ts_s"), 1).over(w))
+      .filter(col("gap_s").isNotNull)
+      .groupBy("event_type", "gap_s").count()
+    val bucketed = graft.operators.MetricsOps.interArrivalGaps(events)
+      .groupBy("event_type", "gap_s").count()
+    assert(naive.exceptAll(bucketed).isEmpty && bucketed.exceptAll(naive).isEmpty,
+      "bucketed-lag decomposition changed the gap multiset")
+  }
+
+  // ---- D21 stream_index_maintain (r11 verdict item 5) ----
+
+  test("stream_index_maintain equals the batch maintained index frame-for-frame") {
+    val streamed = run("stream_index_maintain")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = run("dedup_index_maintain")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      "maintained-under-streaming view diverged from the batch maintenance")
+  }
+
+  test("stream_index_maintain growth store is idempotent under batch redelivery") {
+    import graft.streaming.Streams
+    import graft.functions.Dedup
+    val base = Dedup.digestIndexBase(spark, sf)
+    val root = s"${graft.sources.Tables.workDir(spark)}/idx_redeliver_spec"
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(); ()
+    }
+    deleteRec(new java.io.File(root))
+    new java.io.File(root).mkdirs()
+    // three ascending-doc_id action batches, the split-source shape
+    val actions = Dedup.indexDeltaActions(spark, sf)
+    val maxId = actions.agg(max(col("doc_id"))).head().getLong(0)
+    def slice(i: Long) = actions
+      .filter(col("doc_id") * 3 >= lit(i * (maxId + 1)) &&
+        col("doc_id") * 3 < lit((i + 1) * (maxId + 1)))
+      .withColumn("seq", lit(i))
+    for (i <- 0L to 2L) Streams.appendBatchOnce(slice(i), root, i)
+    val once = Streams.maintainedIndexView(spark, base, root)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // REDELIVER batch 1 (foreachBatch's at-least-once contract): the
+    // committed delta dir is the replay marker — the store must not
+    // grow, and the canonical view must be bit-identical
+    Streams.appendBatchOnce(slice(1L), root, 1L)
+    val again = Streams.maintainedIndexView(spark, base, root)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == once, "redelivered batch changed the maintained index")
+    // and the view is the real maintained index, not a trivial union:
+    // it must equal the batch D20 canonical view
+    val batch = run("dedup_index_maintain")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(once == batch)
+    deleteRec(new java.io.File(root))
+  }
+
+  // ---- R29 physical z-order write (r11 verdict item 3) ----
+
+  test("written z-order layout prunes BOTH point predicates' real I/O; append order prunes neither") {
+    val cells = graft.tools.ZorderWriteProbe
+      .probe(spark, sf, "/tmp/graft_zorder_spec")
+      .map(c => (c.layout, c.pred) -> c).toMap
+    for (pred <- Seq("l_partkey", "l_suppkey")) {
+      val z = cells(("zorder", pred))
+      val a = cells(("append", pred))
+      // identical answers off both layouts
+      assert(z.rows == a.rows, s"$pred: layouts disagree on the result")
+      // the MEASURED claim: footer-stats row-group pruning against the
+      // written z-files skips most of the table, while the append
+      // layout's every file covers the full key range and skips nothing
+      assert(a.recordsRead > 0)
+      assert(z.recordsRead * 4 <= a.recordsRead,
+        s"$pred: z-order read ${z.recordsRead} records vs append ${a.recordsRead} — " +
+          "the written layout is not pruning")
+    }
+    def rec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rec)); f.delete(); ()
+    }
+    rec(new java.io.File("/tmp/graft_zorder_spec"))
+  }
+
+  // ---- R30 consumer: the CBO counterfactual (r11 verdict item 4) ----
+
+  test("ANALYZE'd rows/ndv flip the broadcast decision — the reason table_stats exists") {
+    val tag = math.abs(scala.util.Random.nextLong() % 1000000L)
+    val dim = s"cbo_part_$tag"
+    val big = s"cbo_li_$tag"
+    graft.sources.Tables.part(spark, sf).write.saveAsTable(dim)
+    graft.sources.Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_quantity").write.saveAsTable(big)
+    def rec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rec)); f.delete(); ()
+    }
+    try {
+      // without column stats the FILTERED dim's size estimate is the
+      // whole table's (size-only estimation never shrinks a Filter),
+      // so a threshold below it forbids the broadcast; with ANALYZE's
+      // rows+ndv, CBO's selectivity estimate shrinks it ~50× and the
+      // same threshold licenses it — the join strategy is a pure
+      // function of exactly the statistics R30 computes
+      // the no-stats estimate of exactly the join's build side
+      // (filter + column pruning applied — size-only estimation
+      // shrinks by column width but NOT by selectivity)
+      val noStats = spark.table(dim).where("p_size = 1")
+        .select("p_partkey", "p_size")
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      val threshold = (noStats / 5).max(BigInt(256))
+      def plan(): String = spark.sql(
+        s"""SELECT count(*) FROM $big b
+           |JOIN $dim d ON b.l_partkey = d.p_partkey
+           |WHERE d.p_size = 1""".stripMargin)
+        .queryExecution.executedPlan.toString
+      graft.sources.Tables.withScopedConf(spark, "spark.sql.cbo.enabled", "true") {
+        graft.sources.Tables.withScopedConf(spark,
+            "spark.sql.autoBroadcastJoinThreshold", threshold.toString) {
+          val before = plan()
+          assert(!before.contains("BroadcastHashJoin"),
+            s"without stats the filtered dim must not broadcast:\n$before")
+          spark.sql(s"ANALYZE TABLE $dim COMPUTE STATISTICS FOR ALL COLUMNS")
+          val after = plan()
+          assert(after.contains("BroadcastHashJoin"),
+            s"with ANALYZE stats the ~2% filtered dim must broadcast:\n$after")
+        }
+      }
+      // and the numbers the optimizer consumed ARE R30's numbers:
+      // exact rows, ndv within the sketch envelope (ANALYZE's ndv is
+      // HLL-approximate; R30's is exact — pin the envelope, never
+      // estimate equality, the r12 DataSketches lesson)
+      val info = spark.sql(s"DESCRIBE EXTENDED $dim p_size").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val exactNdv = spark.table(dim)
+        .agg(countDistinct(col("p_size"))).head().getLong(0)
+      assert(math.abs(info("distinct_count").toLong - exactNdv) <=
+        math.max(2L, exactNdv / 10))
+      // rowCount surfaces in plan stats only under CBO
+      graft.sources.Tables.withScopedConf(spark, "spark.sql.cbo.enabled", "true") {
+        val rowCount = spark.table(dim).queryExecution.optimizedPlan
+          .stats.rowCount.get
+        assert(rowCount == BigInt(spark.table(dim).count()))
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $dim")
+      spark.sql(s"DROP TABLE IF EXISTS $big")
+      for (t <- Seq(dim, big))
+        rec(new java.io.File(s"/tmp/graft_warehouse/$t"))
+    }
+  }
+
+  // ---- LiveStore kill/redelivery matrix (r11 verdict item 6) ----
+
+  // The foreachBatch delta-append stores (E16/E21/D11/D21) hold their
+  // state OUTSIDE Spark — exactly-once is the replay-marker protocol
+  // (committed delta_b<id> dir), not the state-store provider, so the
+  // axis that matters here is the KILL POINT: (a) a stop at the
+  // batch-2-of-3 boundary with a fresh query resuming from the same
+  // checkpoint, and (b) a REDELIVERY — the checkpoint's last commit
+  // marker deleted so the resumed query re-runs an already-applied
+  // batch, the at-least-once path the marker protocol exists for.
+  // Summed n_events double-count on a replay if the marker fails.
+  test("E16 LiveStore survives kill/resume AND a redelivered batch (replay markers hold)") {
+    import graft.streaming.{LiveStore, Streams}
+    def rec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rec)); f.delete(); ()
+    }
+    val root = new java.io.File("/tmp/graft_livestore_kill")
+    rec(root); root.mkdirs()
+    // the events table as 3 chronological split files
+    val srcAll = new java.io.File(root, "src_all"); srcAll.mkdirs()
+    val raw = graft.sources.Tables.events(spark, sf)
+    val tagged = raw
+      .repartitionByRange(Streams.sourceBatches, col("ts"), col("event_id"))
+      .withColumn("_p", spark_partition_id()).localCheckpoint(true)
+    val splits = (0 until Streams.sourceBatches).map { i =>
+      val tmp = new java.io.File(srcAll, s"_build_$i")
+      tagged.filter(col("_p") === i).drop("_p")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      val part = Option(tmp.listFiles()).get
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      val dst = new java.io.File(srcAll, f"$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      rec(tmp); dst
+    }
+    def runStore(srcDir: String, ckpt: String, storeDir: String): Unit =
+      Streams.withStreamShards(spark) {
+        val q = spark.readStream
+          .schema(spark.read.parquet(srcDir).schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+              LiveStore.upsert(batch.toDF(), id, storeDir)
+          }
+          .outputMode("update").start()
+        q.processAllAvailable(); q.stop()
+      }
+    // uninterrupted reference
+    val refStore = s"$root/store_ref"
+    runStore(srcAll.getPath, s"$root/ckpt_ref", refStore)
+    val expected = LiveStore.snapshot(spark, refStore)
+      .orderBy("user_id").collect().toSeq
+    // killed run: 2 of 3 files → stop → REDELIVER batch 1 (delete its
+    // commit marker) → file 3 arrives → fresh query resumes
+    val partSrc = new java.io.File(root, "src_part"); partSrc.mkdirs()
+    splits.take(2).foreach(f => java.nio.file.Files.copy(f.toPath,
+      new java.io.File(partSrc, f.getName).toPath))
+    val killStore = s"$root/store_kill"
+    runStore(partSrc.getPath, s"$root/ckpt_kill", killStore)
+    // simulate the crash-between-sink-commit-and-WAL-commit window on
+    // a COPY of the checkpoint (a real crash leaves no live query
+    // registered on the path; reusing the original trips the
+    // concurrent-checkpoint guard): batch 1's offsets survive, its
+    // commit marker does not ⇒ the resumed query MUST redeliver it
+    val ckptResume = new java.io.File(s"$root/ckpt_resume")
+    def copyRec(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        Option(src.listFiles()).foreach(_.foreach(f =>
+          copyRec(f, new java.io.File(dst, f.getName))))
+      } else {
+        java.nio.file.Files.copy(src.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+      }
+    }
+    copyRec(new java.io.File(s"$root/ckpt_kill"), ckptResume)
+    val commit1 = new java.io.File(ckptResume, "commits/1")
+    assert(commit1.exists, "expected batch 1's commit marker")
+    assert(commit1.delete(), "failed to simulate the redelivery window")
+    // the local checksum FS keeps a .crc sidecar — a stale one makes
+    // the re-commit's rename fail as a phantom concurrent writer
+    new java.io.File(ckptResume, "commits/.1.crc").delete()
+    java.nio.file.Files.copy(splits(2).toPath,
+      new java.io.File(partSrc, splits(2).getName).toPath)
+    runStore(partSrc.getPath, ckptResume.getPath, killStore)
+    val got = LiveStore.snapshot(spark, killStore)
+      .orderBy("user_id").collect().toSeq
+    assert(got == expected,
+      "kill + redelivered batch must leave the store byte-equal " +
+        "(delta_b1's committed dir is the idempotence marker)")
+    // E21's tail: the log-cleaner (tombstone purge) over the resumed
+    // store must land on the same compacted state as over the
+    // uninterrupted one — the kill/redelivery must not perturb the
+    // downstream compaction lifecycle either
+    for (dir <- Seq(refStore, killStore))
+      LiveStore.compact(spark, dir, purgeTombstones = true)
+    val refPurged = LiveStore.snapshot(spark, refStore)
+      .orderBy("user_id").collect().toSeq
+    val killPurged = LiveStore.snapshot(spark, killStore)
+      .orderBy("user_id").collect().toSeq
+    assert(killPurged == refPurged,
+      "tombstone purge after kill/redelivery diverged from the uninterrupted run")
+    rec(root)
+  }
+
+  // ---- P24 corpus_maintenance_report (r11 verdict item 7) ----
+
+  test("maintenance report reconciles across its four stages") {
+    val m = run("corpus_maintenance_report")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.size == 12, s"expected 12 metrics, got ${m.keySet}")
+    // every new-snapshot doc is indexed exactly once
+    assert(m("index_docs") == m("stats_rows"))
+    // the delta replays: new = old − removed + added (changed cancels)
+    assert(m("stats_rows") == m("old_rows") - m("delta_removed") + m("delta_added"))
+    // digests dedup docs, never invent them
+    assert(m("index_digests") <= m("index_docs") && m("index_digests") > 0)
+    // the packing can only merge manifest parts (one out_file id per
+    // bin, ids contiguous from 0 per source), never split them
+    assert(m("compact_out_files") <= m("compact_parts") &&
+      m("compact_out_files") >= m("stats_sources"))
+    // the delta stage agrees with the standalone P22 operator
+    val delta = run("corpus_delta").groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (s <- Seq("added", "removed", "changed"))
+      assert(m(s"delta_$s") == delta(s), s"delta_$s")
+  }
 }
