@@ -217,7 +217,63 @@ object Multimodal extends OpFamily {
       |  kp // 1000000 AS keep_doc_id, kp % 1000000 AS keep_frame_id
       |FROM g WHERE n_copies >= 2""".stripMargin
 
+  // X8 `mm_format_sniff`: container-format SNIFFING over the opaque
+  // payload — the classification/dead-letter pass a multimodal lake
+  // runs at ingestion, where the claimed format (file extension,
+  // upstream metadata) is never trusted and the MAGIC BYTES decide
+  // which decoder pool a payload routes to (and "unknown" routes to
+  // quarantine, the C10 contract for media). The synthetic corpus
+  // carries no organic containers, so — the T11 injected-PII pattern —
+  // both engines first PREPEND a deterministic doc_id-derived magic
+  // (3 of 4 docs get PNG8/RIFF/JPEG, every 4th gets none ⇒ sniffs
+  // UNKNOWN), then sniff the prefix back and aggregate the routing
+  // report per (format, source): payload count, byte mass, size
+  // bounds. One scan, one bounded hash-agg (|formats|×|sources|
+  // rows); prefix extraction is codegen'd substring — no UDF, no
+  // decode.
+  private def formatSniff(s: SparkSession, d: String): DataFrame = {
+    val magic = when(pmod(col("doc_id"), lit(4L)) === 0, lit("PNG8"))
+      .when(pmod(col("doc_id"), lit(4L)) === 1, lit("RIFF"))
+      .when(pmod(col("doc_id"), lit(4L)) === 2, lit("JPEG"))
+      .otherwise(lit(""))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        concat(magic, col("text")).cast("binary").as("payload"))
+      .withColumn("prefix", expr("cast(substring(payload, 1, 4) as string)"))
+      .withColumn("format",
+        when(col("prefix") === "PNG8", "png")
+          .when(col("prefix") === "RIFF", "riff")
+          .when(col("prefix") === "JPEG", "jpeg")
+          .otherwise("unknown"))
+      .groupBy("format", "source")
+      .agg(count(lit(1)).as("n_payloads"),
+        sum(length(col("payload")).cast("long")).as("bytes"),
+        min(length(col("payload")).cast("long")).as("min_len"),
+        max(length(col("payload")).cast("long")).as("max_len"))
+  }
+
+  private val formatSniffSql =
+    """WITH p AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 4 = 0 THEN 'PNG8'
+      |         WHEN doc_id % 4 = 1 THEN 'RIFF'
+      |         WHEN doc_id % 4 = 2 THEN 'JPEG'
+      |         ELSE '' END || text AS payload
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, octet_length(encode(payload)) AS len,
+      |    CASE substring(payload, 1, 4)
+      |      WHEN 'PNG8' THEN 'png' WHEN 'RIFF' THEN 'riff'
+      |      WHEN 'JPEG' THEN 'jpeg' ELSE 'unknown' END AS format
+      |  FROM p)
+      |SELECT format, source, count(*) AS n_payloads,
+      |  CAST(sum(len) AS BIGINT) AS bytes,
+      |  CAST(min(len) AS BIGINT) AS min_len,
+      |  CAST(max(len) AS BIGINT) AS max_len
+      |FROM c GROUP BY 1, 2""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("mm_format_sniff", formatSniff, Some(formatSniffSql)),
     Op("mm_frame_dedup", mmFrameDedup, Some(mmFrameDedupSql)),
     Op("mm_dedup", mmDedup, Some(mmDedupSql)),
     Op("mm_binary_meta", binaryMeta, Some(binaryMetaSql)),

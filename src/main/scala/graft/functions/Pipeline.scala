@@ -1146,7 +1146,57 @@ object Pipeline extends OpFamily {
        |UNION ALL SELECT 'stats_sources', count(DISTINCT source) FROM neu
        |UNION ALL SELECT 'stats_langs', count(DISTINCT lang) FROM neu""".stripMargin
 
+  // P25 `corpus_chunk`: fixed-window CHUNKING with overlap — the
+  // context-window shaper every pretraining/RAG pipeline runs between
+  // cleaning and packing (docs → 64-token windows at stride 48, so
+  // consecutive chunks share a 16-token overlap and no token is lost
+  // at a boundary). The chunk PLAN is pure integer arithmetic on the
+  // token count (starts = k·48 while k·48 < n ⇒ n_chunks =
+  // (n−1) div 48 + 1), evaluated in-scan: posexplode over the start
+  // sequence, `slice` on the split token array, one md5 per chunk —
+  // no shuffle anywhere, the op is embarrassingly parallel at any
+  // corpus size (the explode's expansion is ≤ n/48 + 1 per doc,
+  // LINEAR in the input, so per the round-12 rule it does NOT get a
+  // corpus repartition). Chunk ids are (doc_id, k) — stable under
+  // recrawl deltas, so downstream dedup/packing keys survive a
+  // refresh. Every column is exact (counts, md5) ⇒ hash-compared.
+  private val chunkSize = 64
+  private val chunkStride = 48
+
+  private def corpusChunk(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(expr(s"sequence(0L, (n - 1) div $chunkStride)")))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        (col("pos") * chunkStride.toLong).as("start_tok"),
+        least(lit(chunkSize.toLong),
+          col("n") - col("pos") * chunkStride.toLong).as("n_tok"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("pos") * chunkStride + 1, lit(chunkSize))))
+          .as("h"))
+
+  private val corpusChunkSql =
+    s"""WITH b AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, toks, n,
+       |    unnest(range(0, (n - 1) // $chunkStride + 1)) AS pos
+       |  FROM b)
+       |SELECT doc_id, CAST(pos AS BIGINT) AS chunk_id,
+       |  pos * $chunkStride AS start_tok,
+       |  least($chunkSize, n - pos * $chunkStride) AS n_tok,
+       |  md5(array_to_string(list_slice(toks, CAST(pos * $chunkStride + 1 AS BIGINT),
+       |    CAST(pos * $chunkStride + $chunkSize AS BIGINT)), ' ')) AS h
+       |FROM c""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("corpus_chunk", corpusChunk, Some(corpusChunkSql)),
     Op("corpus_maintenance_report", maintenanceReport, Some(maintenanceReportSql)),
     Op("corpus_delta", corpusDelta, Some(corpusDeltaSql)),
     Op("corpus_compaction_plan", compactionPlan, Some(compactionPlanSql)),

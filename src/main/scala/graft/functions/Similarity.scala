@@ -1383,7 +1383,72 @@ object Similarity extends OpFamily {
        |  CAST((10000 * sum(err_sum_v)) // sum(mass_v) AS BIGINT) AS rel_err_e4
        |FROM e GROUP BY 1""".stripMargin
 
+  // S15 `ann_rp_reduce`: the DIMENSIONALITY-reduction envelope — a
+  // signed (±1) random projection from 64 to 16 lanes (Achlioptas'
+  // database-friendly JL form: no floats, no gaussians — the variant
+  // built for exactly this integer-lane setting), measured the S14
+  // way: per label, exact int64 energy before (Σ‖v‖²) and after
+  // (Σ‖p‖²) plus the worst projected component. The sign matrix is
+  // md5-derived IN SCALA and embedded as literals in BOTH engines'
+  // expressions (the maxabs-interpolation pattern), so the whole op
+  // is one scan + one bounded hash-agg with every column exact —
+  // Spark evaluates the 16 projections through the codegen'd
+  // LongDotProduct against literal sign arrays; the JL concentration
+  // law (Σ‖p‖² ≈ 16·Σ‖v‖²) is spec-pinned with BigInt arithmetic,
+  // never an in-oracle ratio (10000·Σ‖p‖² overflows int64). At scale
+  // this is the cheap pre-filter tier under S2/S3: rank in 16 lanes,
+  // re-score survivors in 64.
+  private val rpOutDims = 16
+  private val rpInDims = 64
+
+  private[graft] def rpSign(i: Int, j: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"rp:$i:$j".getBytes("UTF-8"))
+    if (((h(0) >> 7) & 1) == 0) 1L else -1L
+  }
+
+  private def annRpReduce(s: SparkSession, d: String): DataFrame = {
+    val signs = Array.tabulate(rpOutDims, rpInDims)((j, i) => rpSign(i, j))
+    val base = Tables.embeddings(s, d)
+      .select(col("label"), quantize(col("embedding")).as("v"))
+    val projected = base.select(
+      (col("label") +: dot(col("v"), col("v")).as("eo") +:
+        (0 until rpOutDims).map(j =>
+          dot(col("v"), array(signs(j).map(lit).toIndexedSeq: _*)).as(s"p$j"))): _*)
+    val ep = (0 until rpOutDims).map(j => col(s"p$j") * col(s"p$j"))
+      .reduce(_ + _)
+    val maxp = greatest((0 until rpOutDims).map(j => abs(col(s"p$j"))): _*)
+    projected
+      .select(col("label"), col("eo"), ep.as("ep"), maxp.as("mp"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("eo")).as("e_orig"),
+        sum(col("ep")).as("e_proj"), max(col("mp")).as("max_abs_p"))
+  }
+
+  private def annRpReduceSql: String = {
+    val signs = Array.tabulate(rpOutDims, rpInDims)((j, i) => rpSign(i, j))
+    val pDefs = (0 until rpOutDims).map { j =>
+      val lst = signs(j).mkString("[", ", ", "]")
+      s"CAST(list_sum(list_transform(range(1, ${rpInDims + 1}), i -> v[i] * ($lst)[i])) AS BIGINT) AS p$j"
+    }.mkString(",\n       ")
+    val epSum = (0 until rpOutDims).map(j => s"p$j * p$j").mkString(" + ")
+    val mp = (0 until rpOutDims).map(j => s"abs(p$j)").mkString("greatest(", ", ", ")")
+    s"""WITH q AS (
+       |  SELECT label, ${quantizeSql("embedding")} AS v FROM embeddings),
+       |p AS (
+       |  SELECT label,
+       |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS eo,
+       |       $pDefs
+       |  FROM q)
+       |SELECT label, count(*) AS n_vecs,
+       |  CAST(sum(eo) AS BIGINT) AS e_orig,
+       |  CAST(sum($epSum) AS BIGINT) AS e_proj,
+       |  CAST(max($mp) AS BIGINT) AS max_abs_p
+       |FROM p GROUP BY 1""".stripMargin
+  }
+
   override def ops: Seq[Op] = Seq(
+    Op("ann_rp_reduce", annRpReduce, Some(annRpReduceSql)),
     Op("ann_scalar_quant", annScalarQuant, Some(annScalarQuantSql)),
     Op("ann_probe_sweep", annProbeSweep, Some(annProbeSweepSql)),
     Op("ann_filtered", annFiltered, Some(annFilteredSql)),

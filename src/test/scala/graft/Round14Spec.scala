@@ -334,6 +334,99 @@ class Round14Spec extends SparkSpec {
     rec(root)
   }
 
+  // ---- P25 / X8 / S15 (round-14 growth tier) ----
+
+  test("corpus_chunk: full coverage, 16-token overlap, plain-Scala replay") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = run("corpus_chunk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got.nonEmpty)
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    for ((id, text) <- docs) {
+      val toks = text.split(" ", -1)
+      val n = toks.length
+      val nChunks = (n - 1) / 48 + 1
+      // exactly the planned chunks exist for this doc
+      assert((0 until nChunks).forall(k => got.contains((id, k.toLong))))
+      assert(!got.contains((id, nChunks.toLong)))
+      var covered = 0
+      for (k <- 0 until nChunks) {
+        val (start, ntok, h) = got((id, k.toLong))
+        assert(start == 48L * k)
+        assert(ntok == math.min(64, n - 48 * k))
+        assert(h == md5(toks.slice(48 * k, 48 * k + 64).mkString(" ")))
+        covered = math.max(covered, 48 * k + ntok.toInt)
+      }
+      // no token lost at any boundary, and full chunks overlap by 16
+      assert(covered == n)
+    }
+  }
+
+  test("mm_format_sniff routes every payload exactly once, by magic not by claim") {
+    val report = run("mm_format_sniff").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+    // replay the injection + sniff in plain Scala
+    val expected = docs.groupBy { r =>
+      val id = r.getLong(0)
+      val fmt = (id % 4) match {
+        case 0 => "png"; case 1 => "riff"; case 2 => "jpeg"
+        case _ =>
+          val t = r.getString(2)
+          if (t.startsWith("PNG8")) "png" else if (t.startsWith("RIFF")) "riff"
+          else if (t.startsWith("JPEG")) "jpeg" else "unknown"
+      }
+      (fmt, r.getString(1))
+    }.view.mapValues(_.length.toLong).toMap
+    assert(report == expected)
+    // the routing partitions the corpus: every payload in exactly one row
+    assert(report.values.sum == docs.length.toLong)
+  }
+
+  test("ann_rp_reduce: JL energy concentration + exact projection replay") {
+    val rows = run("ann_rp_reduce").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    for ((label, n, eo, ep, maxp) <- rows) {
+      assert(n > 0 && eo > 0)
+      // signed-RP Johnson-Lindenstrauss: E[Σ‖p‖²] = k·Σ‖v‖² (k = 16);
+      // summed over a label's vectors the ratio concentrates — pin a
+      // wide exact-integer envelope, never a float ratio
+      val lo = BigInt(eo) * 8
+      val hi = BigInt(eo) * 32
+      assert(BigInt(ep) >= lo && BigInt(ep) <= hi,
+        s"label $label: e_proj $ep outside [8,32]×e_orig $eo")
+      assert(maxp <= 64L * 1000000L, s"label $label maxp $maxp")
+    }
+    // exact replay of one vector's 16 projections
+    val v = graft.sources.Tables.embeddings(spark, sf)
+      .orderBy("vec_id").select("embedding").head()
+      .getSeq[Float](0).map(x =>
+        BigDecimal(x.toDouble * 1000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val eo1 = v.map(x => x * x).sum
+    val ps = (0 until 16).map(j =>
+      v.indices.map(i => v(i) * graft.functions.Similarity.rpSign(i, j)).sum)
+    // the op's per-label aggregates must be consistent with this
+    // replay when run over the 1-vector frame
+    import spark.implicits._
+    val one = Seq((0, v)).toDF("label", "v")
+    val gotP = (0 until 16).map { j =>
+      val signs = (0 until 64).map(i => graft.functions.Similarity.rpSign(i, j))
+      one.select(graft.functions.Similarity.dot(col("v"),
+        array(signs.map(lit): _*))).head().getLong(0)
+    }
+    assert(gotP == ps, "codegen'd dot disagrees with the plain-Scala projection")
+    assert(one.select(graft.functions.Similarity.dot(col("v"), col("v")))
+      .head().getLong(0) == eo1)
+  }
+
   // ---- P24 corpus_maintenance_report (r11 verdict item 7) ----
 
   test("maintenance report reconciles across its four stages") {
