@@ -427,6 +427,33 @@ class Round14Spec extends SparkSpec {
       .head().getLong(0) == eo1)
   }
 
+  // ---- R31 view_maintain ----
+
+  test("view_maintain: the delta is real work and the merge is the whole answer") {
+    import graft.sources.Tables
+    val li = Tables.lineitem(spark, sf)
+    val ord = Tables.orders(spark, sf)
+    val maxOk = li.agg(max(col("l_orderkey"))).head().getLong(0)
+    val t = maxOk * 4 / 5
+    // non-vacuity: the maintained view is NOT the base capital alone —
+    // the delta slice contributes rows/counts the base misses
+    val full = run("view_maintain")
+    val fullN = full.agg(sum(col("n"))).head().getLong(0)
+    val baseN = li.filter(col("l_orderkey") <= t).count()
+    val deltaN = li.filter(col("l_orderkey") > t).count()
+    assert(deltaN > 0, "footer-stats threshold left an empty delta")
+    assert(fullN == baseN + deltaN, "view counts must tile the fact table")
+    // the IVM law, frame-for-frame: maintained == direct recompute
+    val recomputed = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"),
+        col("l_returnflag"))
+      .agg(sum(Tables.cents(col("l_extendedprice"))).as("sum_price_c"),
+        count(lit(1)).as("n"))
+    assert(full.exceptAll(recomputed).isEmpty &&
+      recomputed.exceptAll(full).isEmpty,
+      "maintained view diverged from the from-scratch recompute")
+  }
+
   // ---- P24 corpus_maintenance_report (r11 verdict item 7) ----
 
   test("maintenance report reconciles across its four stages") {
