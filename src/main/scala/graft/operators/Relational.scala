@@ -353,7 +353,9 @@ object Relational extends OpFamily {
   // (the D20 trick on the relational tier). At 100 TB the delta join
   // runs at delta size against the bucketed orders layout (C9), and
   // the merge touches |months×flags| rows.
-  private def viewAgg(li: DataFrame, ord: DataFrame): DataFrame =
+  // private[graft]: stream_view_maintain aggregates each micro-batch
+  // through exactly this view body (structural batch/stream parity)
+  private[graft] def viewAgg(li: DataFrame, ord: DataFrame): DataFrame =
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(date_trunc("month", col("o_orderdate")).as("month"),
         col("l_returnflag"))
@@ -379,7 +381,7 @@ object Relational extends OpFamily {
       .agg(sum(col("sum_price_c")).as("sum_price_c"), sum(col("n")).as("n"))
   }
 
-  private val viewMaintainSql =
+  private[graft] val viewMaintainSql =
     """SELECT date_trunc('month', o_orderdate) AS month, l_returnflag,
       |  CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sum_price_c,
       |  count(*) AS n

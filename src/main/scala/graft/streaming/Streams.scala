@@ -1253,6 +1253,97 @@ object Streams extends OpFamily {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canon"))
   }
 
+  // R32 `stream_view_maintain`: R31's materialized view maintained
+  // LIVE — the arriving fact slice lands in micro-batches, each batch
+  // aggregates its OWN join partials through exactly the batch view
+  // body (structural parity) against the threshold-pruned dimension
+  // frame (pre-read once per invocation, the stream_admit base-frame
+  // lesson), and the partials append as committed delta dirs (replay
+  // markers ⇒ idempotent under redelivery; LiveStore cadence bounds
+  // fan-in). Because every view column is a commutative monoid in
+  // exact cents, the final read is ONE bounded hash-agg over
+  // base ∪ growth, batch boundaries invisible by algebra — the oracle
+  // is R31's full recompute, so the driver hash-compare proves the
+  // streamed IVM law end to end.
+  private val viewMaintainInvocations =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def liDeltaSplitSource(s: SparkSession, d: String, t: Long): String = {
+    val target = s"${Tables.workDir(s)}/lidelta_split_" + Tables.datasetTag(d)
+    docSplitCache.computeIfAbsent(target, base => {
+      // DIRECT split write — no stableCheckpoint, no coalesce(1): the
+      // view partials are commutative monoids, so batch CONTENTS need
+      // no cross-run pinning (unlike the order-sensitive admit split),
+      // and at sf100 the checkpoint+1-task-funnel form of the writer
+      // OOMs on the 120 M-row delta. One ranged write job, one file
+      // per range partition, renamed with ascending mtimes.
+      val tmp = s"$base/_build"
+      Tables.lineitem(s, d).filter(col("l_orderkey") > t)
+        .select("l_orderkey", "l_returnflag", "l_extendedprice")
+        .repartitionByRange(sourceBatches, col("l_orderkey"))
+        .write.mode("overwrite").parquet(tmp)
+      val parts = Option(new java.io.File(tmp).listFiles()).get
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        .sortBy(_.getName)
+      for ((part, i) <- parts.zipWithIndex) {
+        val dst = new java.io.File(base, f"$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1700000000000L + i * 60000L)
+      }
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rec)); f.delete(); ()
+      }
+      rec(new java.io.File(tmp))
+      base
+    })
+  }
+
+  private def streamViewMaintain(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Relational
+    val inv = viewMaintainInvocations.incrementAndGet()
+    val li = Tables.lineitem(s, d)
+    val maxOk = Tables.maxIdFromStats(s, s"$d/lineitem.parquet", "l_orderkey", li)
+    val t = maxOk * 4 / 5
+    // the SAME base capital as the batch R31 (shared per dataset)
+    val path = s"${Tables.workDir(s)}/view_monthly_flag_" + Tables.datasetTag(d)
+    Tables.buildOnce(path)(Relational.viewAgg(
+      li.filter(col("l_orderkey") <= t),
+      Tables.orders(s, d).filter(col("o_orderkey") <= t)))
+    val ordDelta = Tables.orders(s, d).filter(col("o_orderkey") > t)
+      .select("o_orderkey", "o_orderdate")
+    val root = s"${Tables.workDir(s)}/view_growth_" +
+      Tables.datasetTag(d) + s"_$inv"
+    new java.io.File(root).mkdirs()
+    val srcDir = liDeltaSplitSource(s, d, t)
+    val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    withStreamShards(s) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          // MEASURED at sf100: a pre-aggregation of the batch on
+          // (orderkey, flag) before the join is a LOSS (91.7 s warm vs
+          // 46.0 s plain) — with 3 return flags the partial's
+          // cardinality is ~rows, so it only adds a shuffle. The plain
+          // stream-static join re-pays the dimension shuffle per batch
+          // by design; the production cure is the C9 bucketed layout
+          // on both sides, not batch-side algebra.
+          appendBatchOnce(
+            Relational.viewAgg(batch.toDF(), ordDelta), root, id)
+          maybeCompactGrowth(batch.sparkSession, root)
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    s.read.parquet(path)
+      .unionByName(readGrown(s, root).getOrElse(
+        sys.error(s"view growth at $root is empty")))
+      .groupBy("month", "l_returnflag")
+      .agg(sum(col("sum_price_c")).as("sum_price_c"), sum(col("n")).as("n"))
+  }
+
   private def streamIndexMaintain(s: SparkSession, d: String): DataFrame = {
     import graft.functions.Dedup
     val inv = idxMaintainInvocations.incrementAndGet()
@@ -1290,6 +1381,8 @@ object Streams extends OpFamily {
     Op("stream_admit", streamAdmit, Some(graft.functions.Dedup.admitSql)),
     Op("stream_index_maintain", streamIndexMaintain,
       Some(graft.functions.Dedup.indexMaintainSql)),
+    Op("stream_view_maintain", streamViewMaintain,
+      Some(graft.operators.Relational.viewMaintainSql)),
     Op("stream_slo_burn", streamSloBurn,
       Some(graft.operators.MetricsOps.sloBurnSql)),
     Op("stream_anomaly", streamAnomaly,

@@ -454,6 +454,20 @@ class Round14Spec extends SparkSpec {
       "maintained view diverged from the from-scratch recompute")
   }
 
+  test("stream_view_maintain equals the batch IVM frame-for-frame") {
+    val streamed = run("stream_view_maintain").collect()
+      .map(r => (r.get(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = run("view_maintain").collect()
+      .map(r => (r.get(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch,
+      "streamed view maintenance diverged from the batch IVM")
+    // batch boundaries are invisible by algebra: re-running the op (a
+    // second invocation with a fresh growth root) lands on the same view
+    val again = run("stream_view_maintain").collect()
+      .map(r => (r.get(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(again == batch)
+  }
+
   // ---- P24 corpus_maintenance_report (r11 verdict item 7) ----
 
   test("maintenance report reconciles across its four stages") {
