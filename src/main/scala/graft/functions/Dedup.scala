@@ -1298,7 +1298,40 @@ object Dedup extends OpFamily {
       |  count(*) AS n_docs, min(doc_id) AS canon
       |FROM documents WHERE doc_id % 10 != 3 GROUP BY 1""".stripMargin
 
+  // D22 `dedup_chunks`: exact dedup at CHUNK granularity over P25's
+  // overlapping windows — the cross-document boilerplate catcher
+  // (headers, license blocks, navigation chrome) that document-level
+  // dedup (D1) structurally misses: two distinct docs sharing a
+  // 64-token span collide here and nowhere else. One hash-agg keyed by
+  // the chunk digest over the zero-shuffle chunk stream; the canonical
+  // occurrence (lexicographically least (doc_id, chunk_id)) rides a
+  // packed int64 min — doc_id·10⁹ + chunk_id, chunk ids are < 10⁹ for
+  // any document under 48 billion tokens — so the agg stays a plain
+  // fixed-width HashAggregate (the E1 packed-argmax rule). Emits only
+  // genuinely shared windows (n_copies ≥ 2): the rows a boilerplate
+  // strip pass consumes.
+  private def dedupChunks(s: SparkSession, d: String): DataFrame =
+    graft.functions.Pipeline.corpusChunk(s, d)
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("doc_id") * 1000000000L + col("chunk_id")).as("pk"))
+      .filter(col("n_copies") >= 2)
+      .select(col("h"), col("n_copies"),
+        expr("pk div 1000000000").as("canon_doc"),
+        expr("pk % 1000000000").as("canon_chunk"))
+
+  private val dedupChunksSql = {
+    // the P25 window CTE verbatim, regrouped by digest
+    val chunkCte = graft.functions.Pipeline.corpusChunkSql
+    s"""WITH chunks AS ($chunkCte)
+       |SELECT h, count(*) AS n_copies,
+       |  min(doc_id * 1000000000 + chunk_id) // 1000000000 AS canon_doc,
+       |  min(doc_id * 1000000000 + chunk_id) % 1000000000 AS canon_chunk
+       |FROM chunks GROUP BY 1 HAVING count(*) >= 2""".stripMargin
+  }
+
   override def ops: Seq[Op] = Seq(
+    Op("dedup_chunks", dedupChunks, Some(dedupChunksSql)),
     Op("dedup_index_maintain", indexMaintain, Some(indexMaintainSql)),
     Op("dedup_bloom_gate", dedupBloomGate, Some(bloomGateSql)),
     Op("dedup_band_sweep", dedupBandSweep, Some(dedupBandSweepSql)),

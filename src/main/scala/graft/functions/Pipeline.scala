@@ -1163,7 +1163,8 @@ object Pipeline extends OpFamily {
   private val chunkSize = 64
   private val chunkStride = 48
 
-  private def corpusChunk(s: SparkSession, d: String): DataFrame =
+  // private[graft]: D22 chunk-level dedup groups exactly these windows
+  private[graft] def corpusChunk(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
@@ -1179,7 +1180,7 @@ object Pipeline extends OpFamily {
           slice(col("toks"), col("pos") * chunkStride + 1, lit(chunkSize))))
           .as("h"))
 
-  private val corpusChunkSql =
+  private[graft] val corpusChunkSql =
     s"""WITH b AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n

@@ -427,6 +427,28 @@ class Round14Spec extends SparkSpec {
       .head().getLong(0) == eo1)
   }
 
+  // ---- D22 dedup_chunks ----
+
+  test("dedup_chunks finds exactly the cross-occurrence windows, canon = least occurrence") {
+    val got = run("dedup_chunks").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // plain-Scala replay over the chunk stream
+    val chunks = run("corpus_chunk").collect()
+      .map(r => (r.getString(4), r.getLong(0), r.getLong(1)))
+    val byH = chunks.groupBy(_._1).filter(_._2.length >= 2)
+    assert(byH.nonEmpty, "fixture has no shared windows — vacuous test")
+    val expected = byH.map { case (h, occ) =>
+      val (_, d0, c0) = occ.minBy(o => (o._2, o._3))
+      h -> (occ.length.toLong, d0, c0)
+    }
+    assert(got == expected)
+    // document-level exact dup pairs must surface here too: identical
+    // docs share EVERY window (the boilerplate catcher is a strict
+    // superset of doc-identity at chunk granularity)
+    val dupDocs = run("dedup_exact").collect()
+    if (dupDocs.nonEmpty) assert(got.nonEmpty)
+  }
+
   // ---- R31 view_maintain ----
 
   test("view_maintain: the delta is real work and the merge is the whole answer") {
