@@ -1305,28 +1305,42 @@ object Dedup extends OpFamily {
   // 64-token span collide here and nowhere else. One hash-agg keyed by
   // the chunk digest over the zero-shuffle chunk stream; the canonical
   // occurrence (lexicographically least (doc_id, chunk_id)) rides a
-  // packed int64 min — doc_id·10⁹ + chunk_id, chunk ids are < 10⁹ for
-  // any document under 48 billion tokens — so the agg stays a plain
-  // fixed-width HashAggregate (the E1 packed-argmax rule). Emits only
-  // genuinely shared windows (n_copies ≥ 2): the rows a boilerplate
-  // strip pass consumes.
-  private def dedupChunks(s: SparkSession, d: String): DataFrame =
+  // packed decimal(38,0) min — doc_id·10⁹ + chunk_id in non-overlapping
+  // digit fields (chunk ids are < 10⁹ for any document under 48
+  // billion tokens; doc_id gets the full int64 range — an int64 pack
+  // would wrap silently past doc_id ≈ 9.2e9 while DuckDB promotes to
+  // HUGEINT, the r12 advice finding, so this applies the repo's
+  // when-int64-is-too-narrow rule: decimal(38,0) is still a
+  // fixed-width hash-aggregable buffer, the graft.operators.Packed
+  // contract). Emits only genuinely shared windows (n_copies ≥ 2):
+  // the rows the P26 boilerplate strip pass consumes.
+  private val chunkPackBase = new java.math.BigDecimal(1000000000L)
+
+  // private[graft]: P26 corpus_strip consumes exactly these shared
+  // windows (h → canon occurrence) to decide which spans to drop
+  private[graft] def dedupChunks(s: SparkSession, d: String): DataFrame =
     graft.functions.Pipeline.corpusChunk(s, d)
       .groupBy("h")
       .agg(count(lit(1)).as("n_copies"),
-        min(col("doc_id") * 1000000000L + col("chunk_id")).as("pk"))
+        min(col("doc_id").cast("decimal(38,0)") * lit(chunkPackBase)
+          + col("chunk_id")).as("pk"))
       .filter(col("n_copies") >= 2)
       .select(col("h"), col("n_copies"),
-        expr("pk div 1000000000").as("canon_doc"),
-        expr("pk % 1000000000").as("canon_chunk"))
+        // exact integer quotient: strip the chunk digits first so the
+        // decimal division has no fractional part to round (the
+        // Packed.eventId form)
+        ((col("pk") - pmod(col("pk"), lit(chunkPackBase))) / lit(chunkPackBase))
+          .cast("decimal(38,0)").cast("long").as("canon_doc"),
+        pmod(col("pk"), lit(chunkPackBase)).cast("long").as("canon_chunk"))
 
   private val dedupChunksSql = {
-    // the P25 window CTE verbatim, regrouped by digest
+    // the P25 window CTE verbatim, regrouped by digest; HUGEINT is
+    // DuckDB's wide lane matching Spark's decimal(38,0) pack
     val chunkCte = graft.functions.Pipeline.corpusChunkSql
     s"""WITH chunks AS ($chunkCte)
        |SELECT h, count(*) AS n_copies,
-       |  min(doc_id * 1000000000 + chunk_id) // 1000000000 AS canon_doc,
-       |  min(doc_id * 1000000000 + chunk_id) % 1000000000 AS canon_chunk
+       |  CAST(min(CAST(doc_id AS HUGEINT) * 1000000000 + chunk_id) // 1000000000 AS BIGINT) AS canon_doc,
+       |  CAST(min(CAST(doc_id AS HUGEINT) * 1000000000 + chunk_id) % 1000000000 AS BIGINT) AS canon_chunk
        |FROM chunks GROUP BY 1 HAVING count(*) >= 2""".stripMargin
   }
 

@@ -1093,9 +1093,12 @@ object Pipeline extends OpFamily {
     val plan = manifest
       .withColumn("before", coalesce(sum(col("bytes")).over(w), lit(0L)))
       .withColumn("out_file", expr(s"before div $compactTarget"))
-    val compactFiles = plan.groupBy("source")
-      .agg(max(col("out_file")).as("mf"))
-      .agg(sum(col("mf") + 1L).as("files"))
+    // count ACTUAL planned files, not id space: out_file ids can
+    // legitimately skip when one (source, part) mass exceeds the
+    // target (the r13 relaxation), so sum(max_id + 1) would overcount
+    // (the r12 advice finding)
+    val compactFiles = plan.select("source", "out_file").distinct()
+      .agg(count(lit(1)).as("files"))
       .selectExpr("'compact_out_files' AS metric", "files AS value")
     val compactMass = plan
       .agg(count(lit(1)).as("parts"), sum(col("bytes")).as("bytes"))
@@ -1138,8 +1141,8 @@ object Pipeline extends OpFamily {
        |UNION ALL SELECT 'old_rows', count(*) FROM old
        |UNION ALL SELECT 'index_docs', CAST(sum(n_docs) AS BIGINT) FROM idx
        |UNION ALL SELECT 'index_digests', count(*) FROM idx
-       |UNION ALL SELECT 'compact_out_files', CAST(sum(mf + 1) AS BIGINT)
-       |  FROM (SELECT source, max(out_file) AS mf FROM plan GROUP BY 1)
+       |UNION ALL SELECT 'compact_out_files', count(*)
+       |  FROM (SELECT DISTINCT source, out_file FROM plan)
        |UNION ALL SELECT 'compact_parts', count(*) FROM plan
        |UNION ALL SELECT 'compact_bytes', CAST(sum(bytes) AS BIGINT) FROM plan
        |UNION ALL SELECT 'stats_rows', count(*) FROM neu
@@ -1151,9 +1154,15 @@ object Pipeline extends OpFamily {
   // cleaning and packing (docs → 64-token windows at stride 48, so
   // consecutive chunks share a 16-token overlap and no token is lost
   // at a boundary). The chunk PLAN is pure integer arithmetic on the
-  // token count (starts = k·48 while k·48 < n ⇒ n_chunks =
-  // (n−1) div 48 + 1), evaluated in-scan: posexplode over the start
-  // sequence, `slice` on the split token array, one md5 per chunk —
+  // token count: starts = k·48 for k = 0..max(0, (n−17) div 48) — a
+  // tail start with ≤ 16 tokens left (n − k·48 ≤ overlap) is WHOLLY
+  // inside the previous 64-token window, so emitting it would mint
+  // fully-redundant short chunks that trivially collide across
+  // documents and pollute D22's boilerplate rows (the r12 advice
+  // finding); the last kept window still reaches n (48K + 64 ≥ n by
+  // construction), so coverage stays total. Evaluated in-scan:
+  // posexplode over the start sequence, `slice` on the split token
+  // array, one md5 per chunk —
   // no shuffle anywhere, the op is embarrassingly parallel at any
   // corpus size (the explode's expansion is ≤ n/48 + 1 per doc,
   // LINEAR in the input, so per the round-12 rule it does NOT get a
@@ -1169,7 +1178,12 @@ object Pipeline extends OpFamily {
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
       .select(col("doc_id"), col("toks"), col("n"),
-        posexplode(expr(s"sequence(0L, (n - 1) div $chunkStride)")))
+        // greatest guards the short-doc case on BOTH engines the same
+        // way (n ≤ 16): Spark `div` truncates toward zero, DuckDB `//`
+        // floors — they disagree on negative operands, greatest(0, ·)
+        // makes the disagreement unreachable
+        posexplode(expr(
+          s"sequence(0L, greatest(0L, (n - 1 - ${chunkSize - chunkStride}) div $chunkStride))")))
       .select(
         col("doc_id"),
         col("pos").cast("long").as("chunk_id"),
@@ -1187,7 +1201,7 @@ object Pipeline extends OpFamily {
        |  FROM documents),
        |c AS (
        |  SELECT doc_id, toks, n,
-       |    unnest(range(0, (n - 1) // $chunkStride + 1)) AS pos
+       |    unnest(range(0, greatest(0, (n - 1 - ${chunkSize - chunkStride}) // $chunkStride) + 1)) AS pos
        |  FROM b)
        |SELECT doc_id, CAST(pos AS BIGINT) AS chunk_id,
        |  pos * $chunkStride AS start_tok,
@@ -1196,7 +1210,82 @@ object Pipeline extends OpFamily {
        |    CAST(pos * $chunkStride + $chunkSize AS BIGINT)), ' ')) AS h
        |FROM c""".stripMargin
 
+  // P26 `corpus_strip`: the chunk-granular boilerplate STRIP pass D22's
+  // shared windows exist for — the P25→D22→strip loop closed. A token
+  // is dropped iff ANY duplicated window covers it EXCEPT in the
+  // window's canonical occurrence (lexicographically least
+  // (doc_id, chunk_id) — D22's canon), so exactly one copy of every
+  // shared span survives corpus-wide: headers/license blocks/nav
+  // chrome collapse to their first sighting, unique prose is
+  // untouched. Union-of-intervals semantics: overlapping dup windows
+  // merge through array_distinct of their covered positions, computed
+  // INSIDE the per-doc aggregate (ranges enter as ≤64-element
+  // sequences; no row explosion). Per doc the op emits the exact
+  // token ledger (n_tok_orig = n_kept + n_dropped — the conservation
+  // law, spec-pinned corpus-wide) and the md5 of the cleaned text, so
+  // the driver hash-compare pins the REWRITE itself, not just counts.
+  // Scale shape: chunks stream zero-shuffle off the scan; the dup
+  // windows are one hash-agg (D22) + one shuffle join on h; the
+  // per-doc drop list is one hash-agg on doc_id over DUP rows only;
+  // the final LEFT join attaches the (typically sparse) drop lists to
+  // the corpus with a shuffle-hash build on the aggregated side (the
+  // E19/R17/D10 rule) — the corpus itself is scanned once and never
+  // sorted. Token filtering is O(tokens × dup-windows-in-doc) with
+  // doc-bounded operands, in-scan.
+  private def corpusStrip(s: SparkSession, d: String): DataFrame = {
+    val dups = corpusChunk(s, d)
+      .join(graft.functions.Dedup.dedupChunks(s, d), Seq("h"))
+      .filter(!(col("doc_id") === col("canon_doc") &&
+        col("chunk_id") === col("canon_chunk")))
+    val dropped = dups.groupBy("doc_id")
+      .agg(array_sort(array_distinct(flatten(collect_list(
+        sequence(col("start_tok"), col("start_tok") + col("n_tok") - 1)))))
+        .as("drop_pos"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .join(dropped.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .withColumn("dp", coalesce(col("drop_pos"),
+        expr("CAST(array() AS ARRAY<BIGINT>)")))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok_orig"),
+        size(col("dp")).cast("long").as("n_dropped"),
+        (size(col("toks")) - size(col("dp"))).cast("long").as("n_kept"),
+        // Spark's filter lambda index is 0-based int; positions are
+        // 0-based longs
+        md5(concat_ws(" ", expr(
+          "filter(toks, (x, i) -> NOT array_contains(dp, CAST(i AS BIGINT)))")))
+          .as("clean_h"))
+  }
+
+  // def, not val: the CTE interpolates corpusChunkSql and the strip SQL
+  // is referenced from ops — a val here would be an init-order trap if
+  // another object's val ever pulls it (the CLAUDE.md null-embed rule)
+  private def corpusStripSql: String =
+    s"""WITH chunks AS ($corpusChunkSql),
+       |shr AS (
+       |  SELECT h,
+       |    CAST(min(CAST(doc_id AS HUGEINT) * 1000000000 + chunk_id) // 1000000000 AS BIGINT) AS canon_doc,
+       |    CAST(min(CAST(doc_id AS HUGEINT) * 1000000000 + chunk_id) % 1000000000 AS BIGINT) AS canon_chunk
+       |  FROM chunks GROUP BY 1 HAVING count(*) >= 2),
+       |dups AS (
+       |  SELECT c.doc_id, c.start_tok, c.n_tok
+       |  FROM chunks c JOIN shr s ON c.h = s.h
+       |  WHERE NOT (c.doc_id = s.canon_doc AND c.chunk_id = s.canon_chunk)),
+       |dp AS (
+       |  SELECT doc_id, list_sort(list_distinct(flatten(
+       |    list(range(start_tok, start_tok + n_tok))))) AS drop_pos
+       |  FROM dups GROUP BY 1),
+       |b AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |SELECT b.doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tok_orig,
+       |  CAST(COALESCE(len(drop_pos), 0) AS BIGINT) AS n_dropped,
+       |  CAST(len(toks) - COALESCE(len(drop_pos), 0) AS BIGINT) AS n_kept,
+       |  md5(array_to_string(list_filter(toks,
+       |    (x, i) -> NOT list_contains(COALESCE(drop_pos, []), i - 1)), ' ')) AS clean_h
+       |FROM b LEFT JOIN dp ON b.doc_id = dp.doc_id""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("corpus_strip", corpusStrip, Some(corpusStripSql)),
     Op("corpus_chunk", corpusChunk, Some(corpusChunkSql)),
     Op("corpus_maintenance_report", maintenanceReport, Some(maintenanceReportSql)),
     Op("corpus_delta", corpusDelta, Some(corpusDeltaSql)),

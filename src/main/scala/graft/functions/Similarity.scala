@@ -1447,7 +1447,134 @@ object Similarity extends OpFamily {
        |FROM p GROUP BY 1""".stripMargin
   }
 
+  // S16 `ann_two_tier`: the tier S15's envelope was measured FOR —
+  // rank the corpus per query in the 16 projected lanes (4× fewer
+  // multiplies per candidate, 4× fewer bytes per cached vector), keep
+  // a fixed candidate budget (top-50 by projected cosine), then
+  // re-score ONLY the survivors exactly in 64 lanes and emit the
+  // top-10. The projection is the S15 Achlioptas sign matrix
+  // (md5-derived, embedded as literals in both engines, evaluated
+  // through the codegen'd LongDotProduct). Scale shape: one corpus
+  // scan; the projected corpus (pv, pnn riding beside v, nn) is
+  // cache()d BEFORE the expanding broadcast join so the interpreted
+  // quantize transform isn't re-evaluated per joined row, and the
+  // un-expanded corpus is round-robin repartitioned so the ×|queries|
+  // expansion doesn't run at parquet-split parallelism (both r11
+  // rules); tier-1 ranks through the sort-free TWO-PHASE TopK (never
+  // a |queries|-key window — the score-matrix shuffle); tier-2
+  // touches ≤ 50·|queries| rows, so its ranking window is free. Ties
+  // at both cuts break on vec_id ⇒ both engines keep identical
+  // candidate sets and the driver hash-compare pins the whole
+  // pipeline, approximation included.
+  private val twoTierBudget = 50
+
+  private def projectedCorpus(s: SparkSession, d: String): DataFrame = {
+    val signs = Array.tabulate(rpOutDims, rpInDims)((j, i) => rpSign(i, j))
+    val pv = array((0 until rpOutDims).map(j =>
+      dot(col("v"), array(signs(j).map(lit).toIndexedSeq: _*))): _*)
+    quantized(s, d)
+      .withColumn("pv", pv)
+      .withColumn("pnn", sqNorm(col("pv")))
+  }
+
+  private def annTwoTier(s: SparkSession, d: String): DataFrame = {
+    val all = projectedCorpus(s, d).cache()
+    val queries = broadcast(all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qnn"),
+        col("pv").as("qpv"), col("pnn").as("qpnn")))
+    val corpus = all.filter(col("vec_id") >= 5)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+    val t1 = corpus.join(queries)
+      .select(col("q_id"), col("vec_id"), col("v"), col("nn"),
+        cosine(col("qpv"), col("pv"), col("qpnn"), col("pnn")).as("p_sim"))
+    val cand = graft.plans.TopK.topKPerKey(
+      graft.plans.TopK.topKPerKeyLocal(
+        t1, twoTierBudget, "q_id", "p_sim", "vec_id"),
+      twoTierBudget, "q_id", "p_sim", "vec_id")
+    val rescored = cand
+      .join(broadcast(queries.select("q_id", "qv", "qnn")), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("qv"), col("v"), col("qnn"), col("nn")).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
+    rescored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+  }
+
+  // the projected-lane CTE shared by the S16 oracle and S17's eval:
+  // every vector gains its 16-lane pv + pnn beside v + nn
+  private def twoTierCtes: String = {
+    val signs = Array.tabulate(rpOutDims, rpInDims)((j, i) => rpSign(i, j))
+    val pList = (0 until rpOutDims).map { j =>
+      val lst = signs(j).mkString("[", ", ", "]")
+      s"CAST(list_sum(list_transform(range(1, ${rpInDims + 1}), i -> v[i] * ($lst)[i])) AS BIGINT)"
+    }.mkString("[", ",\n       ", "]")
+    s"""$quantizedCte,
+       |pr AS (SELECT vec_id, v, nn, $pList AS pv FROM n),
+       |prn AS (SELECT vec_id, v, nn, pv,
+       |  CAST(list_sum(list_transform(pv, x -> x * x)) AS BIGINT) AS pnn FROM pr),
+       |t1 AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id, c.v AS cv, c.nn AS cnn,
+       |    q.v AS qv, q.nn AS qnn,
+       |    ${cosineSql("q.pv", "c.pv", "q.pnn", "c.pnn")} AS p_sim
+       |  FROM prn q JOIN prn c ON q.vec_id < 5 AND c.vec_id >= 5),
+       |cand AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY p_sim DESC, vec_id) AS prank
+       |    FROM t1) WHERE prank <= $twoTierBudget),
+       |t2 AS (
+       |  SELECT q_id, vec_id,
+       |    ${cosineSql("qv", "cv", "qnn", "cnn")} AS cos_sim
+       |  FROM cand),
+       |r2 AS (
+       |  SELECT q_id, vec_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rn
+       |  FROM t2)""".stripMargin
+  }
+
+  private def annTwoTierSql: String =
+    s"""WITH $twoTierCtes
+       |SELECT q_id, vec_id, cos_sim, rn FROM r2 WHERE rn <= 10""".stripMargin
+
+  // S17 `ann_two_tier_recall`: the S9-style acceptance eval for S16 —
+  // per query, what fraction of the TRUE top-10 (S1's brute-force
+  // ranking) the 16-lane pre-filter's fixed 50-candidate budget
+  // retains after exact re-scoring. This is the number that licenses
+  // the two-tier plan at any scale: both sides are the
+  // already-verified operators, so the eval itself is a tiny
+  // per-query join + hash-agg — exact integer recall_e4.
+  private def annTwoTierRecall(s: SparkSession, d: String): DataFrame = {
+    val gt = cosineTopK(s, d)
+      .select(col("q_id"), col("vec_id"))
+    val tt = annTwoTier(s, d)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    gt.join(tt.hint("shuffle_hash"), Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_e4", expr("(10000 * n_hit) div n_true"))
+  }
+
+  private def annTwoTierRecallSql: String =
+    s"""WITH $twoTierCtes,
+       |tt AS (SELECT q_id, vec_id FROM r2 WHERE rn <= 10),
+       |gx AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id,
+       |    ${cosineSql("q.v", "c.v", "q.nn", "c.nn")} AS cos_sim
+       |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id >= 5),
+       |gr AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+       |    FROM gx) WHERE rn <= 10)
+       |SELECT g.q_id, count(*) AS n_true,
+       |  CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST((10000 * sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS recall_e4
+       |FROM gr g LEFT JOIN tt t ON t.q_id = g.q_id AND t.vec_id = g.vec_id
+       |GROUP BY 1""".stripMargin
+
   override def ops: Seq[Op] = Seq(
+    Op("ann_two_tier", annTwoTier, Some(annTwoTierSql)),
+    Op("ann_two_tier_recall", annTwoTierRecall, Some(annTwoTierRecallSql)),
     Op("ann_rp_reduce", annRpReduce, Some(annRpReduceSql)),
     Op("ann_scalar_quant", annScalarQuant, Some(annScalarQuantSql)),
     Op("ann_probe_sweep", annProbeSweep, Some(annProbeSweepSql)),

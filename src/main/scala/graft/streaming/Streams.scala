@@ -1310,32 +1310,76 @@ object Streams extends OpFamily {
     Tables.buildOnce(path)(Relational.viewAgg(
       li.filter(col("l_orderkey") <= t),
       Tables.orders(s, d).filter(col("o_orderkey") <= t)))
-    val ordDelta = Tables.orders(s, d).filter(col("o_orderkey") > t)
+    // C9 BUCKETED dimension (r12 verdict item 1 — the named-but-unbuilt
+    // cure): the plain stream-static join re-paid the dimension
+    // shuffle+sort EVERY micro-batch (measured at sf100: the 30 M-row
+    // orders delta re-exchanged per batch). Writing the delta ONCE per
+    // invocation as a bucket-SORTED table on the join key makes its
+    // scan arrive hash-clustered AND per-bucket-ordered, so each
+    // batch's join plans with ZERO exchange and ZERO sort on the
+    // dimension side — only the arriving batch shuffles (to the bucket
+    // count), the irreducible stream side. The pre-repartition to
+    // exactly the bucket count gives ONE file per bucket (same murmur3
+    // hash as the bucket spec), which is what lets the scan REPORT its
+    // sort order — multi-file buckets would re-sort under SMJ. NOT a
+    // shuffle_hash build: the delta is corpus-scaled, and a
+    // corpus-scaled per-task hash relation OOMs under full core
+    // occupancy (the CLAUDE.md rule) — bucket-sorted SMJ is the shape
+    // that survives 100×. MEASURED at sf100 (scale/sf100_r15_bucketed
+    // _view.json): per-batch exchange on the dimension side gone.
+    // (Batch-side pre-aggregation remains a measured LOSS — 91.7 s vs
+    // 46.0 s warm at sf100: with 3 return flags the partial's
+    // cardinality is ~rows, it only adds a shuffle.)
+    val dimBuckets = 16
+    val dimTable = s"view_dim_${Tables.datasetTag(d)}_$inv"
+    // EXTERNAL table under the scratch root: a managed table would
+    // land in spark.sql.warehouse.dir, which defaults to ./spark-
+    // warehouse in the driver's cwd for Verify/Bench sessions
+    val dimLoc = s"${Tables.workDir(s)}/$dimTable"
+    Tables.orders(s, d).filter(col("o_orderkey") > t)
       .select("o_orderkey", "o_orderdate")
+      .repartition(dimBuckets, col("o_orderkey"))
+      .write.bucketBy(dimBuckets, "o_orderkey").sortBy("o_orderkey")
+      .option("path", dimLoc)
+      .mode("overwrite").saveAsTable(dimTable)
     val root = s"${Tables.workDir(s)}/view_growth_" +
       Tables.datasetTag(d) + s"_$inv"
     new java.io.File(root).mkdirs()
     val srcDir = liDeltaSplitSource(s, d, t)
     val stream = s.readStream.schema(s.read.parquet(srcDir).schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
-    withStreamShards(s) {
-      val q = stream.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-          // MEASURED at sf100: a pre-aggregation of the batch on
-          // (orderkey, flag) before the join is a LOSS (91.7 s warm vs
-          // 46.0 s plain) — with 3 return flags the partial's
-          // cardinality is ~rows, so it only adds a shuffle. The plain
-          // stream-static join re-pays the dimension shuffle per batch
-          // by design; the production cure is the C9 bucketed layout
-          // on both sides, not batch-side algebra.
-          appendBatchOnce(
-            Relational.viewAgg(batch.toDF(), ordDelta), root, id)
-          maybeCompactGrowth(batch.sparkSession, root)
-          ()
+    try {
+      // Spark stopped REPORTING sorted-bucket scan ordering by default
+      // (SPARK-28632: wrong when a bucket spans files); the legacy
+      // flag restores it and still verifies ONE file per bucket before
+      // claiming order — which the count-pinned repartition above
+      // guarantees. Scoped: the stream's cloned session inherits it at
+      // start, nothing else in the JVM sees it.
+      Tables.withScopedConf(s,
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true") {
+        withStreamShards(s) {
+          val q = stream.writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+              val s2 = batch.sparkSession
+              appendBatchOnce(
+                Relational.viewAgg(batch.toDF(), s2.table(dimTable)), root, id)
+              maybeCompactGrowth(s2, root)
+              ()
+            }
+            .start()
+          q.processAllAvailable()
+          q.stop()
         }
-        .start()
-      q.processAllAvailable()
-      q.stop()
+      }
+    } finally {
+      // table LOCATIONS outlive the per-JVM in-memory catalog
+      // (LOCATION_ALREADY_EXISTS on rerun) — unique name per
+      // invocation + drop + delete the location
+      s.sql(s"DROP TABLE IF EXISTS $dimTable")
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rec)); f.delete(); ()
+      }
+      rec(new java.io.File(dimLoc))
     }
     s.read.parquet(path)
       .unionByName(readGrown(s, root).getOrElse(

@@ -77,7 +77,12 @@ object ZorderWriteProbe {
         val rows = f(s.read.parquet(dir))
           .agg(count(lit(1)), sum(col("l_quantity"))).head().getLong(0)
         val wall = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(300) // let the async listener bus drain the stage events
+        // deterministic drain of the async listener bus — a fixed
+        // sleep races under host load (stage events from this cell
+        // could be wiped by the next cell's reset() or attributed to
+        // it, flaking Round14Spec's 4x pruning assertion)
+        org.apache.spark.graftbridge.ListenerBridge
+          .waitUntilEmpty(s.sparkContext, 30000L)
         Cell(layout, pred, rows, listener.records, listener.bytes, wall)
       }
     } finally s.sparkContext.removeSparkListener(listener)

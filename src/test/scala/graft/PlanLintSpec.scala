@@ -23,6 +23,10 @@ class PlanLintSpec extends SparkSpec {
     "ann_ivf",      // corpus × k-centroid broadcast (intentional, tiny side)
     "ann_ivfpq",    // same k-centroid broadcast feeding the composed index
     "cosine_topk",  // brute-force baseline: corpus × 5 broadcast queries
+    "ann_two_tier", // tier-1 scoring: corpus × 5 broadcast queries (the
+                    //   cosine_topk shape, scored in 16 projected lanes)
+    "ann_two_tier_recall", // composes cosine_topk (truth) + ann_two_tier —
+                           //   inherits exactly their allowlisted broadcasts
     "knn_recall",   // S13 eval: exact truth = corpus × the broadcast
                     //   md5-sampled query set (the S1 shape); the graph
                     //   under test stays bucket-joined

@@ -350,7 +350,9 @@ class Round14Spec extends SparkSpec {
     for ((id, text) <- docs) {
       val toks = text.split(" ", -1)
       val n = toks.length
-      val nChunks = (n - 1) / 48 + 1
+      // a tail start with ≤ 16 tokens left sits wholly inside the
+      // previous window — the plan skips it (r12 advice finding)
+      val nChunks = 1 + math.max(0, (n - 17) / 48)
       // exactly the planned chunks exist for this doc
       assert((0 until nChunks).forall(k => got.contains((id, k.toLong))))
       assert(!got.contains((id, nChunks.toLong)))
@@ -359,6 +361,9 @@ class Round14Spec extends SparkSpec {
         val (start, ntok, h) = got((id, k.toLong))
         assert(start == 48L * k)
         assert(ntok == math.min(64, n - 48 * k))
+        // every non-first chunk carries NEW tokens (never a window
+        // fully covered by its predecessor)
+        assert(k == 0 || ntok > 16, s"doc $id chunk $k is redundant")
         assert(h == md5(toks.slice(48 * k, 48 * k + 64).mkString(" ")))
         covered = math.max(covered, 48 * k + ntok.toInt)
       }
@@ -502,8 +507,10 @@ class Round14Spec extends SparkSpec {
     assert(m("stats_rows") == m("old_rows") - m("delta_removed") + m("delta_added"))
     // digests dedup docs, never invent them
     assert(m("index_digests") <= m("index_docs") && m("index_digests") > 0)
-    // the packing can only merge manifest parts (one out_file id per
-    // bin, ids contiguous from 0 per source), never split them
+    // the packing can only merge manifest parts, never split them —
+    // compact_out_files counts DISTINCT planned files (ids may skip
+    // when one part's mass exceeds the target, so max+1 per source
+    // would count id space, not files — the r12 advice finding)
     assert(m("compact_out_files") <= m("compact_parts") &&
       m("compact_out_files") >= m("stats_sources"))
     // the delta stage agrees with the standalone P22 operator
