@@ -63,6 +63,33 @@ object Bench {
       }
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     })
+    // ---- HOST-EPOCH CONTROL (r12 verdict item 5) ----
+    // Three consecutive rounds needed a manual attribution pass to
+    // separate host-speed epochs from code regressions (r10/r11/r12:
+    // byte-identical untouched ops moving a uniform ratio). The method
+    // is now IN the artifact: a FROZEN control computation — never
+    // edit it; its byte-identity across rounds is the whole point —
+    // is timed in the same JVM, and the per-query movers vs the
+    // previous committed BENCH_r*.json are auto-annotated with the
+    // epoch-normalized ratio. A mover whose epoch_norm ≈ 1 is the
+    // host; a mover whose epoch_norm stays high is code.
+    import org.apache.spark.sql.functions._
+    def controlOnce(): Double = {
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_extendedprice")
+        .groupBy((col("l_orderkey") % 1024).as("g"))
+        // decimal(38,0) sum — raw int64 hash sums overflow under ANSI
+        // mode (the ClusterProbe fingerprint rule)
+        .agg(sum(xxhash64(col("l_orderkey"), col("l_partkey"),
+          col("l_extendedprice")).cast("decimal(38,0)")).as("h"),
+          count(lit(1)).as("n"))
+        .agg(sum(col("h")), sum(col("n"))).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val controlSec = Seq(controlOnce(), controlOnce(), controlOnce()).sorted.apply(1)
+
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       currentOp.set(name)
@@ -123,8 +150,60 @@ object Bench {
         }
       }.mkString("{", ",", "}")
     }
+    // auto-attribution vs the last committed round artifact: parse its
+    // flat queries map + control (regex — no JSON lib on the offline
+    // resolver), ratio every common query, and flag >1.35x movers with
+    // the epoch-normalized ratio when the previous artifact carries a
+    // control sample (rounds before r13 don't — movers then report
+    // the raw ratio with epoch_norm null)
+    val epochJson = {
+      val prevFile = Option(new java.io.File(".").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName).lastOption
+      prevFile match {
+        case None => """{"control_sec":%s,"vs":null}""".format(f(controlSec))
+        case Some(pf) =>
+          val txt = java.nio.file.Files.readString(pf.toPath)
+          val prevControl = """"control_sec":([0-9.]+)""".r
+            .findFirstMatchIn(txt).map(_.group(1).toDouble)
+          // the committed artifact keeps only the log TAIL, which
+          // truncates the full-precision (seconds) queries map — but
+          // the budget-aware compact line (ms ints, slowest-first)
+          // survives whole. Parse both; ms wins where present, and
+          // meta keys are filtered by name.
+          val meta = Set("value", "sf", "control_sec", "control_prev",
+            "epoch_ratio", "ratio", "epoch_norm", "queries_omitted_fastest",
+            "n", "rc", "cpus", "batches", "trigger_ms", "add_batch_ms",
+            "planning_ms", "wal_ms")
+          val secQ = """"([a-z0-9_]+)":([0-9]+\.[0-9]+)""".r
+            .findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap -- meta
+          val msPart = txt.indexOf("\"queries_unit\":\"ms\"") match {
+            case -1 => ""
+            case i => txt.substring(i)
+          }
+          val msQ = """"([a-z0-9_]+)":([0-9]+)[,}]""".r
+            .findAllMatchIn(msPart)
+            .map(m => m.group(1) -> m.group(2).toDouble / 1000).toMap -- meta
+          val prevQ = (secQ -- msQ.keys) ++ msQ
+          val epochRatio = prevControl.map(controlSec / _)
+          val movers = results.flatMap { case (name, cur) =>
+            prevQ.get(name).collect {
+              // sub-50 ms entries are harness noise, not signal
+              case prev if prev >= 0.05 && cur / prev > 1.35 =>
+                val ratio = cur / prev
+                val norm = epochRatio.map(e => ratio / e)
+                s""""$name":{"ratio":${f(ratio)},"epoch_norm":${norm.map(f).getOrElse("null")}}"""
+            }
+          }
+          s"""{"control_sec":${f(controlSec)},"vs":"${pf.getName}",""" +
+            s""""control_prev":${prevControl.map(f).getOrElse("null")},""" +
+            s""""epoch_ratio":${epochRatio.map(f).getOrElse("null")},""" +
+            s""""movers":{${movers.mkString(",")}}}"""
+      }
+    }
     val fullLine =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","failed":$failedArr,"stream_floor":$floor,"queries":$qs}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","failed":$failedArr,"epoch":$epochJson,"stream_floor":$floor,"queries":$qs}"""
     // full-precision line first, for complete logs…
     println(fullLine)
     // …and as a repo artifact, so nothing downstream depends on log
@@ -146,6 +225,6 @@ object Bench {
       if (used + e.length + 1 <= 1700) { buf += e; used += e.length + 1 }
     }
     val sfNum = "[0-9.]+$".r.findFirstIn(sfDir.replaceAll("/$", "").replaceAll(".*sf", "")).getOrElse("0")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":$sfNum,"failed":$failedArr,"queries_unit":"ms","queries_omitted_fastest":${results.size - buf.size},"queries":{${buf.mkString(",")}}}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":$sfNum,"failed":$failedArr,"control_sec":${f(controlSec)},"queries_unit":"ms","queries_omitted_fastest":${results.size - buf.size},"queries":{${buf.mkString(",")}}}""")
   }
 }

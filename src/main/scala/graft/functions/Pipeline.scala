@@ -1233,17 +1233,44 @@ object Pipeline extends OpFamily {
   // sorted. Token filtering is O(tokens × dup-windows-in-doc) with
   // doc-bounded operands, in-scan.
   private def corpusStrip(s: SparkSession, d: String): DataFrame = {
-    val dups = corpusChunk(s, d)
-      .join(graft.functions.Dedup.dedupChunks(s, d), Seq("h"))
-      .filter(!(col("doc_id") === col("canon_doc") &&
-        col("chunk_id") === col("canon_chunk")))
-    val dropped = dups.groupBy("doc_id")
-      .agg(array_sort(array_distinct(flatten(collect_list(
-        sequence(col("start_tok"), col("start_tok") + col("n_tok") - 1)))))
-        .as("drop_pos"))
-    Tables.documents(s, d)
+    // The per-doc drop lists are persisted CAPITAL (a pure function of
+    // the data — the D20/S2 index discipline), and their re-attach to
+    // the corpus is gated by MEASURED size (the bandProfile
+    // discipline): the naive doc_id shuffle-join dragged the FULL
+    // CORPUS TEXT across the wire for a sliver of affected docs
+    // (measured at sf100: 3.2 GB shuffle / 30.7 s for 533 k dup
+    // occurrences over 5 M docs). Tiers, cheapest first:
+    //   (a) total drop positions fit a broadcast → ONE broadcast left
+    //       join, the text NEVER shuffles;
+    //   (b) else if the affected doc-id KEY SET fits a broadcast →
+    //       SPLIT the corpus in-scan (broadcast semi/anti on doc_id):
+    //       untouched docs emit their ledger straight off the scan,
+    //       only AFFECTED docs' text rides the drop-list shuffle-hash
+    //       join (sf100: ~11 % of the corpus);
+    //   (c) adversarial corpora (boilerplate at corpus scale) fall
+    //       back to the full shuffle form.
+    val dropPath = s"${Tables.workDir(s)}/strip_drop_" + Tables.datasetTag(d)
+    Tables.buildOnce(dropPath) {
+      // one-time build: dup occurrences = chunks ⋈ shared windows; the
+      // shared side is an aggregated digest set (15 k rows at sf100) —
+      // let the planner broadcast it from its own stats
+      val dups = corpusChunk(s, d)
+        .join(graft.functions.Dedup.dedupChunks(s, d), Seq("h"))
+        .filter(!(col("doc_id") === col("canon_doc") &&
+          col("chunk_id") === col("canon_chunk")))
+      dups.groupBy("doc_id")
+        .agg(array_sort(array_distinct(flatten(collect_list(
+          sequence(col("start_tok"), col("start_tok") + col("n_tok") - 1)))))
+          .as("drop_pos"))
+    }
+    val droppedP = s.read.parquet(dropPath)
+    val prof = droppedP.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(size(col("drop_pos")).cast("long")), lit(0L)).as("n_pos"))
+      .head()
+    val (nDupDocs, nPos) = (prof.getLong(0), prof.getLong(1))
+    val docsT = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .join(dropped.hint("shuffle_hash"), Seq("doc_id"), "left")
+    def ledger(df: DataFrame): DataFrame = df
       .withColumn("dp", coalesce(col("drop_pos"),
         expr("CAST(array() AS ARRAY<BIGINT>)")))
       .select(col("doc_id"),
@@ -1255,6 +1282,21 @@ object Pipeline extends OpFamily {
         md5(concat_ws(" ", expr(
           "filter(toks, (x, i) -> NOT array_contains(dp, CAST(i AS BIGINT)))")))
           .as("clean_h"))
+    if (nPos <= 16000000L)
+      ledger(docsT.join(broadcast(droppedP), Seq("doc_id"), "left"))
+    else if (nDupDocs <= 16000000L) {
+      val keys = broadcast(droppedP.select("doc_id"))
+      val untouched = docsT.join(keys, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tok_orig"),
+          lit(0L).as("n_dropped"),
+          size(col("toks")).cast("long").as("n_kept"),
+          md5(concat_ws(" ", col("toks"))).as("clean_h"))
+      val affected = ledger(docsT.join(keys, Seq("doc_id"))
+        .join(droppedP.hint("shuffle_hash"), Seq("doc_id"), "left"))
+      untouched.unionByName(affected)
+    } else
+      ledger(docsT.join(droppedP.hint("shuffle_hash"), Seq("doc_id"), "left"))
   }
 
   // def, not val: the CTE interpolates corpusChunkSql and the strip SQL

@@ -859,7 +859,113 @@ object Relational extends OpFamily {
          |FROM lineitem""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  // R33 `table_stats_refresh`: the INCREMENTAL ANALYZE (r12 verdict
+  // item 7) — R30's exact pass stays the audit, but re-running it per
+  // ingest re-pays the full-corpus exact-ndv shuffle (20.9 GB at
+  // sf100, SCALE.md). The refresh keeps per-column statistics CAPITAL
+  // and merges only the arriving delta (the R31/D20/E13 pattern on the
+  // statistics tier):
+  //   - numeric columns: (rows, nulls, min, max) are monoids, merged
+  //     exactly; ndv merges through R26's mergeable HLL sketches
+  //     (base sketch persisted as bytes, delta sketch unioned —
+  //     estimate spec-pinned to the exact count's envelope, NEVER
+  //     hash-compared: coupon-mode transitions make merged/direct
+  //     estimates legitimately differ, the r12 gotcha);
+  //   - string columns: the bounded value GRID (value → count) IS the
+  //     capital — grids merge exactly (union + sum), so rows, nulls,
+  //     min, max AND ndv are all EXACT after any number of deltas,
+  //     and min/max run on the grid, never a corpus sort-agg (the r13
+  //     string-min/max rule).
+  // The driver entry emits the exact columns (ndv NULL for numeric —
+  // approximate values must not enter a hash-compare) against the
+  // full-table oracle: hash-equal ⇒ the capital ∪ delta merge law
+  // holds for every exact statistic. At 100 TB a refresh touches the
+  // delta plus |columns| tiny capital rows + |grid| rows.
+  private val statsNumCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+  private val statsStrCols = Seq("l_returnflag", "l_linestatus")
+
+  // numeric-column scalar partials (one row per column): exact monoid
+  // stats + the mergeable ndv sketch
+  private def statsNumPartials(li: DataFrame): DataFrame =
+    statsNumCols.map { c =>
+      li.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        min(col(c)).as("min_l"), max(col(c)).as("max_l"),
+        hll_sketch_agg(col(c)).as("sk"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_null"),
+          col("min_l"), col("max_l"), col("sk"))
+    }.reduce(_ unionByName _)
+
+  // string-column grid partials (one row per (column, value))
+  private def statsStrGrid(li: DataFrame): DataFrame =
+    statsStrCols.map { c =>
+      li.groupBy(col(c).as("value")).agg(count(lit(1)).as("cnt"))
+        .select(lit(c).as("column_name"), col("value"), col("cnt"))
+    }.reduce(_ unionByName _)
+
+  /** The merged refresh INCLUDING the HLL ndv estimate column — the
+    * spec and the sf100 probe read this; the driver entry drops the
+    * approximate column. */
+  private[graft] def tableStatsRefreshFull(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val maxOk = Tables.maxIdFromStats(s, s"$d/lineitem.parquet", "l_orderkey", li)
+    val t = maxOk * 4 / 5
+    val tag = Tables.datasetTag(d)
+    val numPath = s"${Tables.workDir(s)}/stats_num_$tag"
+    val gridPath = s"${Tables.workDir(s)}/stats_grid_$tag"
+    Tables.buildOnce(numPath)(statsNumPartials(li.filter(col("l_orderkey") <= t)))
+    Tables.buildOnce(gridPath)(statsStrGrid(li.filter(col("l_orderkey") <= t)))
+    val delta = li.filter(col("l_orderkey") > t)
+    val numeric = s.read.parquet(numPath)
+      .unionByName(statsNumPartials(delta))
+      .groupBy("column_name")
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("n_null")).as("n_null"),
+        min(col("min_l")).as("min_l"), max(col("max_l")).as("max_l"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .select(col("column_name"), col("n_rows"), col("n_null"),
+        lit(null).cast("long").as("ndv"),
+        col("min_l").cast("string").as("min_s"),
+        col("max_l").cast("string").as("max_s"),
+        col("est").as("ndv_est"))
+    val string = s.read.parquet(gridPath)
+      .unionByName(statsStrGrid(delta))
+      .groupBy("column_name", "value").agg(sum(col("cnt")).as("cnt"))
+      .groupBy("column_name")
+      .agg(sum(col("cnt")).as("n_rows"),
+        coalesce(sum(when(col("value").isNull, col("cnt"))), lit(0L)).as("n_null"),
+        sum(when(col("value").isNotNull, 1L).otherwise(0L)).as("ndv"),
+        min(col("value")).as("min_s"), max(col("value")).as("max_s"))
+      .withColumn("ndv_est", col("ndv"))
+      .select("column_name", "n_rows", "n_null", "ndv", "min_s", "max_s", "ndv_est")
+    numeric.unionByName(string)
+  }
+
+  private def tableStatsRefresh(s: SparkSession, d: String): DataFrame =
+    tableStatsRefreshFull(s, d).drop("ndv_est")
+
+  private val tableStatsRefreshSql = {
+    val num = statsNumCols.map { c =>
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(NULL AS BIGINT) AS ndv,
+         |  CAST(min($c) AS VARCHAR) AS min_s,
+         |  CAST(max($c) AS VARCHAR) AS max_s
+         |FROM lineitem""".stripMargin
+    }
+    val str = statsStrCols.map { c =>
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  count(DISTINCT $c) AS ndv,
+         |  CAST(min($c) AS VARCHAR) AS min_s,
+         |  CAST(max($c) AS VARCHAR) AS max_s
+         |FROM lineitem""".stripMargin
+    }
+    (num ++ str).mkString("\nUNION ALL\n")
+  }
+
   override def ops: Seq[Op] = Seq(
+    Op("table_stats_refresh", tableStatsRefresh, Some(tableStatsRefreshSql)),
     Op("view_maintain", viewMaintain, Some(viewMaintainSql)),
     Op("table_stats", tableStats, Some(tableStatsSql)),
     Op("layout_zorder", zorderLayout, Some(zorderSql)),

@@ -15,10 +15,12 @@ class PlanLintSpec extends SparkSpec {
     "api_stream_commands", //   tiny post-stream output, judged harmless)
     "api_inv_stream",      //   same harness tail, second model (A11)
     "stream_fold", "stream_ewma", "es_live_store",
-    "table_stats")  // min/max(string) buffers are immutable ⇒ sort-agg
+    "table_stats",  // min/max(string) buffers are immutable ⇒ sort-agg
                     //   by engine design; it runs over the bounded
                     //   value GRID (ndv rows), never the corpus —
                     //   Round13Spec caps it at the two string branches
+    "table_stats_refresh") // same string min/max on the merged grid
+                           //   (bounded rows), never the corpus
   private val bnljAllowed = Set(
     "ann_ivf",      // corpus × k-centroid broadcast (intentional, tiny side)
     "ann_ivfpq",    // same k-centroid broadcast feeding the composed index

@@ -119,6 +119,173 @@ class Round15Spec extends SparkSpec {
     }
   }
 
+  // ---- D21/R32 kill + redelivery matrix (r12 verdict item 6) ----
+
+  // The growth stores hold their state OUTSIDE Spark (committed
+  // delta_b<id> dirs are the replay markers), so the state-store
+  // provider MUST be invisible to them — this test PROVES that rather
+  // than assuming it, running the full kill-at-batch-boundary +
+  // copied-checkpoint REDELIVERY protocol (the E16 matrix) under both
+  // providers for both stores.
+  test("D21/R32 growth stores survive kill + redelivered batch under BOTH state-store providers") {
+    import graft.streaming.Streams
+    import graft.sources.Tables
+    import org.apache.spark.sql.{DataFrame, Row, Dataset}
+    def rec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rec)); f.delete(); ()
+    }
+    def copyRec(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        Option(src.listFiles()).foreach(_.foreach(f =>
+          copyRec(f, new java.io.File(dst, f.getName))))
+      } else {
+        java.nio.file.Files.copy(src.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+      }
+    }
+    def splitFiles(df: DataFrame, dir: java.io.File,
+        rangeCols: Seq[org.apache.spark.sql.Column]): IndexedSeq[java.io.File] = {
+      dir.mkdirs()
+      val tagged = df.repartitionByRange(3, rangeCols: _*)
+        .withColumn("_p", spark_partition_id()).localCheckpoint(true)
+      (0 until 3).map { i =>
+        val tmp = new java.io.File(dir, s"_b$i")
+        tagged.filter(col("_p") === i).drop("_p")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = Option(tmp.listFiles()).get
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+        val dst = new java.io.File(dir, f"$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        rec(tmp); dst
+      }
+    }
+    def runGrowth(srcDir: String, ckpt: String)(
+        body: (DataFrame, Long) => Unit): Unit =
+      Streams.withStreamShards(spark) {
+        val q = spark.readStream
+          .schema(spark.read.parquet(srcDir).schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (b: Dataset[Row], id: Long) => body(b.toDF(), id) }
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+    def killMatrix(name: String, src: DataFrame,
+        rangeCols: Seq[org.apache.spark.sql.Column],
+        body: (DataFrame, Long, String) => Unit,
+        view: String => Set[Seq[Any]]): Unit = {
+      val root = new java.io.File(s"/tmp/graft_r15_kill_$name")
+      rec(root); root.mkdirs()
+      val splits = splitFiles(src, new java.io.File(root, "src_all"), rangeCols)
+      val rootRef = s"$root/g_ref"; new java.io.File(rootRef).mkdirs()
+      runGrowth(s"$root/src_all", s"$root/ckpt_ref")((b, id) => body(b, id, rootRef))
+      val expected = view(rootRef)
+      assert(expected.nonEmpty, s"$name: vacuous reference view")
+      // kill at the batch-2-of-3 boundary…
+      val partSrc = new java.io.File(root, "src_part"); partSrc.mkdirs()
+      splits.take(2).foreach(f => java.nio.file.Files.copy(f.toPath,
+        new java.io.File(partSrc, f.getName).toPath))
+      val rootKill = s"$root/g_kill"; new java.io.File(rootKill).mkdirs()
+      runGrowth(partSrc.getPath, s"$root/ckpt_kill")((b, id) => body(b, id, rootKill))
+      // …then the crash-between-sink-commit-and-WAL-commit window on a
+      // COPY of the checkpoint: batch 1's offsets survive, its commit
+      // marker (and the local-FS .crc sidecar) do not ⇒ the resumed
+      // query MUST redeliver it; the committed delta dir is the
+      // idempotence marker that absorbs the replay
+      val ckptResume = new java.io.File(s"$root/ckpt_resume")
+      copyRec(new java.io.File(s"$root/ckpt_kill"), ckptResume)
+      val commit1 = new java.io.File(ckptResume, "commits/1")
+      assert(commit1.exists, s"$name: expected batch 1's commit marker")
+      assert(commit1.delete())
+      new java.io.File(ckptResume, "commits/.1.crc").delete()
+      java.nio.file.Files.copy(splits(2).toPath,
+        new java.io.File(partSrc, splits(2).getName).toPath)
+      runGrowth(partSrc.getPath, ckptResume.getPath)((b, id) => body(b, id, rootKill))
+      assert(view(rootKill) == expected,
+        s"$name: kill + redelivered batch diverged from the uninterrupted run")
+      rec(root)
+    }
+    for (provider <- Seq("default", "rocksdb")) {
+      Tables.withScopedConf(spark, "graft.stream.stateStore", provider) {
+        // D21: the maintained digest index's growth store
+        val base = graft.functions.Dedup.digestIndexBase(spark, sf)
+        killMatrix(s"idx_$provider",
+          graft.functions.Dedup.indexDeltaActions(spark, sf), Seq(col("doc_id")),
+          (b, id, root) => {
+            Streams.appendBatchOnce(b.withColumn("seq", lit(id)), root, id)
+            Streams.maybeCompactGrowth(spark, root); ()
+          },
+          root => Streams.maintainedIndexView(spark, base, root)
+            .collect().map(_.toSeq).toSet)
+        // R32: the maintained view's monoid-partial growth store
+        val li = Tables.lineitem(spark, sf)
+        val maxOk = li.agg(max(col("l_orderkey"))).head().getLong(0)
+        val t = maxOk * 4 / 5
+        val ordDelta = Tables.orders(spark, sf)
+          .filter(col("o_orderkey") > t).select("o_orderkey", "o_orderdate")
+        killMatrix(s"view_$provider",
+          li.filter(col("l_orderkey") > t)
+            .select("l_orderkey", "l_returnflag", "l_extendedprice"),
+          Seq(col("l_orderkey")),
+          (b, id, root) => {
+            Streams.appendBatchOnce(
+              graft.operators.Relational.viewAgg(b, ordDelta), root, id)
+            Streams.maybeCompactGrowth(spark, root); ()
+          },
+          root => Streams.readGrown(spark, root).get
+            .groupBy("month", "l_returnflag")
+            .agg(sum(col("sum_price_c")).as("p"), sum(col("n")).as("n"))
+            .collect().map(_.toSeq).toSet)
+      }
+    }
+  }
+
+  // ---- R33 table_stats_refresh (r12 verdict item 7) ----
+
+  test("table_stats_refresh: capital ∪ delta merges to exact full-table stats; HLL ndv in envelope") {
+    import graft.sources.Tables
+    val li = Tables.lineitem(spark, sf)
+    val rows = graft.operators.Relational.tableStatsRefreshFull(spark, sf)
+      .collect().map { r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getString(4), r.getString(5), r.getLong(6))
+      }.toMap
+    assert(rows.keySet == Set("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_returnflag", "l_linestatus"))
+    val nRows = li.count()
+    for ((c, (n, nNull, ndv, minS, maxS, est)) <- rows) {
+      // the monoid columns merge EXACTLY across the capital boundary
+      assert(n == nRows, s"$c n_rows")
+      assert(nNull == 0L, s"$c n_null")
+      val exact = li.agg(countDistinct(col(c)),
+        min(col(c)).cast("string"), max(col(c)).cast("string")).head()
+      assert(minS == exact.getString(1), s"$c min")
+      assert(maxS == exact.getString(2), s"$c max")
+      val exactNdv = exact.getLong(0)
+      if (Set("l_returnflag", "l_linestatus").contains(c)) {
+        // string columns: the merged value grid gives EXACT ndv
+        assert(ndv.contains(exactNdv), s"$c grid ndv")
+        assert(est == exactNdv)
+      } else {
+        // numeric columns: approximate values stay OUT of exact
+        // columns; the merged-sketch estimate is envelope-pinned
+        // (merged/direct estimates legitimately differ — never pin
+        // equality, the r12 HLL gotcha)
+        assert(ndv.isEmpty, s"$c must not claim exact ndv")
+        val tol = math.max(2L, exactNdv / 20)
+        assert(math.abs(est - exactNdv) <= tol,
+          s"$c ndv est $est vs exact $exactNdv (tol $tol)")
+      }
+    }
+    // the refresh is incremental, not a rename: its base capital is the
+    // ≤t slice only, so the delta contributed real rows
+    val maxOk = li.agg(max(col("l_orderkey"))).head().getLong(0)
+    assert(li.filter(col("l_orderkey") > maxOk * 4 / 5).count() > 0)
+  }
+
   // ---- S16/S17 two-tier ANN ----
 
   test("ann_two_tier == brute force restricted to the tier-1 candidate set") {
