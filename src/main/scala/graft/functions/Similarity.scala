@@ -1477,29 +1477,73 @@ object Similarity extends OpFamily {
       .withColumn("pnn", sqNorm(col("pv")))
   }
 
-  private def annTwoTier(s: SparkSession, d: String): DataFrame = {
+  /** The two-tier pipeline over an arbitrary query predicate — the
+    * oracle op pins (vec_id < 5, budget 50, k 10); the sf100
+    * amortization probe drives the SAME code at production-like query
+    * counts (the per-corpus-row projection is one-time, so the tier's
+    * 4× per-candidate advantage needs enough queries to amortize it —
+    * measured in SCALE.md round 15). */
+  private[graft] def annTwoTierWith(s: SparkSession, d: String,
+      isQuery: Column, budget: Int, k: Int): DataFrame = {
     val all = projectedCorpus(s, d).cache()
-    val queries = broadcast(all.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qnn"),
-        col("pv").as("qpv"), col("pnn").as("qpnn")))
-    val corpus = all.filter(col("vec_id") >= 5)
+    // tier-1 rows are (q_id, vec_id, p_sim) ONLY — carrying the
+    // 64-lane payload through the |corpus|×|queries| expansion
+    // materializes it per PAIR (measured at sf100/1019 queries:
+    // 2e9 rows × ~550 B, 1.0 GB through the TopK shuffle, 87.6 s —
+    // SLOWER than brute force). The payload-carry rule exists for
+    // dedup pair sets whose re-attach is a corpus SHUFFLE join; here
+    // the winner set is budget-bounded (≤ budget·|queries| rows), so
+    // the re-attach is a broadcast-into-scan join over the cached
+    // corpus — zero shuffle, one cheap cached pass — and the
+    // expansion stays 24 B/row.
+    val tq = broadcast(all.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("pv").as("qpv"), col("pnn").as("qpnn")))
+    val corpus = all.filter(!isQuery)
       .repartition(s.sessionState.conf.numShufflePartitions)
-    val t1 = corpus.join(queries)
-      .select(col("q_id"), col("vec_id"), col("v"), col("nn"),
+    val t1 = corpus.join(tq)
+      .select(col("q_id"), col("vec_id"),
         cosine(col("qpv"), col("pv"), col("qpnn"), col("pnn")).as("p_sim"))
     val cand = graft.plans.TopK.topKPerKey(
       graft.plans.TopK.topKPerKeyLocal(
-        t1, twoTierBudget, "q_id", "p_sim", "vec_id"),
-      twoTierBudget, "q_id", "p_sim", "vec_id")
-    val rescored = cand
-      .join(broadcast(queries.select("q_id", "qv", "qnn")), Seq("q_id"))
+        t1, budget, "q_id", "p_sim", "vec_id"),
+      budget, "q_id", "p_sim", "vec_id")
+    val winners = broadcast(cand.select("q_id", "vec_id"))
+    val rescored = all.filter(!isQuery).join(winners, Seq("vec_id"))
+      .join(broadcast(all.filter(isQuery)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qnn"))),
+        Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         cosine(col("qv"), col("v"), col("qnn"), col("nn")).as("cos_sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))
-    rescored.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 10)
+    graft.plans.TopK.topKPerKey(
+      graft.plans.TopK.topKPerKeyLocal(rescored, k, "q_id", "cos_sim", "vec_id"),
+      k, "q_id", "cos_sim", "vec_id")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id")))
+        .cast("long"))
+      .filter(col("rn") <= k)
   }
+
+  /** Brute-force exact top-k over the same arbitrary query predicate —
+    * the probe comparator (the S1 shape at probe query counts; never a
+    * |queries|-key window). */
+  private[graft] def bruteTopKWith(s: SparkSession, d: String,
+      isQuery: Column, k: Int): DataFrame = {
+    val all = quantized(s, d).cache()
+    val queries = broadcast(all.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qnn")))
+    val corpus = all.filter(!isQuery)
+      .repartition(s.sessionState.conf.numShufflePartitions)
+    val scored = corpus.join(queries)
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("qv"), col("v"), col("qnn"), col("nn")).as("cos_sim"))
+    graft.plans.TopK.topKPerKey(
+      graft.plans.TopK.topKPerKeyLocal(scored, k, "q_id", "cos_sim", "vec_id"),
+      k, "q_id", "cos_sim", "vec_id")
+  }
+
+  private def annTwoTier(s: SparkSession, d: String): DataFrame =
+    annTwoTierWith(s, d, col("vec_id") < 5, twoTierBudget, 10)
 
   // the projected-lane CTE shared by the S16 oracle and S17's eval:
   // every vector gains its 16-lane pv + pnn beside v + nn

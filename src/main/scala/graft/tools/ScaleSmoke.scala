@@ -116,6 +116,37 @@ object ScaleSmoke {
       // grades the ORACLE-pinned 8-plane graph (its static SQL), which
       // at probe corpora means quadratically overgrown buckets; the
       // 100 TB path self-sizes the planes exactly like knn_graph_scaled
+      // the S16 amortization pair: the two-tier's per-corpus-row
+      // projection is one-time (1024 multiplies), so at the oracle's 5
+      // queries brute force wins; at production-like query counts the
+      // 4× per-candidate advantage dominates. Same md5-free
+      // deterministic thinning on both sides (~200 of 2 M vectors as
+      // queries), same k — the pair measures exactly the crossover.
+      "ann_two_tier_scaled" -> ((s, dir) =>
+        graft.functions.Similarity.annTwoTierWith(s, dir,
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.xxhash64(
+              org.apache.spark.sql.functions.col("vec_id")),
+            org.apache.spark.sql.functions.lit(10000L)) === 0L, 50, 10)),
+      "cosine_topk_scaled" -> ((s, dir) =>
+        graft.functions.Similarity.bruteTopKWith(s, dir,
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.xxhash64(
+              org.apache.spark.sql.functions.col("vec_id")),
+            org.apache.spark.sql.functions.lit(10000L)) === 0L, 10)),
+      // the ~1000-query pair: past the measured crossover
+      "ann_two_tier_scaled_1k" -> ((s, dir) =>
+        graft.functions.Similarity.annTwoTierWith(s, dir,
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.xxhash64(
+              org.apache.spark.sql.functions.col("vec_id")),
+            org.apache.spark.sql.functions.lit(2000L)) === 0L, 50, 10)),
+      "cosine_topk_scaled_1k" -> ((s, dir) =>
+        graft.functions.Similarity.bruteTopKWith(s, dir,
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.xxhash64(
+              org.apache.spark.sql.functions.col("vec_id")),
+            org.apache.spark.sql.functions.lit(2000L)) === 0L, 10)),
       "knn_recall_scaled" -> ((s, dir) => {
       val n = graft.sources.Tables.maxIdFromStats(
         s, s"$dir/embeddings.parquet", "vec_id",
