@@ -1232,23 +1232,27 @@ object Pipeline extends OpFamily {
   // E19/R17/D10 rule) — the corpus itself is scanned once and never
   // sorted. Token filtering is O(tokens × dup-windows-in-doc) with
   // doc-bounded operands, in-scan.
-  private def corpusStrip(s: SparkSession, d: String): DataFrame = {
-    // The per-doc drop lists are persisted CAPITAL (a pure function of
-    // the data — the D20/S2 index discipline), and their re-attach to
-    // the corpus is gated by MEASURED size (the bandProfile
-    // discipline): the naive doc_id shuffle-join dragged the FULL
-    // CORPUS TEXT across the wire for a sliver of affected docs
-    // (measured at sf100: 3.2 GB shuffle / 30.7 s for 533 k dup
-    // occurrences over 5 M docs). Tiers, cheapest first:
-    //   (a) total drop positions fit a broadcast → ONE broadcast left
-    //       join, the text NEVER shuffles;
-    //   (b) else if the affected doc-id KEY SET fits a broadcast →
-    //       SPLIT the corpus in-scan (broadcast semi/anti on doc_id):
-    //       untouched docs emit their ledger straight off the scan,
-    //       only AFFECTED docs' text rides the drop-list shuffle-hash
-    //       join (sf100: ~11 % of the corpus);
-    //   (c) adversarial corpora (boilerplate at corpus scale) fall
-    //       back to the full shuffle form.
+  /** (doc_id, toks, dp) — every document with its (possibly empty)
+    * drop-position set attached by the cheapest licensed tier. The
+    * per-doc drop lists are persisted CAPITAL (a pure function of the
+    * data — the D20/S2 index discipline), and their re-attach to the
+    * corpus is gated by MEASURED size (the bandProfile discipline):
+    * the naive doc_id shuffle-join dragged the FULL CORPUS TEXT
+    * across the wire for a sliver of affected docs (measured at
+    * sf100: 3.2 GB shuffle / 30.7 s for 533 k dup occurrences over
+    * 5 M docs). Tiers, cheapest first:
+    *   (a) total drop positions fit a broadcast → ONE broadcast left
+    *       join, the text NEVER shuffles;
+    *   (b) else if the affected doc-id KEY SET fits a broadcast →
+    *       SPLIT the corpus in-scan (broadcast semi/anti on doc_id):
+    *       untouched docs pass straight through the scan with an
+    *       empty drop set, only AFFECTED docs' text rides the
+    *       drop-list shuffle-hash join (sf100: ~11 % of the corpus);
+    *   (c) adversarial corpora (boilerplate at corpus scale) fall
+    *       back to the full shuffle form.
+    * Shared by P26 (the ledger + rewrite) and P27 (the post-strip
+    * acceptance re-scan). */
+  private def stripBase(s: SparkSession, d: String): DataFrame = {
     val dropPath = s"${Tables.workDir(s)}/strip_drop_" + Tables.datasetTag(d)
     Tables.buildOnce(dropPath) {
       // one-time build: dup occurrences = chunks ⋈ shared windows; the
@@ -1270,40 +1274,42 @@ object Pipeline extends OpFamily {
     val (nDupDocs, nPos) = (prof.getLong(0), prof.getLong(1))
     val docsT = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-    def ledger(df: DataFrame): DataFrame = df
+    def withDp(df: DataFrame): DataFrame = df
       .withColumn("dp", coalesce(col("drop_pos"),
         expr("CAST(array() AS ARRAY<BIGINT>)")))
-      .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_tok_orig"),
-        size(col("dp")).cast("long").as("n_dropped"),
-        (size(col("toks")) - size(col("dp"))).cast("long").as("n_kept"),
-        // Spark's filter lambda index is 0-based int; positions are
-        // 0-based longs
-        md5(concat_ws(" ", expr(
-          "filter(toks, (x, i) -> NOT array_contains(dp, CAST(i AS BIGINT)))")))
-          .as("clean_h"))
+      .select("doc_id", "toks", "dp")
     if (nPos <= 16000000L)
-      ledger(docsT.join(broadcast(droppedP), Seq("doc_id"), "left"))
+      withDp(docsT.join(broadcast(droppedP), Seq("doc_id"), "left"))
     else if (nDupDocs <= 16000000L) {
       val keys = broadcast(droppedP.select("doc_id"))
       val untouched = docsT.join(keys, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"),
-          size(col("toks")).cast("long").as("n_tok_orig"),
-          lit(0L).as("n_dropped"),
-          size(col("toks")).cast("long").as("n_kept"),
-          md5(concat_ws(" ", col("toks"))).as("clean_h"))
-      val affected = ledger(docsT.join(keys, Seq("doc_id"))
+        .select(col("doc_id"), col("toks"),
+          expr("CAST(array() AS ARRAY<BIGINT>)").as("dp"))
+      val affected = withDp(docsT.join(keys, Seq("doc_id"))
         .join(droppedP.hint("shuffle_hash"), Seq("doc_id"), "left"))
       untouched.unionByName(affected)
     } else
-      ledger(docsT.join(droppedP.hint("shuffle_hash"), Seq("doc_id"), "left"))
+      withDp(docsT.join(droppedP.hint("shuffle_hash"), Seq("doc_id"), "left"))
   }
 
-  // def, not val: the CTE interpolates corpusChunkSql and the strip SQL
-  // is referenced from ops — a val here would be an init-order trap if
-  // another object's val ever pulls it (the CLAUDE.md null-embed rule)
-  private def corpusStripSql: String =
-    s"""WITH chunks AS ($corpusChunkSql),
+  // Spark's filter lambda index is 0-based int; positions are 0-based
+  // longs
+  private val cleanToksExpr =
+    "filter(toks, (x, i) -> NOT array_contains(dp, CAST(i AS BIGINT)))"
+
+  private def corpusStrip(s: SparkSession, d: String): DataFrame =
+    stripBase(s, d).select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tok_orig"),
+      size(col("dp")).cast("long").as("n_dropped"),
+      (size(col("toks")) - size(col("dp"))).cast("long").as("n_kept"),
+      md5(concat_ws(" ", expr(cleanToksExpr))).as("clean_h"))
+
+  // def, not val: the CTEs interpolate corpusChunkSql and the strip
+  // SQLs are referenced from ops — a val here would be an init-order
+  // trap if another object's val ever pulls it (the CLAUDE.md
+  // null-embed rule)
+  private def stripCtes: String =
+    s"""chunks AS ($corpusChunkSql),
        |shr AS (
        |  SELECT h,
        |    CAST(min(CAST(doc_id AS HUGEINT) * 1000000000 + chunk_id) // 1000000000 AS BIGINT) AS canon_doc,
@@ -1317,7 +1323,10 @@ object Pipeline extends OpFamily {
        |  SELECT doc_id, list_sort(list_distinct(flatten(
        |    list(range(start_tok, start_tok + n_tok))))) AS drop_pos
        |  FROM dups GROUP BY 1),
-       |b AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |b AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)""".stripMargin
+
+  private def corpusStripSql: String =
+    s"""WITH $stripCtes
        |SELECT b.doc_id,
        |  CAST(len(toks) AS BIGINT) AS n_tok_orig,
        |  CAST(COALESCE(len(drop_pos), 0) AS BIGINT) AS n_dropped,
@@ -1326,8 +1335,72 @@ object Pipeline extends OpFamily {
        |    (x, i) -> NOT list_contains(COALESCE(drop_pos, []), i - 1)), ' ')) AS clean_h
        |FROM b LEFT JOIN dp ON b.doc_id = dp.doc_id""".stripMargin
 
+  // P27 `corpus_strip_verify`: the ACCEPTANCE re-scan the strip pass is
+  // signed off on — re-run the chunk-granularity dup census (P25's
+  // window plan + D22's digest grid) over the CLEANED corpus and emit
+  // it beside the original's: one 2-row report (side, n_chunks,
+  // n_shared, n_dup_occ). The law a strip must satisfy — duplicated
+  // window MASS collapses (exactly one copy of each shared span
+  // survives, modulo windows re-aligned by the removal) — becomes a
+  // driver hash-compare plus a spec-pinned strict decrease. Documents
+  // stripped to zero tokens drop out of the census on BOTH sides
+  // (an empty window is not boilerplate). Scale shape: two chunk
+  // streams (original + cleaned, both zero-shuffle in-scan), one
+  // bounded digest hash-agg each — the strip machinery itself rides
+  // the persisted drop-list capital.
+  private def chunkCensus(tag: String, docs: DataFrame): DataFrame =
+    docs.filter(size(col("toks2")) > 0)
+      .withColumn("n", size(col("toks2")).cast("long"))
+      .select(col("toks2"), col("n"),
+        posexplode(expr(
+          s"sequence(0L, greatest(0L, (n - 1 - ${chunkSize - chunkStride}) div $chunkStride))")))
+      .select(md5(concat_ws(" ",
+        slice(col("toks2"), col("pos") * chunkStride + 1, lit(chunkSize)))).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("cnt"))
+      .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_chunks"),
+        coalesce(sum(when(col("cnt") >= 2, 1L)), lit(0L)).as("n_shared"),
+        coalesce(sum(when(col("cnt") >= 2, col("cnt") - 1L)), lit(0L)).as("n_dup_occ"))
+      .select(lit(tag).as("side"), col("n_chunks"), col("n_shared"), col("n_dup_occ"))
+
+  private def corpusStripVerify(s: SparkSession, d: String): DataFrame = {
+    val before = chunkCensus("before", Tables.documents(s, d)
+      .select(split(col("text"), " ").as("toks2")))
+    val after = chunkCensus("after", stripBase(s, d)
+      .select(expr(cleanToksExpr).as("toks2")))
+    before.unionByName(after)
+  }
+
+  private def stripCensusSql(tag: String, cte: String): String =
+    s"""SELECT '$tag' AS side,
+       |  CAST(COALESCE(sum(cnt), 0) AS BIGINT) AS n_chunks,
+       |  CAST(COALESCE(sum(CASE WHEN cnt >= 2 THEN 1 END), 0) AS BIGINT) AS n_shared,
+       |  CAST(COALESCE(sum(CASE WHEN cnt >= 2 THEN cnt - 1 END), 0) AS BIGINT) AS n_dup_occ
+       |FROM (
+       |  SELECT md5(array_to_string(list_slice(toks2,
+       |      CAST(pos * $chunkStride + 1 AS BIGINT),
+       |      CAST(pos * $chunkStride + $chunkSize AS BIGINT)), ' ')) AS h,
+       |    count(*) AS cnt
+       |  FROM (
+       |    SELECT toks2,
+       |      unnest(range(0, greatest(0, (n - 1 - ${chunkSize - chunkStride}) // $chunkStride) + 1)) AS pos
+       |    FROM (SELECT toks2, CAST(len(toks2) AS BIGINT) AS n FROM $cte
+       |          WHERE len(toks2) > 0))
+       |  GROUP BY 1)""".stripMargin
+
+  private def corpusStripVerifySql: String =
+    s"""WITH $stripCtes,
+       |cleaned AS (
+       |  SELECT list_filter(toks,
+       |    (x, i) -> NOT list_contains(COALESCE(drop_pos, []), i - 1)) AS toks2
+       |  FROM b LEFT JOIN dp ON b.doc_id = dp.doc_id),
+       |orig AS (SELECT toks AS toks2 FROM b)
+       |${stripCensusSql("before", "orig")}
+       |UNION ALL
+       |${stripCensusSql("after", "cleaned")}""".stripMargin
+
   override def ops: Seq[Op] = Seq(
     Op("corpus_strip", corpusStrip, Some(corpusStripSql)),
+    Op("corpus_strip_verify", corpusStripVerify, Some(corpusStripVerifySql)),
     Op("corpus_chunk", corpusChunk, Some(corpusChunkSql)),
     Op("corpus_maintenance_report", maintenanceReport, Some(maintenanceReportSql)),
     Op("corpus_delta", corpusDelta, Some(corpusDeltaSql)),

@@ -65,6 +65,30 @@ class Round15Spec extends SparkSpec {
       assert(got(id)._2 == 0L, s"all-canonical doc $id was stripped")
   }
 
+  // ---- P27 corpus_strip_verify ----
+
+  test("corpus_strip_verify: the strip collapses duplicated window mass; before matches D22") {
+    val census = run("corpus_strip_verify").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val (bChunks, bShared, bDup) = census("before")
+    val (aChunks, aShared, aDup) = census("after")
+    // the before side IS the original chunk census — it must agree
+    // with corpus_chunk and dedup_chunks exactly
+    assert(bChunks == run("corpus_chunk").count())
+    val d22 = run("dedup_chunks").collect()
+      .map(r => r.getLong(1)).toSeq
+    assert(bShared == d22.length.toLong)
+    assert(bDup == d22.map(_ - 1L).sum)
+    assert(bDup > 0, "fixture has no duplicated windows — vacuous")
+    // the strip law: duplicated window mass strictly collapses
+    // (windows can re-align after token removal, so ≥ 0, but the
+    // mass must strictly decrease; the fixture collapses to zero)
+    assert(aDup < bDup, s"dup mass did not decrease: $bDup -> $aDup")
+    assert(aShared <= bShared)
+    assert(aChunks <= bChunks)
+  }
+
   // ---- R32 C9 bucketed dimension (r12 verdict item 1) ----
 
   test("R32's per-batch join shape: bucketed dim scan, zero exchange + zero sort on the dim side") {
