@@ -1257,8 +1257,10 @@ object Streams extends OpFamily {
   // LIVE — the arriving fact slice lands in micro-batches, each batch
   // aggregates its OWN join partials through exactly the batch view
   // body (structural parity) against the threshold-pruned dimension
-  // frame (pre-read once per invocation, the stream_admit base-frame
-  // lesson), and the partials append as committed delta dirs (replay
+  // delta, written ONCE per invocation as a bucket-sorted table (the
+  // C9 layout — see the dimBuckets comment below; the r14 form
+  // re-shuffled the raw dimension frame every batch), and the
+  // partials append as committed delta dirs (replay
   // markers ⇒ idempotent under redelivery; LiveStore cadence bounds
   // fan-in). Because every view column is a commutative monoid in
   // exact cents, the final read is ONE bounded hash-agg over
