@@ -3,6 +3,46 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+  /** Parse a committed driver BENCH_r*.json artifact into
+    * (control_sec, sf, queries-in-seconds). The driver artifact wraps
+    * the bench log tail as ONE ESCAPED JSON STRING — every quote in
+    * the tail arrives as the two characters `\"` — so the query/control
+    * regexes must run over the UNESCAPED text (the r13 advice finding:
+    * matched against the raw file they return nothing, control_prev /
+    * epoch_ratio were silently always null and movers always empty —
+    * a false "no regressions" for every real mover). The artifact's
+    * own top-level `"sf": 0.1` field is OUTER JSON (unescaped quotes),
+    * so it is read off the raw text where the escaped tail cannot
+    * shadow it. Factored out of main so BenchParseSpec can pin the
+    * parse against a real committed artifact. */
+  private[graft] def parsePrevBench(
+      raw: String): (Option[Double], Option[Double], Map[String, Double]) = {
+    val txt = raw.replace("\\\"", "\"")
+    val sfPrev = """"sf"\s*:\s*([0-9.]+)""".r
+      .findFirstMatchIn(raw).map(_.group(1).toDouble)
+    val prevControl = """"control_sec":([0-9.]+)""".r
+      .findFirstMatchIn(txt).map(_.group(1).toDouble)
+    // the committed artifact keeps only the log TAIL, which truncates
+    // the full-precision (seconds) queries map — but the budget-aware
+    // compact line (ms ints, slowest-first) survives whole. Parse
+    // both; ms wins where present, and meta keys are filtered by name.
+    val meta = Set("value", "sf", "control_sec", "control_prev",
+      "epoch_ratio", "ratio", "epoch_norm", "queries_omitted_fastest",
+      "n", "rc", "cpus", "batches", "trigger_ms", "add_batch_ms",
+      "planning_ms", "wal_ms")
+    val secQ = """"([a-z0-9_]+)":([0-9]+\.[0-9]+)""".r
+      .findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap -- meta
+    val msPart = txt.indexOf("\"queries_unit\":\"ms\"") match {
+      case -1 => ""
+      case i => txt.substring(i)
+    }
+    val msQ = """"([a-z0-9_]+)":([0-9]+)[,}]""".r
+      .findAllMatchIn(msPart)
+      .map(m => m.group(1) -> m.group(2).toDouble / 1000).toMap -- meta
+    (prevControl, sfPrev, (secQ -- msQ.keys) ++ msQ)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -163,43 +203,37 @@ object Bench {
       prevFile match {
         case None => """{"control_sec":%s,"vs":null}""".format(f(controlSec))
         case Some(pf) =>
-          val txt = java.nio.file.Files.readString(pf.toPath)
-          val prevControl = """"control_sec":([0-9.]+)""".r
-            .findFirstMatchIn(txt).map(_.group(1).toDouble)
-          // the committed artifact keeps only the log TAIL, which
-          // truncates the full-precision (seconds) queries map — but
-          // the budget-aware compact line (ms ints, slowest-first)
-          // survives whole. Parse both; ms wins where present, and
-          // meta keys are filtered by name.
-          val meta = Set("value", "sf", "control_sec", "control_prev",
-            "epoch_ratio", "ratio", "epoch_norm", "queries_omitted_fastest",
-            "n", "rc", "cpus", "batches", "trigger_ms", "add_batch_ms",
-            "planning_ms", "wal_ms")
-          val secQ = """"([a-z0-9_]+)":([0-9]+\.[0-9]+)""".r
-            .findAllMatchIn(txt)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap -- meta
-          val msPart = txt.indexOf("\"queries_unit\":\"ms\"") match {
-            case -1 => ""
-            case i => txt.substring(i)
-          }
-          val msQ = """"([a-z0-9_]+)":([0-9]+)[,}]""".r
-            .findAllMatchIn(msPart)
-            .map(m => m.group(1) -> m.group(2).toDouble / 1000).toMap -- meta
-          val prevQ = (secQ -- msQ.keys) ++ msQ
+          val (prevControl, sfPrev, prevQ) =
+            parsePrevBench(java.nio.file.Files.readString(pf.toPath))
           val epochRatio = prevControl.map(controlSec / _)
-          val movers = results.flatMap { case (name, cur) =>
-            prevQ.get(name).collect {
-              // sub-50 ms entries are harness noise, not signal
-              case prev if prev >= 0.05 && cur / prev > 1.35 =>
-                val ratio = cur / prev
-                val norm = epochRatio.map(e => ratio / e)
-                s""""$name":{"ratio":${f(ratio)},"epoch_norm":${norm.map(f).getOrElse("null")}}"""
+          // a previous artifact at a DIFFERENT scale factor would flag
+          // every query as a bogus mover (or mask real ones) — cross-sf
+          // ratios are meaningless, so movers is null with an explicit
+          // marker (the r13 advice low finding)
+          val curSf = "[0-9.]+$".r.findFirstIn(
+            sfDir.replaceAll("/$", "").replaceAll(".*sf", ""))
+            .map(_.toDouble)
+          val sfMatches = (sfPrev, curSf) match {
+            case (Some(a), Some(b)) => math.abs(a - b) < 1e-9
+            case _ => false
+          }
+          val moversJson = if (!sfMatches) "null" else {
+            val movers = results.flatMap { case (name, cur) =>
+              prevQ.get(name).collect {
+                // sub-50 ms entries are harness noise, not signal
+                case prev if prev >= 0.05 && cur / prev > 1.35 =>
+                  val ratio = cur / prev
+                  val norm = epochRatio.map(e => ratio / e)
+                  s""""$name":{"ratio":${f(ratio)},"epoch_norm":${norm.map(f).getOrElse("null")}}"""
+              }
             }
+            s"{${movers.mkString(",")}}"
           }
           s"""{"control_sec":${f(controlSec)},"vs":"${pf.getName}",""" +
             s""""control_prev":${prevControl.map(f).getOrElse("null")},""" +
             s""""epoch_ratio":${epochRatio.map(f).getOrElse("null")},""" +
-            s""""movers":{${movers.mkString(",")}}}"""
+            s""""sf_mismatch":${!sfMatches},""" +
+            s""""movers":$moversJson}"""
       }
     }
     val fullLine =

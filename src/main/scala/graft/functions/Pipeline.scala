@@ -299,13 +299,17 @@ object Pipeline extends OpFamily {
   /** (doc_id, lang, n_tok, before) — each doc's exact per-language
     * exclusive token prefix sum, via the two-phase scan above. Shared
     * by P3 (shard assignment) and P6 (sequence packing). */
-  private def prefixed(s: SparkSession, d: String): DataFrame = {
+  /** Two-phase exclusive per-lang prefix scan over an arbitrary
+    * (doc_id, lang, n_tok) frame — range-bucketed so no single-task
+    * per-lang sort exists at any scale; shared by the original-corpus
+    * packers (P3/P6) and the post-strip pack (P29, which feeds the
+    * CLEANED token counts through the same law). */
+  private def prefixedOver(docsIn: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // feeds the offsets aggregate AND the final join probe —
     // materialize once so the scan + O(tokens) split runs one time
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"),
+    val docs = docsIn
+      .select(col("doc_id"), col("lang"), col("n_tok"),
         expr(s"doc_id div $rangeSize").as("rb"))
       .cache()
     val offsets = docs.groupBy("lang", "rb")
@@ -321,6 +325,11 @@ object Pipeline extends OpFamily {
       .withColumn("before", col("offset") + coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
       .select(col("doc_id"), col("lang"), col("n_tok"), col("before"))
   }
+
+  private def prefixed(s: SparkSession, d: String): DataFrame =
+    prefixedOver(Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")))
 
   private def corpusShard(s: SparkSession, d: String): DataFrame =
     prefixed(s, d).select(col("doc_id"), col("lang"), col("n_tok"),
@@ -1046,6 +1055,95 @@ object Pipeline extends OpFamily {
        |    // $compactTarget AS out_file
        |FROM m""".stripMargin
 
+  // P28 `corpus_compaction_exec`: P23's plan EXECUTED (r13 verdict
+  // item 4 — the planner existed, nothing physically rewrote the
+  // files; this completes OPTIMIZE end-to-end the way R29 completed
+  // layout). The corpus is rewritten into exactly the planned bins —
+  // one physical parquet file per (source, out_file) — and the op
+  // emits the rewrite's ACCEPTANCE report per source, every cell
+  // computed from what actually landed on disk:
+  //   n_files  — PHYSICAL file count (FS listing, bounded metadata:
+  //              |planned bins| entries), which the oracle pins equal
+  //              to P23's planned bin count — a bin split across two
+  //              files or two bins merged into one both hash-mismatch;
+  //   n_docs   — row count of the read-back corpus;
+  //   doc_xor  — order-insensitive content fingerprint (bit_xor of
+  //              md5-derived int64 over EVERY column), which the
+  //              oracle recomputes from the ORIGINAL table — a
+  //              dropped, duplicated, or mutated document flips it.
+  // Scale shape: the plan is the bounded manifest grid (broadcast);
+  // the rewrite is ONE corpus scan + one shuffle on (source, out_file)
+  // — count-pinned-by-hash so each bin lands whole in one task ⇒ one
+  // file (AQE coalescing merges whole partitions, never splits one);
+  // the acceptance scan reads the rewritten corpus once. The rewrite
+  // is persisted capital (a pure function of the dataset — the
+  // D20/S2 discipline), so bench reps measure the acceptance scan.
+  private def compactionExec(s: SparkSession, d: String): DataFrame = {
+    val outDir = s"${Tables.workDir(s)}/compact_exec_" + Tables.datasetTag(d)
+    Tables.buildOnce(outDir, Seq("source", "out_file")) {
+      val plan = compactionPlan(s, d).select("source", "part", "out_file")
+      Tables.documents(s, d)
+        .withColumn("part", col("doc_id") % 64)
+        .join(broadcast(plan), Seq("source", "part"))
+        .drop("part")
+        .repartition(col("source"), col("out_file"))
+    }
+    // physical file census off the FS listing — the same bounded
+    // metadata read dirBytes does; partition values here are plain
+    // source names (no URL-escaping in play)
+    val perSource = {
+      val root = new org.apache.hadoop.fs.Path(outDir)
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      val it = fs.listFiles(root, true)
+      val m = scala.collection.mutable.Map.empty[String, Long]
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isFile && name.endsWith(".parquet") && !name.startsWith("_")) {
+          val src = st.getPath.toString.split("/source=")(1).split("/")(0)
+          m(src) = m.getOrElse(src, 0L) + 1L
+        }
+      }
+      m.toSeq
+    }
+    import s.implicits._
+    val files = broadcast(perSource.toDF("source", "n_files"))
+    s.read.parquet(outDir)
+      .withColumn("env", concat_ws("|", col("doc_id"), col("lang"),
+        col("source"), col("n_chars"), col("text")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(cast(conv(substring(md5(env), 1, 15), 16, 10) as bigint))")
+          .as("doc_xor"))
+      .join(files, Seq("source"))
+      .select("source", "n_files", "n_docs", "doc_xor")
+  }
+
+  private val compactionExecSql =
+    s"""WITH m AS (
+       |  SELECT source, doc_id % 64 AS part, CAST(sum(n_chars) AS BIGINT) AS bytes
+       |  FROM documents GROUP BY 1, 2),
+       |p AS (
+       |  SELECT source,
+       |    COALESCE(CAST(sum(bytes) OVER (
+       |      PARTITION BY source ORDER BY bytes DESC, part
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |      // $compactTarget AS out_file
+       |  FROM m),
+       |f AS (SELECT source, count(DISTINCT out_file) AS n_files FROM p GROUP BY 1),
+       |x AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    bit_xor(CAST(list_sum(list_transform(range(1, 16), i ->
+       |      (strpos('0123456789abcdef', substr(md5(env), CAST(i AS INT), 1)) - 1)
+       |        * CAST(pow(16.0, 15 - i) AS BIGINT))) AS BIGINT)) AS doc_xor
+       |  FROM (
+       |    SELECT source, doc_id || '|' || lang || '|' || source || '|'
+       |      || n_chars || '|' || text AS env
+       |    FROM documents)
+       |  GROUP BY 1)
+       |SELECT x.source, f.n_files, x.n_docs, x.doc_xor
+       |FROM x JOIN f ON x.source = f.source""".stripMargin
+
   // P24 `corpus_maintenance_report`: the day-2 OPERATIONS report the
   // lake-maintenance tier was built for — one oracle-checked op that
   // runs the whole trio over the SAME recrawl and reconciles it into
@@ -1232,7 +1330,7 @@ object Pipeline extends OpFamily {
   // E19/R17/D10 rule) — the corpus itself is scanned once and never
   // sorted. Token filtering is O(tokens × dup-windows-in-doc) with
   // doc-bounded operands, in-scan.
-  /** (doc_id, toks, dp) — every document with its (possibly empty)
+  /** (doc_id, lang, toks, dp) — every document with its (possibly empty)
     * drop-position set attached by the cheapest licensed tier. The
     * per-doc drop lists are persisted CAPITAL (a pure function of the
     * data — the D20/S2 index discipline), and their re-attach to the
@@ -1252,6 +1350,29 @@ object Pipeline extends OpFamily {
     *       back to the full shuffle form.
     * Shared by P26 (the ledger + rewrite) and P27 (the post-strip
     * acceptance re-scan). */
+  /** Raw-bytes budget for the strip re-attach broadcasts. The old
+    * cutoffs (16 M positions / 16 M keys) were row COUNTS — ~128 MB of
+    * raw int64s before the several-x broadcast-relation expansion,
+    * generous enough to risk driver/executor pressure on adversarial
+    * boilerplate-heavy corpora (the r13 advice finding). The gate is
+    * now the repo's measured-mass discipline: estimate the broadcast
+    * relation's raw bytes from the PROFILE (positions as int64 + 32 B
+    * per-row array/offset overhead for tier a; 24 B per key row for
+    * tier b) against a 32 MB budget — ~4 M positions / ~1.3 M keys.
+    * The sf100 measurement (533 k occurrences over 5 M docs) sits two
+    * orders of magnitude under it. */
+  private val stripBroadcastBudgetBytes = 32L << 20
+
+  /** Re-attach tier from the measured drop-list profile: 0 = broadcast
+    * the full drop lists, 1 = broadcast the affected doc-id KEY set and
+    * split the corpus in-scan, 2 = full shuffle (boilerplate at corpus
+    * scale — nothing small enough to broadcast). Pure so the
+    * tier-selection law is spec-testable without building a corpus. */
+  private[graft] def stripTier(nDupDocs: Long, nPos: Long): Int =
+    if (nPos * 8L + nDupDocs * 32L <= stripBroadcastBudgetBytes) 0
+    else if (nDupDocs * 24L <= stripBroadcastBudgetBytes) 1
+    else 2
+
   private def stripBase(s: SparkSession, d: String): DataFrame = {
     val dropPath = s"${Tables.workDir(s)}/strip_drop_" + Tables.datasetTag(d)
     Tables.buildOnce(dropPath) {
@@ -1272,18 +1393,19 @@ object Pipeline extends OpFamily {
       coalesce(sum(size(col("drop_pos")).cast("long")), lit(0L)).as("n_pos"))
       .head()
     val (nDupDocs, nPos) = (prof.getLong(0), prof.getLong(1))
+    val tier = stripTier(nDupDocs, nPos)
     val docsT = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
     def withDp(df: DataFrame): DataFrame = df
       .withColumn("dp", coalesce(col("drop_pos"),
         expr("CAST(array() AS ARRAY<BIGINT>)")))
-      .select("doc_id", "toks", "dp")
-    if (nPos <= 16000000L)
+      .select("doc_id", "lang", "toks", "dp")
+    if (tier == 0)
       withDp(docsT.join(broadcast(droppedP), Seq("doc_id"), "left"))
-    else if (nDupDocs <= 16000000L) {
+    else if (tier == 1) {
       val keys = broadcast(droppedP.select("doc_id"))
       val untouched = docsT.join(keys, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("toks"),
+        .select(col("doc_id"), col("lang"), col("toks"),
           expr("CAST(array() AS ARRAY<BIGINT>)").as("dp"))
       val affected = withDp(docsT.join(keys, Seq("doc_id"))
         .join(droppedP.hint("shuffle_hash"), Seq("doc_id"), "left"))
@@ -1323,7 +1445,7 @@ object Pipeline extends OpFamily {
        |  SELECT doc_id, list_sort(list_distinct(flatten(
        |    list(range(start_tok, start_tok + n_tok))))) AS drop_pos
        |  FROM dups GROUP BY 1),
-       |b AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)""".stripMargin
+       |b AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)""".stripMargin
 
   private def corpusStripSql: String =
     s"""WITH $stripCtes
@@ -1398,13 +1520,65 @@ object Pipeline extends OpFamily {
        |UNION ALL
        |${stripCensusSql("after", "cleaned")}""".stripMargin
 
+  // P29 `corpus_strip_pack`: the strip's DOWNSTREAM CONSUMER (r13
+  // verdict item 6) — the cleaned corpus fed through P6's
+  // pack-and-chunk, so the strip ledger provably reconciles with what
+  // a training job would actually read: sum(n_span) over this segment
+  // index == sum(n_kept) over P26's ledger, corpus-wide and per
+  // language (the Round16Spec reconciliation law). Same segment
+  // semantics as P6 (fixed 512-token sequences, docs span boundaries)
+  // over CLEANED token counts; documents stripped to zero tokens
+  // occupy no segment and drop out (their n_kept is 0, so the ledger
+  // law still balances). Scale shape: stripBase's one corpus scan +
+  // the two-phase range-bucketed prefix (no single-task per-lang
+  // sort), then O(segments) explode — no new corpus-sized joins.
+  private def corpusStripPack(s: SparkSession, d: String): DataFrame = {
+    val cleaned = stripBase(s, d).select(col("doc_id"), col("lang"),
+      (size(col("toks")) - size(col("dp"))).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+    prefixedOver(cleaned)
+      .withColumn("seq_id", explode(expr(
+        s"sequence(before div $seqTokens, (before + n_tok - 1) div $seqTokens)")))
+      .select(col("lang"), col("seq_id"), col("doc_id"),
+        greatest(lit(0L), col("seq_id") * seqTokens - col("before")).as("doc_from"),
+        least(col("n_tok"), (col("seq_id") + 1L) * seqTokens - col("before")).as("doc_to"),
+        greatest(lit(0L), col("before") - col("seq_id") * seqTokens).as("seq_from"))
+      .withColumn("n_span", col("doc_to") - col("doc_from"))
+  }
+
+  private def corpusStripPackSql: String =
+    s"""WITH $stripCtes,
+       |cl AS (
+       |  SELECT b.doc_id, b.lang,
+       |    CAST(len(toks) - COALESCE(len(drop_pos), 0) AS BIGINT) AS n_tok
+       |  FROM b LEFT JOIN dp ON b.doc_id = dp.doc_id),
+       |pp AS (
+       |  SELECT doc_id, lang, n_tok,
+       |    COALESCE(CAST(sum(n_tok) OVER (
+       |      PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS before
+       |  FROM cl WHERE n_tok > 0),
+       |e AS (
+       |  SELECT lang, doc_id, n_tok, before,
+       |    unnest(range(before // $seqTokens, (before + n_tok - 1) // $seqTokens + 1)) AS seq_id
+       |  FROM pp)
+       |SELECT lang, seq_id, doc_id,
+       |  greatest(0, seq_id * $seqTokens - before) AS doc_from,
+       |  least(n_tok, (seq_id + 1) * $seqTokens - before) AS doc_to,
+       |  greatest(0, before - seq_id * $seqTokens) AS seq_from,
+       |  least(n_tok, (seq_id + 1) * $seqTokens - before)
+       |    - greatest(0, seq_id * $seqTokens - before) AS n_span
+       |FROM e""".stripMargin
+
   override def ops: Seq[Op] = Seq(
     Op("corpus_strip", corpusStrip, Some(corpusStripSql)),
+    Op("corpus_strip_pack", corpusStripPack, Some(corpusStripPackSql)),
     Op("corpus_strip_verify", corpusStripVerify, Some(corpusStripVerifySql)),
     Op("corpus_chunk", corpusChunk, Some(corpusChunkSql)),
     Op("corpus_maintenance_report", maintenanceReport, Some(maintenanceReportSql)),
     Op("corpus_delta", corpusDelta, Some(corpusDeltaSql)),
     Op("corpus_compaction_plan", compactionPlan, Some(compactionPlanSql)),
+    Op("corpus_compaction_exec", compactionExec, Some(compactionExecSql)),
     Op("corpus_deciles", corpusDeciles, Some(corpusDecilesSql)),
     Op("corpus_domain_cap", domainCap, Some(domainCapSql)),
     Op("corpus_contamination_sweep", contaminationSweep, Some(contaminationSweepSql)),

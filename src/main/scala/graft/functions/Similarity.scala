@@ -60,7 +60,8 @@ object Similarity extends OpFamily {
   /** cos(a,b) over packed vectors, exact int64 norms ride alongside. */
   private[graft] def cosinePacked(
       a: Column, b: Column, na: Column, nb: Column): Column =
-    packedDot(a, b).cast("double") / sqrt((na * nb).cast("double"))
+    packedDot(a, b).cast("double") /
+      sqrt(na.cast("double") * nb.cast("double"))
 
   /** Whether `df`'s quantized vector column `v` fits int16 lanes —
     * measured ONCE per (dataset, tag) and persisted as capital (the
@@ -80,13 +81,21 @@ object Similarity extends OpFamily {
   def sqNormSql(v: String): String =
     s"CAST(list_sum(list_transform($v, x -> x * x)) AS BIGINT)"
 
-  /** cos(a,b) = dot/(√(na·nb)) with exact int64 dot and norms. */
+  /** cos(a,b) = dot/(√(na·nb)) with exact int64 dot and norms. The
+    * denominator multiplies the norms in DOUBLE, not int64: a
+    * projected-lane norm (S15/S16 pnn) can reach ~6.6e10 for
+    * non-unit-norm quantized vectors, so na*nb can exceed int64 and
+    * throw under ANSI mode (the r13 advice finding). Each norm is
+    * < 2^53, so its double image is exact and the IEEE multiply
+    * rounds the exact product once — bit-identical to casting the
+    * exact int64 product wherever that product fits, and never
+    * overflowing where it doesn't. DuckDB mirrors the same algebra. */
   def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
-    dot(a, b).cast("double") / sqrt((na * nb).cast("double"))
+    dot(a, b).cast("double") / sqrt(na.cast("double") * nb.cast("double"))
 
   def cosineSql(a: String, b: String, na: String, nb: String): String =
     s"CAST(list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i])) AS DOUBLE)" +
-      s"/sqrt(CAST($na * $nb AS DOUBLE))"
+      s"/sqrt(CAST($na AS DOUBLE) * CAST($nb AS DOUBLE))"
 
   /** Random-hyperplane LSH bucket (8 planes ⇒ 256 buckets). Plane
     * weights are small ints derived from the (plane, dim) index pair —
@@ -1468,8 +1477,15 @@ object Similarity extends OpFamily {
   // pipeline, approximation included.
   private val twoTierBudget = 50
 
-  private def projectedCorpus(s: SparkSession, d: String): DataFrame = {
-    val signs = Array.tabulate(rpOutDims, rpInDims)((j, i) => rpSign(i, j))
+  /** Projected corpus at an arbitrary INPUT dimension — the registered
+    * op always runs at rpInDims (=64, the testdata width; the static
+    * oracle SQL bakes the same matrix), while the high-dimension probe
+    * (tools/TwoTierHdProbe, r13 verdict item 2) drives the SAME code
+    * at 256-d, where the exact dot actually dominates per-pair cost.
+    * rpSign extends to any (i, j) by construction. */
+  private def projectedCorpus(s: SparkSession, d: String,
+      inDims: Int = rpInDims): DataFrame = {
+    val signs = Array.tabulate(rpOutDims, inDims)((j, i) => rpSign(i, j))
     val pv = array((0 until rpOutDims).map(j =>
       dot(col("v"), array(signs(j).map(lit).toIndexedSeq: _*))): _*)
     quantized(s, d)
@@ -1484,8 +1500,9 @@ object Similarity extends OpFamily {
     * 4× per-candidate advantage needs enough queries to amortize it —
     * measured in SCALE.md round 15). */
   private[graft] def annTwoTierWith(s: SparkSession, d: String,
-      isQuery: Column, budget: Int, k: Int): DataFrame = {
-    val all = projectedCorpus(s, d).cache()
+      isQuery: Column, budget: Int, k: Int,
+      inDims: Int = rpInDims): DataFrame = {
+    val all = projectedCorpus(s, d, inDims).cache()
     // tier-1 rows are (q_id, vec_id, p_sim) ONLY — carrying the
     // 64-lane payload through the |corpus|×|queries| expansion
     // materializes it per PAIR (measured at sf100/1019 queries:

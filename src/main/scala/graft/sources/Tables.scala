@@ -281,6 +281,47 @@ object Tables {
     }
   }
 
+  /** Total ROW COUNT of a parquet table from FOOTER metadata — the
+    * row-count sibling of [[maxIdFromStats]]. Block row counts are
+    * mandatory parquet metadata (present whether or not any column
+    * records statistics), so unlike the max-id read there is no
+    * per-column fallback — only an unlistable path returns None.
+    * Footers are read in a job, keeping thousand-file corpora off the
+    * driver. Used to SIZE parallelism (e.g. R32's bucketed-dimension
+    * bucket count) where a full count() scan per invocation would cost
+    * more than the scalar is worth at 100 TB. */
+  def rowCountFromStats(s: SparkSession, dir: String): Option[Long] = {
+    import scala.jdk.CollectionConverters._
+    val hconf = s.sessionState.newHadoopConf()
+    val files: Seq[String] =
+      try {
+        val root = new org.apache.hadoop.fs.Path(dir)
+        val fs = root.getFileSystem(hconf)
+        val it = fs.listFiles(root, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val st = it.next()
+          val name = st.getPath.getName
+          if (st.isFile && name.endsWith(".parquet") &&
+              !name.startsWith("_") && !name.startsWith("."))
+            buf += st.getPath.toString
+        }
+        buf.toSeq
+      } catch { case _: java.io.IOException => return None }
+    if (files.isEmpty) return None
+    val sconf = new SerializableHadoopConf(hconf)
+    Some(s.sparkContext
+      .parallelize(files, math.min(files.size, 64).max(1))
+      .map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p), sconf.value)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally r.close()
+      }
+      .collect().sum)
+  }
+
   /** Total bytes of a table's data files — driver-side METADATA only
     * (Hadoop FS listing with the session conf, no row groups touched).
     * The corpus-proportional operators size their shuffle width from

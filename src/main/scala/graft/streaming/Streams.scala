@@ -1301,6 +1301,20 @@ object Streams extends OpFamily {
     })
   }
 
+  /** Bucket count for a bucketed external dimension table from its
+    * MEASURED (estimated) row mass: ~500k rows/bucket, at least 1,
+    * capped at the session shuffle default — the same sizing law the
+    * corpus-proportional shuffles use. None (unlistable source — row
+    * mass unknown) falls back to the session default: over-bucketing a
+    * small delta costs a few empty files, under-bucketing a 100x delta
+    * costs 190 M-row SMJ tasks. Pure, so Round16Spec pins the law. */
+  private[graft] def dimBucketsFor(estRows: Option[Long], sessionMax: Int): Int =
+    estRows match {
+      case None => sessionMax
+      case Some(r) =>
+        math.max(1, math.min(sessionMax.toLong, (r + 499999L) / 500000L).toInt)
+    }
+
   private def streamViewMaintain(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Relational
     val inv = viewMaintainInvocations.incrementAndGet()
@@ -1332,7 +1346,25 @@ object Streams extends OpFamily {
     // (Batch-side pre-aggregation remains a measured LOSS — 91.7 s vs
     // 46.0 s warm at sf100: with 3 return flags the partial's
     // cardinality is ~rows, it only adds a shuffle.)
-    val dimBuckets = 16
+    // Bucket count from MEASURED delta mass, never a constant (r13
+    // verdict item 1 — the last hardcoded-parallelism value in a hot
+    // plan; a fixed 16 caps the dimension scan AND the per-batch
+    // stream-side repartition at 16 tasks at ANY scale: ~190 M rows
+    // per SMJ task at 100x the sf100 delta). The delta's row count is
+    // estimated from parquet FOOTER row counts times the key-range
+    // fraction (orderkeys are ~uniform in [1, maxOk]; sizing tolerates
+    // small nonuniformity) — zero scan, the maxIdFromStats discipline
+    // — then ~500k rows/bucket, capped at the session default (the
+    // CLAUDE.md sizing rule). The count-pinned repartition below keeps
+    // the one-file-per-bucket invariant the sorted-scan ordering
+    // depends on at every derived count.
+    // double math for the fraction: r * t in int64 overflows for
+    // billion-row tables with large keys; sizing needs ~2 digits
+    val ordRows = Tables.rowCountFromStats(s, s"$d/orders.parquet")
+    val estDelta = ordRows.map(r =>
+      (r * ((maxOk - t).toDouble / maxOk)).toLong)
+    val dimBuckets = dimBucketsFor(
+      estDelta, s.sessionState.conf.numShufflePartitions)
     val dimTable = s"view_dim_${Tables.datasetTag(d)}_$inv"
     // EXTERNAL table under the scratch root: a managed table would
     // land in spark.sql.warehouse.dir, which defaults to ./spark-

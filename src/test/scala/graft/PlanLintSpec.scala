@@ -19,8 +19,13 @@ class PlanLintSpec extends SparkSpec {
                     //   by engine design; it runs over the bounded
                     //   value GRID (ndv rows), never the corpus —
                     //   Round13Spec caps it at the two string branches
-    "table_stats_refresh") // same string min/max on the merged grid
+    "table_stats_refresh", // same string min/max on the merged grid
                            //   (bounded rows), never the corpus
+    "table_stats_refresh_events") // the second ANALYZE table (R34):
+                           //   identical merged-grid shape — the sort-agg
+                           //   runs over the bounded (column, value) grid
+                           //   (event_type + the ~100-value props), never
+                           //   the corpus
   private val bnljAllowed = Set(
     "ann_ivf",      // corpus × k-centroid broadcast (intentional, tiny side)
     "ann_ivfpq",    // same k-centroid broadcast feeding the composed index

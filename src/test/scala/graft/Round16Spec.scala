@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-16 additions: the r13-advice fixes (the bench epoch parser
+  * must parse the COMMITTED artifact format — escaped tail — and
+  * refuse cross-sf mover ratios), measured-mass sizing for R32's
+  * bucketed dimension, schema-driven R33 ANALYZE proven on a second
+  * table, and the P23 compaction plan EXECUTED with a content-identity
+  * oracle.
+  */
+class Round16Spec extends SparkSpec {
+
+  // ---- bench epoch parser vs the real committed artifact ----
+
+  test("parsePrevBench recovers control/sf/queries from a committed BENCH_r*.json") {
+    // the r13 advice medium finding: the driver artifact embeds the
+    // log tail as an ESCAPED JSON string, and the old in-main regexes
+    // matched nothing against it — this pins the parse against the
+    // real committed r13 artifact, not a synthetic fixture
+    val raw = java.nio.file.Files.readString(
+      java.nio.file.Path.of("BENCH_r13.json"))
+    val (control, sfPrev, queries) = Bench.parsePrevBench(raw)
+    assert(control.contains(0.490), s"control_sec not recovered: $control")
+    assert(sfPrev.contains(0.1), s"outer sf not recovered: $sfPrev")
+    // a ms-format entry from the compact line…
+    assert(queries.get("stream_join").exists(v => math.abs(v - 3.113) < 1e-9))
+    // …and a seconds-format entry from the truncated full-precision map
+    assert(queries.get("win_tumbling").exists(v => math.abs(v - 0.175) < 1e-9))
+    // meta keys never masquerade as queries
+    assert(!queries.contains("sf") && !queries.contains("control_sec") &&
+      !queries.contains("value"))
+  }
+
+  // ---- R32 bucketed-dimension sizing (r13 verdict item 1) ----
+
+  test("dimBucketsFor sizes buckets from measured delta mass: ~500k rows/bucket, capped") {
+    import graft.streaming.Streams
+    // small deltas: one bucket (a 30k-row sf0.1 delta must not pay
+    // 16 single-row files)
+    assert(Streams.dimBucketsFor(Some(0L), 32) == 1)
+    assert(Streams.dimBucketsFor(Some(30000L), 32) == 1)
+    assert(Streams.dimBucketsFor(Some(500000L), 32) == 1)
+    assert(Streams.dimBucketsFor(Some(500001L), 32) == 2)
+    // sf100's ~30 M-row delta: 60 wanted, capped at the session default
+    assert(Streams.dimBucketsFor(Some(30000000L), 32) == 32)
+    // a 100x delta still caps — parallelism beyond the session width
+    // belongs to the session config, not the table layout
+    assert(Streams.dimBucketsFor(Some(3000000000L), 32) == 32)
+    // unknown mass (unlistable source): session default, never 1 —
+    // under-bucketing an unknown corpus is the expensive failure
+    assert(Streams.dimBucketsFor(None, 32) == 32)
+  }
+
+  test("rowCountFromStats reads exact row counts off parquet footers") {
+    import graft.sources.Tables
+    val got = Tables.rowCountFromStats(spark, s"$sf/orders.parquet")
+    assert(got.contains(Tables.orders(spark, sf).count()))
+    assert(Tables.rowCountFromStats(spark, "/nonexistent/nope.parquet").isEmpty)
+  }
+
+  // ---- strip re-attach tiers by measured bytes (r13 advice) ----
+
+  test("stripTier gates broadcasts on estimated relation bytes, not raw row counts") {
+    import graft.functions.Pipeline
+    // sf100's measured profile (533k positions / ~half that in docs):
+    // two orders of magnitude inside the budget — tier (a)
+    assert(Pipeline.stripTier(300000L, 533000L) == 0)
+    // positions overflow the 32 MB budget but the key set fits — tier (b)
+    assert(Pipeline.stripTier(1000000L, 100000000L) == 1)
+    // boilerplate at corpus scale: nothing broadcasts — tier (c)
+    assert(Pipeline.stripTier(50000000L, 5000000000L) == 2)
+    // the old 16 M-position cutoff (≈128 MB raw) now lands in tier (b)
+    assert(Pipeline.stripTier(1000000L, 16000000L) == 1)
+  }
+
+  // ---- R33 schema-driven ANALYZE (r13 verdict item 3) ----
+
+  test("statsColumns dispatches from the live schema; oracle mirrors stay in sync") {
+    import graft.operators.Relational
+    import graft.sources.Tables
+    // the dispatch must SKIP doubles and timestamps (engine-neutral
+    // rendering rule) and pick up every integral/string column
+    val liGot = Relational.statsColumns(Tables.lineitem(spark, sf))
+    val evGot = Relational.statsColumns(Tables.events(spark, sf))
+    assert(liGot == Relational.statsMirrors("lineitem"),
+      s"lineitem mirror drifted from schema: $liGot")
+    assert(evGot == Relational.statsMirrors("events"),
+      s"events mirror drifted from schema: $evGot")
+    // ts (timestamp) and value (double) are deliberately absent
+    assert(!evGot._1.contains("ts") && !evGot._1.contains("value"))
+  }
+
+  test("table_stats_refresh_events: capital ∪ delta merges exactly on the second table; HLL in envelope") {
+    import graft.sources.Tables
+    val ev = Tables.events(spark, sf)
+    val rows = graft.operators.Relational.tableStatsRefreshEventsFull(spark, sf)
+      .collect().map { r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getString(4), r.getString(5), r.getLong(6))
+      }.toMap
+    assert(rows.keySet == Set("event_id", "user_id", "event_type", "props"))
+    val nRows = ev.count()
+    for ((c, (n, nNull, ndv, minS, maxS, est)) <- rows) {
+      assert(n == nRows, s"$c n_rows")
+      assert(nNull == 0L, s"$c n_null")
+      val exact = ev.agg(countDistinct(col(c)),
+        min(col(c)).cast("string"), max(col(c)).cast("string")).head()
+      assert(minS == exact.getString(1), s"$c min")
+      assert(maxS == exact.getString(2), s"$c max")
+      val exactNdv = exact.getLong(0)
+      if (Set("event_type", "props").contains(c)) {
+        assert(ndv.contains(exactNdv), s"$c grid ndv")
+        assert(est == exactNdv)
+      } else {
+        assert(ndv.isEmpty, s"$c must not claim exact ndv")
+        val tol = math.max(2L, exactNdv / 20)
+        assert(math.abs(est - exactNdv) <= tol,
+          s"$c ndv est $est vs exact $exactNdv (tol $tol)")
+      }
+    }
+    // incremental for real: the delta slice is non-empty
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+    assert(ev.filter(col("event_id") > maxId * 4 / 5).count() > 0)
+  }
+
+  // ---- S16 high-dim fixture (r13 verdict item 2) ----
+
+  test("HD sign-block expansion preserves quantized cosine EXACTLY: brute top-k bit-identical at 4x dims") {
+    import graft.functions.Similarity
+    val hdDir = graft.tools.TwoTierHdProbe.ensureHd(spark, sf, 4)
+    // the fixture's whole license: sign flips commute with quantize,
+    // the x4 dot/norm scaling cancels in IEEE (powers of two), so the
+    // 256-d brute truth IS the 64-d brute truth — cos_sim doubles and
+    // tie-breaks included
+    val isQ = col("vec_id") < 5
+    def rows(d: String) = Similarity.bruteTopKWith(spark, d, isQ, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val base = rows(sf)
+    spark.sharedState.cacheManager.clearCache()
+    val hd = rows(hdDir)
+    assert(base.nonEmpty && base == hd,
+      s"expansion changed the truth: ${(base diff hd).take(3)} vs ${(hd diff base).take(3)}")
+    // and the expanded vectors really are 256-d
+    assert(spark.read.parquet(s"$hdDir/embeddings.parquet")
+      .select(size(col("embedding"))).head().getInt(0) == 256)
+  }
+
+  // ---- P28 corpus_compaction_exec (r13 verdict item 4) ----
+
+  test("corpus_compaction_exec: one physical file per planned bin, nothing dropped") {
+    val rep = run("corpus_compaction_exec").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val planned = run("corpus_compaction_plan").collect()
+      .map(r => (r.getString(0), r.getLong(4)))
+      .groupBy(_._1).map { case (s, b) => s -> b.map(_._2).distinct.length.toLong }
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep.keySet == docs.keySet)
+    for ((src, (nFiles, nDocs)) <- rep) {
+      assert(nFiles == planned(src),
+        s"$src: $nFiles physical files vs ${planned(src)} planned bins")
+      assert(nDocs == docs(src), s"$src: rewrite changed the row count")
+    }
+  }
+
+  // ---- P29 corpus_strip_pack reconciliation (r13 verdict item 6) ----
+
+  test("corpus_strip_pack: packed token mass reconciles with the strip ledger, per language") {
+    val ledger = run("corpus_strip").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap // doc_id -> n_kept
+    val docLang = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val segs = run("corpus_strip_pack").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(6)))
+    assert(segs.nonEmpty)
+    // the conservation law, corpus-wide…
+    assert(segs.map(_._6).sum == ledger.values.sum,
+      "packed n_span mass != ledger n_kept mass")
+    // …and per language
+    val byLangSegs = segs.groupBy(_._1).map { case (l, ss) => l -> ss.map(_._6).sum }
+    val byLangKept = ledger.toSeq.groupBy { case (id, _) => docLang(id) }
+      .map { case (l, ds) => l -> ds.map(_._2).sum }
+    for ((l, kept) <- byLangKept if kept > 0)
+      assert(byLangSegs.getOrElse(l, 0L) == kept, s"lang $l mass")
+    // every packed doc is tiled exactly: its spans are contiguous
+    // [0, n_kept) with no gap or overlap
+    for ((id, spans) <- segs.groupBy(_._3)) {
+      val sorted = spans.sortBy(_._4).map(s => (s._4, s._5))
+      assert(sorted.head._1 == 0L, s"doc $id does not start at 0")
+      assert(sorted.last._2 == ledger(id), s"doc $id does not end at n_kept")
+      for (w <- sorted.sliding(2) if w.length == 2)
+        assert(w(0)._2 == w(1)._1, s"doc $id spans not contiguous at ${w(0)._2}")
+    }
+  }
+}
