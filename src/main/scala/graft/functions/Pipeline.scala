@@ -1373,6 +1373,23 @@ object Pipeline extends OpFamily {
     else if (nDupDocs * 24L <= stripBroadcastBudgetBytes) 1
     else 2
 
+  /** Join strategy for the drop-list attach in tiers (b)/(c): the
+    * shuffle_hash hint is licensed by the SAME byte estimate the
+    * broadcast gate uses, spread over the shuffle width — a
+    * corpus-scaled drop set blows the per-task hash relation under
+    * full core occupancy (the CLAUDE.md shuffle_hash rule, MEASURED
+    * on the adversarial probe: 4 M drop lists × 112 positions
+    * ≈ 3.7 GB build ⇒ ~116 MB/task ⇒ "Can't acquire 134217728 bytes"
+    * hash-relation abort at 5 M docs) and must sort-merge instead.
+    * 32 MB/task keeps the hash build an order of magnitude inside
+    * the per-task execution-memory slice at full occupancy. Pure so
+    * Round16Spec pins the law beside stripTier's. */
+  private[graft] def stripAttachHint(
+      nDupDocs: Long, nPos: Long, shufflePartitions: Int): String = {
+    val perTask = (nPos * 8L + nDupDocs * 32L) / math.max(1, shufflePartitions)
+    if (perTask <= (32L << 20)) "shuffle_hash" else "merge"
+  }
+
   private def stripBase(s: SparkSession, d: String): DataFrame = {
     val dropPath = s"${Tables.workDir(s)}/strip_drop_" + Tables.datasetTag(d)
     Tables.buildOnce(dropPath) {
@@ -1394,6 +1411,8 @@ object Pipeline extends OpFamily {
       .head()
     val (nDupDocs, nPos) = (prof.getLong(0), prof.getLong(1))
     val tier = stripTier(nDupDocs, nPos)
+    val attachHint = stripAttachHint(nDupDocs, nPos,
+      s.sessionState.conf.numShufflePartitions)
     val docsT = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
     def withDp(df: DataFrame): DataFrame = df
@@ -1408,10 +1427,10 @@ object Pipeline extends OpFamily {
         .select(col("doc_id"), col("lang"), col("toks"),
           expr("CAST(array() AS ARRAY<BIGINT>)").as("dp"))
       val affected = withDp(docsT.join(keys, Seq("doc_id"))
-        .join(droppedP.hint("shuffle_hash"), Seq("doc_id"), "left"))
+        .join(droppedP.hint(attachHint), Seq("doc_id"), "left"))
       untouched.unionByName(affected)
     } else
-      withDp(docsT.join(droppedP.hint("shuffle_hash"), Seq("doc_id"), "left"))
+      withDp(docsT.join(droppedP.hint(attachHint), Seq("doc_id"), "left"))
   }
 
   // Spark's filter lambda index is 0-based int; positions are 0-based

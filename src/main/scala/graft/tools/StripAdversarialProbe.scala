@@ -105,7 +105,8 @@ object StripAdversarialProbe {
       .head()
     val (nDup, nPos) = (prof.getLong(0), prof.getLong(1))
     val tier = graft.functions.Pipeline.stripTier(nDup, nPos)
-    lines += f"""{"phase":"query","query":"corpus_strip_adversarial","n_docs":$nDocs,"rows":$rows,"n_dup_docs":$nDup,"n_pos":$nPos,"tier":$tier,"cold_s":$cold%.2f,"warm_s":$warm%.2f,"cold_shuffle_mb":${coldShuffle / 1e6}%.1f,"warm_shuffle_mb":${vol.shuffleWrite / 1e6}%.1f,"cold_spill_mb":${coldSpill / 1e6}%.1f}"""
+    val hint = graft.functions.Pipeline.stripAttachHint(nDup, nPos, cpus.toInt)
+    lines += f"""{"phase":"query","query":"corpus_strip_adversarial","n_docs":$nDocs,"rows":$rows,"n_dup_docs":$nDup,"n_pos":$nPos,"tier":$tier,"attach_hint":"$hint","cold_s":$cold%.2f,"warm_s":$warm%.2f,"cold_shuffle_mb":${coldShuffle / 1e6}%.1f,"warm_shuffle_mb":${vol.shuffleWrite / 1e6}%.1f,"cold_spill_mb":${coldSpill / 1e6}%.1f}"""
     println(lines.last)
 
     // conservation sanity at this scale: the ledger sums balance and

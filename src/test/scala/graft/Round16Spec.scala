@@ -74,6 +74,19 @@ class Round16Spec extends SparkSpec {
     assert(Pipeline.stripTier(1000000L, 16000000L) == 1)
   }
 
+  test("stripAttachHint licenses shuffle_hash by per-task build bytes, sort-merge beyond") {
+    import graft.functions.Pipeline
+    // sf100's real profile: ~10 MB build over 32 tasks — shuffle_hash
+    // (the measured 22.5 s / 823 MB win keeps its plan)
+    assert(Pipeline.stripAttachHint(300000L, 533000L, 32) == "shuffle_hash")
+    // the adversarial probe's profile: 4 M drop lists × 112 positions
+    // ≈ 3.7 GB build ⇒ ~116 MB/task — the measured hash-relation abort
+    // ("Can't acquire 134217728 bytes" at 5 M docs) ⇒ sort-merge
+    assert(Pipeline.stripAttachHint(4000000L, 448000000L, 32) == "merge")
+    // width matters: the same mass over enough tasks hashes again
+    assert(Pipeline.stripAttachHint(4000000L, 448000000L, 4096) == "shuffle_hash")
+  }
+
   // ---- R33 schema-driven ANALYZE (r13 verdict item 3) ----
 
   test("statsColumns dispatches from the live schema; oracle mirrors stay in sync") {
