@@ -1562,16 +1562,20 @@ object Similarity extends OpFamily {
   private def annTwoTier(s: SparkSession, d: String): DataFrame =
     annTwoTierWith(s, d, col("vec_id") < 5, twoTierBudget, 10)
 
-  // the projected-lane CTE shared by the S16 oracle and S17's eval:
-  // every vector gains its 16-lane pv + pnn beside v + nn
-  private def twoTierCtes: String = {
+  // the 16-lane projection list, shared by every two-tier oracle
+  private def pvListSql: String = {
     val signs = Array.tabulate(rpOutDims, rpInDims)((j, i) => rpSign(i, j))
-    val pList = (0 until rpOutDims).map { j =>
+    (0 until rpOutDims).map { j =>
       val lst = signs(j).mkString("[", ", ", "]")
       s"CAST(list_sum(list_transform(range(1, ${rpInDims + 1}), i -> v[i] * ($lst)[i])) AS BIGINT)"
     }.mkString("[", ",\n       ", "]")
+  }
+
+  // the projected-lane CTE shared by the S16 oracle and S17's eval:
+  // every vector gains its 16-lane pv + pnn beside v + nn
+  private def twoTierCtes: String = {
     s"""$quantizedCte,
-       |pr AS (SELECT vec_id, v, nn, $pList AS pv FROM n),
+       |pr AS (SELECT vec_id, v, nn, $pvListSql AS pv FROM n),
        |prn AS (SELECT vec_id, v, nn, pv,
        |  CAST(list_sum(list_transform(pv, x -> x * x)) AS BIGINT) AS pnn FROM pr),
        |t1 AS (
@@ -1633,9 +1637,133 @@ object Similarity extends OpFamily {
        |FROM gr g LEFT JOIN tt t ON t.q_id = g.q_id AND t.vec_id = g.vec_id
        |GROUP BY 1""".stripMargin
 
+  // S18 `ann_lsh_two_tier`: the COMPOSITION the two tiers were built
+  // toward (r13 verdict item 2's "or" branch, built beside the
+  // measured 256-d crossover): S2's LSH bucket cuts the CANDIDATE SET
+  // (same-bucket vectors only, ~n/256 per query, partition-pruned off
+  // the persisted bucket-partitioned index), S16's 16-lane projected
+  // rank cuts the per-candidate MULTIPLY cost inside the bucket, and
+  // the fixed 50-candidate budget re-scores exactly in 64 lanes.
+  // Versus the flat S16 the tier-1 pair count drops ~256× (the flat
+  // form scores |queries|×|corpus| pairs in projected lanes; this
+  // scores |queries|×|bucket|) — the candidate cut the verdict asked
+  // for, not just a multiply cut. Scale shape: the index is
+  // predicate-independent capital (the WHOLE projected corpus,
+  // bucket-partitioned — queries filter at read time, so probe query
+  // sets reuse the same capital); tier-1 is an EQUI broadcast join on
+  // bucket (no condition-less nested loop — tighter than flat S16's
+  // allowlisted expansion) whose scan prunes to the probed bucket
+  // directories; tier-1 rows stay (q_id, vec_id, p_sim) = 24 B (the
+  // r15 payload rule); survivors re-attach broadcast-into-scan; both
+  // cuts tie-break on vec_id so the driver hash-compare pins the
+  // whole pipeline, bucket pruning and budget included.
+  private[graft] def annLshTwoTierWith(s: SparkSession, d: String,
+      isQuery: Column, budget: Int, k: Int): DataFrame = {
+    val idx = persistedIndex(s, d, "lsh2t_idx", "bucket") {
+      projectedCorpus(s, d)
+        .withColumn("bucket", lshBucket(col("v")).cast("int"))
+    }
+    val tq = broadcast(idx.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("pv").as("qpv"),
+        col("pnn").as("qpnn"), col("bucket")))
+    val t1 = idx.filter(!isQuery).join(tq, Seq("bucket"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("qpv"), col("pv"), col("qpnn"), col("pnn")).as("p_sim"))
+    val cand = graft.plans.TopK.topKPerKey(
+      graft.plans.TopK.topKPerKeyLocal(t1, budget, "q_id", "p_sim", "vec_id"),
+      budget, "q_id", "p_sim", "vec_id")
+    val winners = broadcast(cand.select("q_id", "vec_id"))
+    val rescored = idx.filter(!isQuery).join(winners, Seq("vec_id"))
+      .join(broadcast(idx.filter(isQuery)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nn").as("qnn"))),
+        Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("qv"), col("v"), col("qnn"), col("nn")).as("cos_sim"))
+    graft.plans.TopK.topKPerKey(
+      graft.plans.TopK.topKPerKeyLocal(rescored, k, "q_id", "cos_sim", "vec_id"),
+      k, "q_id", "cos_sim", "vec_id")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id")))
+        .cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  private def annLshTwoTier(s: SparkSession, d: String): DataFrame =
+    annLshTwoTierWith(s, d, col("vec_id") < 5, twoTierBudget, 10)
+
+  // the bucket-pruned projected CTEs — twoTierCtes' candidate join
+  // restricted to the query's LSH bucket
+  private def lshTwoTierCtes: String =
+    s"""$quantizedCte,
+       |pr AS (SELECT vec_id, v, nn, $pvListSql AS pv FROM n),
+       |prn AS (SELECT vec_id, v, nn, pv,
+       |  CAST(list_sum(list_transform(pv, x -> x * x)) AS BIGINT) AS pnn FROM pr),
+       |bk AS (SELECT *, ${lshBucketSql("v")} AS bucket FROM prn),
+       |t1 AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id, c.v AS cv, c.nn AS cnn,
+       |    q.v AS qv, q.nn AS qnn,
+       |    ${cosineSql("q.pv", "c.pv", "q.pnn", "c.pnn")} AS p_sim
+       |  FROM bk q JOIN bk c
+       |    ON q.bucket = c.bucket AND q.vec_id < 5 AND c.vec_id >= 5),
+       |cand AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY p_sim DESC, vec_id) AS prank
+       |    FROM t1) WHERE prank <= $twoTierBudget),
+       |t2 AS (
+       |  SELECT q_id, vec_id,
+       |    ${cosineSql("qv", "cv", "qnn", "cnn")} AS cos_sim
+       |  FROM cand),
+       |r2 AS (
+       |  SELECT q_id, vec_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rn
+       |  FROM t2)""".stripMargin
+
+  private def annLshTwoTierSql: String =
+    s"""WITH $lshTwoTierCtes
+       |SELECT q_id, vec_id, cos_sim, rn FROM r2 WHERE rn <= 10""".stripMargin
+
+  // S19 `ann_lsh_two_tier_recall`: the S17-style acceptance eval for
+  // the composed pipeline — per query, what fraction of the TRUE
+  // top-10 survives BOTH cuts (bucket pruning AND the 50-candidate
+  // budget). Beside S17's number this prices the bucket: the recall
+  // S17 loses to the budget alone vs what S18 loses to budget +
+  // pruning is exactly the dial a deployment sizes its band count /
+  // multi-probe with.
+  private def annLshTwoTierRecall(s: SparkSession, d: String): DataFrame = {
+    val gt = cosineTopK(s, d)
+      .select(col("q_id"), col("vec_id"))
+    val tt = annLshTwoTier(s, d)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    gt.join(tt.hint("shuffle_hash"), Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_e4", expr("(10000 * n_hit) div n_true"))
+  }
+
+  private def annLshTwoTierRecallSql: String =
+    s"""WITH $lshTwoTierCtes,
+       |tt AS (SELECT q_id, vec_id FROM r2 WHERE rn <= 10),
+       |gx AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id,
+       |    ${cosineSql("q.v", "c.v", "q.nn", "c.nn")} AS cos_sim
+       |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id >= 5),
+       |gr AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+       |    FROM gx) WHERE rn <= 10)
+       |SELECT g.q_id, count(*) AS n_true,
+       |  CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST((10000 * sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS recall_e4
+       |FROM gr g LEFT JOIN tt t ON t.q_id = g.q_id AND t.vec_id = g.vec_id
+       |GROUP BY 1""".stripMargin
+
   override def ops: Seq[Op] = Seq(
     Op("ann_two_tier", annTwoTier, Some(annTwoTierSql)),
     Op("ann_two_tier_recall", annTwoTierRecall, Some(annTwoTierRecallSql)),
+    Op("ann_lsh_two_tier", annLshTwoTier, Some(annLshTwoTierSql)),
+    Op("ann_lsh_two_tier_recall", annLshTwoTierRecall, Some(annLshTwoTierRecallSql)),
     Op("ann_rp_reduce", annRpReduce, Some(annRpReduceSql)),
     Op("ann_scalar_quant", annScalarQuant, Some(annScalarQuantSql)),
     Op("ann_probe_sweep", annProbeSweep, Some(annProbeSweepSql)),

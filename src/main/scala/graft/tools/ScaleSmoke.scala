@@ -141,6 +141,15 @@ object ScaleSmoke {
             org.apache.spark.sql.functions.xxhash64(
               org.apache.spark.sql.functions.col("vec_id")),
             org.apache.spark.sql.functions.lit(2000L)) === 0L, 50, 10)),
+      // the composed tier (S18) at the same ~1000-query point — the
+      // bucket cuts tier-1 candidates ~256×, so this is the
+      // composition's own wall-clock beside the flat pair above
+      "ann_lsh_two_tier_scaled_1k" -> ((s, dir) =>
+        graft.functions.Similarity.annLshTwoTierWith(s, dir,
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.xxhash64(
+              org.apache.spark.sql.functions.col("vec_id")),
+            org.apache.spark.sql.functions.lit(2000L)) === 0L, 50, 10)),
       "cosine_topk_scaled_1k" -> ((s, dir) =>
         graft.functions.Similarity.bruteTopKWith(s, dir,
           org.apache.spark.sql.functions.pmod(

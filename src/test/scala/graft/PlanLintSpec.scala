@@ -34,6 +34,9 @@ class PlanLintSpec extends SparkSpec {
                     //   cosine_topk shape, scored in 16 projected lanes)
     "ann_two_tier_recall", // composes cosine_topk (truth) + ann_two_tier —
                            //   inherits exactly their allowlisted broadcasts
+    "ann_lsh_two_tier_recall", // composes cosine_topk (truth) + the
+                           //   bucket-pruned S18 — ONLY the truth side
+                           //   nests (S18 itself joins equi on bucket)
     "knn_recall",   // S13 eval: exact truth = corpus × the broadcast
                     //   md5-sampled query set (the S1 shape); the graph
                     //   under test stays bucket-joined

@@ -160,6 +160,74 @@ class Round16Spec extends SparkSpec {
       .select(size(col("embedding"))).head().getInt(0) == 256)
   }
 
+  // ---- S18/S19 bucket-pruned two-tier (the composition branch of
+  // r13 verdict item 2: the LSH bucket cuts CANDIDATES, the projected
+  // lanes cut per-candidate multiplies) ----
+
+  test("ann_lsh_two_tier == plain-Scala replay: bucket prune, 16-lane rank, exact re-score") {
+    import graft.functions.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        r.getLong(0) -> r.getSeq[Float](1).map(x =>
+          BigDecimal(x.toDouble * 1000)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray
+      }.toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => a(i) * b(i)).sum
+    val signs = Array.tabulate(16, 64)((j, i) => Similarity.rpSign(i, j))
+    def proj(v: Array[Long]): Array[Long] = signs.map(s => dot(v, s))
+    def cos(a: Array[Long], b: Array[Long]): Double =
+      dot(a, b).toDouble / math.sqrt(dot(a, a).toDouble * dot(b, b).toDouble)
+    // the 8-plane random-hyperplane bucket, replayed: plane weight for
+    // (plane j, 1-based dim d) is (j*73856093 + d*19349663) % 97 - 48
+    def bucket(v: Array[Long]): Long =
+      (0 until 8).map { j =>
+        val sgn = v.indices.map(i =>
+          v(i) * ((j * 73856093L + (i + 1) * 19349663L) % 97 - 48)).sum
+        if (sgn >= 0) 1L << j else 0L
+      }.sum
+    val queries = emb.filter(_._1 < 5)
+    val corpus = emb.filter(_._1 >= 5)
+    val expected = queries.flatMap { case (q, qv) =>
+      val qb = bucket(qv)
+      val qp = proj(qv)
+      val cand = corpus.toSeq
+        .filter { case (_, cv) => bucket(cv) == qb }
+        .map { case (c, cv) => (c, cos(qp, proj(cv))) }
+        .sortBy { case (c, s) => (-s, c) }.take(50).map(_._1)
+      cand.map { c => (q, c, cos(qv, emb(c))) }
+        .sortBy { case (_, c, s) => (-s, c) }.take(10).zipWithIndex
+        .map { case ((_, c, s), i) => (q, c) -> (s, i + 1L) }
+    }.toMap
+    assert(expected.nonEmpty, "fixture degenerate: no same-bucket candidates")
+    val got = run("ann_lsh_two_tier").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == expected.keySet, "bucket/candidate/top-k sets diverge from replay")
+    for ((kk, (s, rn)) <- expected) {
+      assert(got(kk)._2 == rn, s"$kk rank")
+      assert(math.abs(got(kk)._1 - s) < 1e-12, s"$kk score")
+    }
+  }
+
+  test("ann_lsh_two_tier_recall prices budget AND bucket pruning against S1's truth") {
+    val truth = run("cosine_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tt = run("ann_lsh_two_tier").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = run("ann_lsh_two_tier_recall").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.keySet == truth.map(_._1))
+    for ((q, (nTrue, nHit, e4)) <- rows) {
+      assert(nTrue == truth.count(_._1 == q).toLong)
+      assert(nHit == truth.count(t => t._1 == q && tt.contains(t)).toLong)
+      assert(e4 == 10000L * nHit / nTrue)
+      assert(nHit >= 0L && nHit <= nTrue)
+    }
+  }
+
   // ---- P28 corpus_compaction_exec (r13 verdict item 4) ----
 
   test("corpus_compaction_exec: one physical file per planned bin, nothing dropped") {
