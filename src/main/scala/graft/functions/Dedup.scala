@@ -33,8 +33,20 @@ object Dedup extends OpFamily {
       i => concat_ws(" ", slice(col("t"), i, lit(3))))).as("s"))
   }
 
+  // Opt r14: the shingle explode is superlinear per row (one doc row →
+  // n_tokens shingle rows, each md5'd downstream), so it runs INSIDE
+  // the scan at parquet-split parallelism — one task on the
+  // single-file bench corpus. Round-robin repartition the un-expanded
+  // docs first (the CLAUDE.md heavy-explode rule), sized from table
+  // bytes. Batch entry points only — the streaming bandRows path
+  // shingles per-micro-batch frames and must NOT pay a per-batch
+  // shuffle (the round-12 flat-stream rule).
+  private[functions] def docsRepartitioned(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .repartition(Tables.volumePartitions(s, s"$d/documents.parquet"))
+
   private[functions] def shingled(s: SparkSession, d: String): DataFrame =
-    shingledDocs(Tables.documents(s, d))
+    shingledDocs(docsRepartitioned(s, d))
 
   private[functions] val shingleCte =
     """tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -59,7 +71,7 @@ object Dedup extends OpFamily {
   // shape spec asserts the resulting candidate-count monotonicity.
   private[graft] def bandsDfWith(
       s: SparkSession, d: String, bands: Int, rowsPerBand: Int): DataFrame =
-    bandsOfDocs(Tables.documents(s, d), bands, rowsPerBand)
+    bandsOfDocs(docsRepartitioned(s, d), bands, rowsPerBand)
 
   // A doc's signature depends only on its OWN shingles, so banding a
   // subset of the corpus yields bit-identical rows to banding it whole
@@ -695,8 +707,18 @@ object Dedup extends OpFamily {
   // all-pairs and no stage holds more than one doc's windows sorted.
   private val subK = 8
 
+  // Opt r14: the k-token window pass is a heavy in-scan explode
+  // (O(corpus tokens) md5 rows out of O(docs) rows in), so its
+  // parallelism is the parquet SPLIT count — one task for the
+  // single-file bench corpus (measured solo: 6.4/5.1/6.9 s warm at
+  // sf0.1). Round-robin repartition the UN-expanded doc rows first
+  // (the CLAUDE.md heavy-explode rule — the shuffle moves the corpus
+  // once, pre-expansion, and is licensed by the superlinear per-row
+  // expansion), sized from table bytes (volumePartitions: session
+  // default floor, 32 MB/task beyond). Measured after: 2.0/1.9/2.0 s
+  // — the window stage now runs at session width.
   private def dedupSubstring(s: SparkSession, d: String): DataFrame =
-    substringSpans(Tables.documents(s, d))
+    substringSpans(docsRepartitioned(s, d))
 
   /** The span pass over any (doc_id, text) frame — separated so specs
     * can drive it with synthetic corpora of known span arithmetic. */
@@ -1064,6 +1086,14 @@ object Dedup extends OpFamily {
       "vec_id", Tables.embeddings(s, d)) + 1)
     val estS = math.min(nEst / 2, sweepTargetVectors).toDouble
     val B = math.max(bandSweepBlocks, math.ceil(estS / math.sqrt(2e7)).toInt)
+    // Opt r14 NOTE: caching smp here (it feeds seven subtrees of the
+    // one unioned plan) was MEASURED 3x slower at sf0.1 (warm 3.3 →
+    // 10.1 s solo) — the InMemoryRelation pins the downstream block-
+    // pair explodes to the cache's single partition and breaks the
+    // in-scan codegen fusion, costing far more than the repeated
+    // (cheap, column-pruned) scan+quantize saves. Left uncached
+    // deliberately; the per-config bucketed frame inside
+    // embCandidatesFrom is already cached where reuse is real.
     val smp = Tables.embeddings(s, d)
       .filter(inSweepSampleThinned(col("vec_id"), sweepThinE6(s, d)))
       .select(col("vec_id"), Similarity.quantize(col("embedding")).as("v"))

@@ -222,8 +222,14 @@ object LiveStore {
 
   private def runStoreTo(s: SparkSession, d: String, dir: String): Unit = {
     deleteRec(new java.io.File(dir))
+    // build the source BEFORE withStreamShards: the source records its
+    // measured per-batch row mass into the session conf, and the shard
+    // sizing reads that conf at withStreamShards entry — constructing
+    // the stream inside the body would size shards from whatever the
+    // PREVIOUS op's source left behind
+    val src = Streams.eventStream(s, d).toDF()
     Streams.withStreamShards(s) {
-      val q = Streams.eventStream(s, d).toDF().writeStream
+      val q = src.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           upsert(batch, id, dir)
         }

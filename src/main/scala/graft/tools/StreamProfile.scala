@@ -37,7 +37,9 @@ object StreamProfile {
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
         val p = e.progress
         val d = p.durationMs
+        val shards = p.stateOperators.map(_.numShufflePartitions).mkString(",")
         println(s"[stream-profile] batch=${p.batchId} rows=${p.numInputRows} " +
+          s"stateShards=[$shards] " +
           s"durations=${new java.util.TreeMap[String, java.lang.Long](d)}")
       }
     }

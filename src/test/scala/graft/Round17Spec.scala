@@ -1,0 +1,26 @@
+package graft
+
+/** Optimization round r14: sizing laws introduced by the measured
+  * optimizations — streaming state shards derived from split-source
+  * row mass instead of a flat constant.
+  */
+class Round17Spec extends SparkSpec {
+
+  test("stateShardsFor sizes state shards from measured per-batch mass") {
+    import graft.streaming.Streams
+    // bench-scale batches (33k events / 5k docs): the 2-shard floor —
+    // never 1, so cross-shard state merge stays exercised
+    assert(Streams.stateShardsFor(Some(1L), 32) == 2)
+    assert(Streams.stateShardsFor(Some(33000L), 32) == 2)
+    assert(Streams.stateShardsFor(Some(500000L), 32) == 2)
+    // ~500k rows/shard beyond the floor
+    assert(Streams.stateShardsFor(Some(1000001L), 32) == 3)
+    // sf100-scale batches: wanted width caps at the session default —
+    // production parallelism belongs to the session config
+    assert(Streams.stateShardsFor(Some(33000000L), 32) == 32)
+    assert(Streams.stateShardsFor(Some(33000000L), 256) == 66)
+    // unknown mass (e.g. the broker-backed source): the historical
+    // flat default, unchanged behavior
+    assert(Streams.stateShardsFor(None, 32) == 8)
+  }
+}
