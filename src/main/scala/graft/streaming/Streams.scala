@@ -262,16 +262,42 @@ object Streams extends OpFamily {
     dir
   }
 
-  /** The sizing law: ~500k rows/shard, at least 2, capped at the
-    * session shuffle default; unknown mass keeps the historical flat
-    * default. Pure, so the spec pins it. */
+  /** The sizing law: ~500k rows/shard of per-batch INPUT mass, at
+    * least 2, capped at the session shuffle default; unknown mass
+    * keeps the historical flat default. Ops whose STATE is row-scale
+    * (a key per event — command dedup's (user, idem_key), drop-
+    * duplicates on event_id, stream-stream join buffers) additionally
+    * pass their state-key estimate: the HDFS provider's per-batch map
+    * maintenance and complete-mode emission are O(state) work that
+    * PARALLELIZES with shards, so key-heavy state wants more shards
+    * than the input rule — measured at sf0.1, the 73k-key
+    * stream_command_dedup ran addBatch 2.1 s/batch at the input rule's
+    * 2 shards vs 0.65 s at 8 (~10k keys/shard), while 500-key ops are
+    * commit-overhead-bound and best at the floor. Pure, spec-pinned. */
   private[graft] def stateShardsFor(
-      rowsPerBatch: Option[Long], sessionMax: Int): Int =
-    rowsPerBatch match {
-      case None => 8
+      rowsPerBatch: Option[Long], sessionMax: Int,
+      stateKeys: Option[Long] = None): Int = {
+    val byInput = rowsPerBatch match {
+      case None => return 8
       case Some(r) =>
-        math.max(2, math.min(sessionMax.toLong, (r + 499999L) / 500000L).toInt)
+        math.max(2L, math.min(sessionMax.toLong, (r + 499999L) / 500000L))
     }
+    val byState = stateKeys
+      .map(k => math.min(sessionMax.toLong, (k + 9999L) / 10000L))
+      .getOrElse(0L)
+    math.max(byInput, byState).toInt
+  }
+
+  // row-scale-state ops set this to their state-key estimate (the
+  // split source's TOTAL footer row count — bounded metadata) right
+  // before their stream runs; withStreamShards consumes AND clears it
+  // so the hint never leaks into the next op.
+  private val stateKeysKey = "graft.stream.stateKeysHint"
+  private def hintRowScaleState(s: SparkSession, dir: String): Unit = {
+    val rows = massCache.computeIfAbsent(dir,
+      p => Long.box(Tables.rowCountFromStats(s, p).getOrElse(-1L))).longValue()
+    if (rows >= 0) s.conf.set(stateKeysKey, rows.toString)
+  }
   // RocksDB CHANGELOG checkpointing (round 11): by default the RocksDB
   // provider snapshots the full state store to the checkpoint every
   // batch; with changelog checkpointing each batch uploads only the
@@ -290,10 +316,12 @@ object Streams extends OpFamily {
     val prev = s.conf.get(key)
     val prevProvider = s.conf.getOption(stateStoreKey)
     val prevChangelog = s.conf.getOption(rocksChangelogKey)
+    val stateKeysHint = s.conf.getOption(stateKeysKey).map(_.toLong)
+    s.conf.unset(stateKeysKey) // one-shot: never leaks into the next op
     s.conf.set(key,
       s.conf.getOption("graft.stream.statePartitions").getOrElse(
         stateShardsFor(s.conf.getOption(sourceMassKey).map(_.toLong),
-          prev.toInt).toString))
+          prev.toInt, stateKeysHint).toString))
     if (s.conf.getOption("graft.stream.stateStore").contains("rocksdb")) {
       s.conf.set(stateStoreKey, rocksProvider)
       if (s.conf.getOption("graft.stream.rocksdbChangelog").contains("true"))
@@ -388,6 +416,10 @@ object Streams extends OpFamily {
     val deduped = eventStream(s, d).toDF()
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id", "ts")
+    // dropDuplicates keeps a state key PER EVENT (row-scale state —
+    // the stream_command_dedup finding): shards size from the state
+    // estimate, not just the batch input
+    hintRowScaleState(s, splitSource(s, d))
     runToTable(s, deduped, "graft_stream_dedup", "append")
       .groupBy("event_type").agg(count(lit(1)).as("n"))
   }
@@ -849,6 +881,11 @@ object Streams extends OpFamily {
   // parity for every verdict field.
   private def streamCommandDedup(s: SparkSession, d: String): DataFrame = {
     val src = recordSourceMass(s, splitSource(s, d))
+    // state is a key per (user, idem_key) ≈ one per event — row-scale,
+    // so shards size from the state estimate, not just batch input
+    // (measured: addBatch 2.1 s/batch at the input rule's 2 shards vs
+    // 0.65 s at 8 on the 73k-key sf0.1 state)
+    hintRowScaleState(s, src)
     val raw = s.readStream.schema(s.read.parquet(src).schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
     val agg = raw

@@ -23,4 +23,18 @@ class Round17Spec extends SparkSpec {
     // flat default, unchanged behavior
     assert(Streams.stateShardsFor(None, 32) == 8)
   }
+
+  test("row-scale state lifts the shard count above the input rule") {
+    import graft.streaming.Streams
+    // the stream_command_dedup finding: 73k state keys at the input
+    // rule's 2 shards measured addBatch 2.1 s/batch vs 0.65 s at 8 —
+    // state maintenance is O(state) work that parallelizes with
+    // shards, budgeted at ~10k keys/shard
+    assert(Streams.stateShardsFor(Some(33000L), 32, Some(73000L)) == 8)
+    assert(Streams.stateShardsFor(Some(33000L), 32, Some(100000L)) == 10)
+    // tiny state never drags the count below the input rule
+    assert(Streams.stateShardsFor(Some(33000L), 32, Some(500L)) == 2)
+    // and the cap still wins at scale
+    assert(Streams.stateShardsFor(Some(33000000L), 32, Some(1000000000L)) == 32)
+  }
 }
