@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output passes straight through to sbt's stdout,
+// UNDECORATED: the default LoggedOutput prefixes every line with
+// "[info] ", which breaks any downstream consumer that expects the
+// bench's one-line JSON to be a parseable line (json.loads on a line
+// starting with "[info] {" fails). Verified: no committed BENCH_r*.json
+// ever had a non-null "parsed" field before this change.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -236,29 +236,39 @@ object Bench {
             s""""movers":$moversJson}"""
       }
     }
+    val sfNum = "[0-9.]+$".r.findFirstIn(sfDir.replaceAll("/$", "").replaceAll(".*sf", "")).getOrElse("0")
     val fullLine =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","failed":$failedArr,"epoch":$epochJson,"stream_floor":$floor,"queries":$qs}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":$sfNum,"sf_dir":"$sfDir","failed":$failedArr,"epoch":$epochJson,"stream_floor":$floor,"queries":$qs}"""
     // full-precision line first, for complete logs…
     println(fullLine)
-    // …and as a repo artifact, so nothing downstream depends on log
-    // captures at all
+    // …and as repo artifacts, so nothing downstream depends on log
+    // captures at all. BENCH_LAST.json holds exactly the contract line
+    // (full queries map, seconds) as its only line — the r14 verdict's
+    // "robustly extractable" requirement: no committed BENCH_r*.json
+    // ever carried a non-null driver-parsed field, because the line
+    // only ever existed inside an sbt-decorated, tail-truncated log.
     java.nio.file.Files.writeString(
       java.nio.file.Path.of("BENCH_LOCAL.json"), fullLine + "\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of("BENCH_LAST.json"), fullLine + "\n")
     spark.stop()
     // The harness keeps only the LAST ~2000 chars of output; the
-    // full-precision line is ~2100 and its HEAD (with the total) gets
-    // cut, and sbt appends its own ~76-char success line. So the LAST
-    // line printed is a budget-aware compact twin: integer-millisecond
-    // values, slowest queries first, capped so line + sbt trailer fit
-    // the 2000-char tail whole; the count of dropped (fastest) entries
-    // is self-described and the full map is in BENCH_LOCAL.json.
+    // full-precision line is ~6k chars and its HEAD (with the total)
+    // gets cut, and sbt appends its own ~76-char success line. So the
+    // LAST line printed is a budget-aware compact twin — SAME contract
+    // shape (seconds, 3 decimals), slowest queries first, capped so
+    // line + sbt trailer fit the 2000-char tail whole; the count of
+    // dropped (fastest) entries is self-described and the full map is
+    // in BENCH_LOCAL.json / BENCH_LAST.json. (Until r14 this line was
+    // integer-MILLISECOND values — a unit deviation from the declared
+    // contract that a strict parser reading "queries" as seconds would
+    // misread 1000x; timing methodology itself is unchanged.)
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     for ((k, v) <- results.sortBy(-_._2)) {
-      val e = "\"" + k + "\":" + math.round(v * 1000)
+      val e = "\"" + k + "\":" + f(v)
       if (used + e.length + 1 <= 1700) { buf += e; used += e.length + 1 }
     }
-    val sfNum = "[0-9.]+$".r.findFirstIn(sfDir.replaceAll("/$", "").replaceAll(".*sf", "")).getOrElse("0")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":$sfNum,"failed":$failedArr,"control_sec":${f(controlSec)},"queries_unit":"ms","queries_omitted_fastest":${results.size - buf.size},"queries":{${buf.mkString(",")}}}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":$sfNum,"failed":$failedArr,"control_sec":${f(controlSec)},"queries_unit":"sec","queries_omitted_fastest":${results.size - buf.size},"queries":{${buf.mkString(",")}}}""")
   }
 }
