@@ -194,8 +194,15 @@ object AccountOps extends OpFamily {
   private def apiStreamCommands(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ev = events(s, d)
-    val snapshot = engine(s).replayState(
-      ev.filter(col("ts") < lit(cutoff).cast("timestamp")).as[Ev])
+    // materialize the pre-cutoff snapshot ONCE per invocation: it seeds
+    // the state store as flatMapGroupsWithState's initialState, but the
+    // static subtree stays in the streaming plan and every micro-batch
+    // replans (and can re-execute) the full replay shuffle+fold — the
+    // stream_forecast static-side rule applied to the typed engine path.
+    val snapshot = graft.sources.Tables.stableCheckpoint(
+      engine(s).replayState(
+        ev.filter(col("ts") < lit(cutoff).cast("timestamp")).as[Ev]).toDF())
+      .as[graft.api.Keyed[Account]]
     val cmdStream = graft.streaming.Streams.eventStream(s, d)
       .filter(col("ts") >= lit(cutoff).cast("timestamp") &&
         col("event_type") === "purchase").as[Ev]

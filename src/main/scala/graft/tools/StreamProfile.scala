@@ -44,6 +44,16 @@ object StreamProfile {
       }
     }
     spark.streams.addListener(listener)
+    // jobs-per-rep counter: wall-clock on this host swings 2-4x with
+    // I/O stall windows, but the JOB COUNT of a micro-batch pipeline is
+    // deterministic — the honest mechanism signal for "fewer jobs per
+    // batch" changes.
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet(); ()
+      }
+    })
     graft.sources.Tables.lineitem(spark, sfDir).count()
     // "probe_noop": stream_latest's exact stateful plan with the sink
     // body replaced by count() (no parquet write, no commit protocol) —
@@ -65,7 +75,7 @@ object StreamProfile {
         case Some(p) => p(spark, sfDir)
         case None => graft.SparkEntry.queries(name)(spark, sfDir).count()
       }
-      println(f"[stream-profile] $name rep$i total=${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+      println(f"[stream-profile] $name rep$i total=${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n jobs=${jobCount.getAndSet(0)}")
     }
     spark.stop()
   }
