@@ -234,17 +234,32 @@ object Clusters extends OpFamily {
   // diameter) checkpointed rounds) over D5's bucketed pair set; the
   // final left join keys on vec_id. Oracle = WITH RECURSIVE closure
   // over D5's own CTE bundle ⇒ both engines pin the SAME clustering.
+  /** (vec_id, lab) cluster labels over the D5 embedding pair graph —
+    * the semantic twin of [[pairLabels]], persisted with the same
+    * buildOnce capital discipline (r15: every invocation was re-running
+    * the band joins + a 3-round CC loop — ~10 jobs and two corpus
+    * passes — to rebuild an index that is a pure function of the
+    * dataset; the lexical closure has been persisted since r6). */
+  private def semLabels(s: SparkSession, d: String): DataFrame = {
+    val path = s"${Tables.workDir(s)}/sem_labels_" +
+      Tables.datasetTag(d)
+    Tables.buildOnce(path) {
+      // round 10: the CC input is the CONTRACTED edge set — each band's
+      // verified pair stream collapses to per-task star edges inside the
+      // join stage (Dedup.contractPairs), so the planted sf100 clique's
+      // 2e8 pairs × 6 bands never hit the wire (~100+ GB of scratch at
+      // sf100 pre-contraction, the round-9 DNF). Same components by the
+      // spanning-star argument; the oracle below still closes over D5's
+      // full explicit pair CTE, making the driver hash-match the proof.
+      val edges = Dedup.embEdgesContracted(s, d, Dedup.embPlanes, Dedup.embBands)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      components(edges).withColumnRenamed("node", "vec_id")
+    }
+    s.read.parquet(path)
+  }
+
   private def dedupSemantic(s: SparkSession, d: String): DataFrame = {
-    // round 10: the CC input is the CONTRACTED edge set — each band's
-    // verified pair stream collapses to per-task star edges inside the
-    // join stage (Dedup.contractPairs), so the planted sf100 clique's
-    // 2e8 pairs × 6 bands never hit the wire (~100+ GB of scratch at
-    // sf100 pre-contraction, the round-9 DNF). Same components by the
-    // spanning-star argument; the oracle below still closes over D5's
-    // full explicit pair CTE, making the driver hash-match the proof.
-    val edges = Dedup.embEdgesContracted(s, d, Dedup.embPlanes, Dedup.embBands)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    val labels = components(edges).withColumnRenamed("node", "vec_id")
+    val labels = semLabels(s, d)
     Tables.embeddings(s, d).select(col("vec_id"))
       .join(labels.hint("shuffle_hash"), Seq("vec_id"), "left")
       .select(col("vec_id"),
