@@ -203,6 +203,19 @@ object Similarity extends OpFamily {
     s.read.parquet(path)
   }
 
+  /** S1's brute-force ranking, persisted once per (session, dataset) —
+    * the shared ground truth of every recall eval (S9, S13's probe
+    * sweep, S17, S19). The exactJoinTruth/pairLabels capital
+    * discipline: the truth is a pure function of the dataset, and each
+    * eval invocation was re-running the full corpus×queries cosine
+    * pass to rebuild the same ≤10·|queries| rows (ann_probe_sweep had
+    * even grown an in-plan cache for it in r14 — now every consumer
+    * reads 50 rows of parquet). The `cosine_topk` op itself still
+    * computes brute force per invocation: that op IS the declared
+    * exhaustive query. */
+  private def annTruth(s: SparkSession, d: String): DataFrame =
+    persistedIndex(s, d, "ann_truth")(cosineTopK(s, d))
+
   // S2: LSH-bucketed ANN — the bucket-partitioned index is built once;
   // a probe broadcast-joins its bucket and the scan prunes to the
   // probed bucket directories (1/256 of the corpus listed AND read).
@@ -921,7 +934,7 @@ object Similarity extends OpFamily {
   // per-query join + hash-agg — exact integer recall_e4, no new
   // corpus-scale work.
   private def annRecall(s: SparkSession, d: String): DataFrame = {
-    val gt = cosineTopK(s, d).filter(col("rn") <= 5)
+    val gt = annTruth(s, d).filter(col("rn") <= 5)
       .select(col("q_id"), col("vec_id"))
     val ann = annIvf(s, d)
       .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
@@ -1283,13 +1296,14 @@ object Similarity extends OpFamily {
   // same persisted cells); each level re-runs only the tiny probe +
   // per-query join; ground truth is computed once and reused.
   private def annProbeSweep(s: SparkSession, d: String): DataFrame = {
-    // Opt r14: the three probe arms union into ONE plan, and Spark has
-    // no cross-arm common-subtree elimination — the brute-force ground
-    // truth (a full corpus×queries cosine pass) was re-evaluated PER
-    // ARM. cache() pins it: arm 1 populates the (25-row) relation,
-    // arms 2-3 reuse — one truth pass at any scale instead of |probes|.
-    val gt = cosineTopK(s, d).filter(col("rn") <= 5)
-      .select(col("q_id"), col("vec_id")).cache()
+    // Opt r14 found the three unioned probe arms re-evaluated the
+    // brute-force ground truth PER ARM (no cross-arm subtree
+    // elimination) and pinned it with an in-plan cache(); opt r15
+    // supersedes that: the truth is persisted capital (annTruth), so
+    // every arm — and every OTHER recall eval — reads 25 rows of
+    // parquet instead of running a corpus×queries cosine pass.
+    val gt = annTruth(s, d).filter(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id"))
     Seq(1, 2, 4).map { p =>
       val ann = ivf(s, d, 16, p)
         .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
@@ -1614,7 +1628,7 @@ object Similarity extends OpFamily {
   // already-verified operators, so the eval itself is a tiny
   // per-query join + hash-agg — exact integer recall_e4.
   private def annTwoTierRecall(s: SparkSession, d: String): DataFrame = {
-    val gt = cosineTopK(s, d)
+    val gt = annTruth(s, d)
       .select(col("q_id"), col("vec_id"))
     val tt = annTwoTier(s, d)
       .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
@@ -1736,7 +1750,7 @@ object Similarity extends OpFamily {
   // pruning is exactly the dial a deployment sizes its band count /
   // multi-probe with.
   private def annLshTwoTierRecall(s: SparkSession, d: String): DataFrame = {
-    val gt = cosineTopK(s, d)
+    val gt = annTruth(s, d)
       .select(col("q_id"), col("vec_id"))
     val tt = annLshTwoTier(s, d)
       .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
