@@ -318,10 +318,15 @@ object Streams extends OpFamily {
     val prevChangelog = s.conf.getOption(rocksChangelogKey)
     val stateKeysHint = s.conf.getOption(stateKeysKey).map(_.toLong)
     s.conf.unset(stateKeysKey) // one-shot: never leaks into the next op
+    // consume-and-clear the source mass too (r14 verdict item 6): a
+    // stream built WITHOUT a recording source must fall back to the
+    // flat default, not size itself from whatever the previous op's
+    // source left in the session conf
+    val sourceMass = s.conf.getOption(sourceMassKey).map(_.toLong)
+    s.conf.unset(sourceMassKey)
     s.conf.set(key,
       s.conf.getOption("graft.stream.statePartitions").getOrElse(
-        stateShardsFor(s.conf.getOption(sourceMassKey).map(_.toLong),
-          prev.toInt, stateKeysHint).toString))
+        stateShardsFor(sourceMass, prev.toInt, stateKeysHint).toString))
     if (s.conf.getOption("graft.stream.stateStore").contains("rocksdb")) {
       s.conf.set(stateStoreKey, rocksProvider)
       if (s.conf.getOption("graft.stream.rocksdbChangelog").contains("true"))

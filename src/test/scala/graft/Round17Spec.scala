@@ -37,4 +37,24 @@ class Round17Spec extends SparkSpec {
     // and the cap still wins at scale
     assert(Streams.stateShardsFor(Some(33000000L), 32, Some(1000000000L)) == 32)
   }
+
+  test("withStreamShards consumes the recorded source mass (one-shot)") {
+    import graft.streaming.Streams
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "32")
+      // a previous op's source left its mass behind: the FIRST scoped
+      // run sizes from it...
+      spark.conf.set("graft.stream.sourceRowsPerBatch", "1000001")
+      var seen = -1
+      Streams.withStreamShards(spark) { seen = spark.conf.get(key).toInt }
+      assert(seen == 3)
+      // ...and clears it, so an op built WITHOUT a recording source
+      // falls back to the flat default instead of inheriting stale
+      // mass (r14 verdict item 6)
+      Streams.withStreamShards(spark) { seen = spark.conf.get(key).toInt }
+      assert(seen == 8)
+    } finally spark.conf.set(key, prev)
+  }
 }
