@@ -47,6 +47,8 @@ import graft.operators.EventSourcing
   */
 object LiveStore {
 
+  /** Default shard count for stores created without a recorded layout
+    * (direct `upsert` callers, e.g. specs) — the historical constant. */
   val nShards = 16
 
   /** Max live delta dirs before an upsert folds them into a new base —
@@ -54,7 +56,50 @@ object LiveStore {
     * knob plays this role for the reference's compacted topic). */
   val compactEvery = 8
 
-  private def shardOf(c: Column) = pmod(c, lit(nShards.toLong))
+  // ---- store shard layout from MEASURED source mass (opt r15) ----
+  // Every upsert writes one parquet file per (task, touched shard dir)
+  // and every commit fsyncs each of them (plus crc sidecars): at the
+  // flat 16 shards a 2-task bench batch commits ~32 tiny files per
+  // trigger to carry ~500 keys — the same constant-fan-out defect
+  // class the r14 state-shard sizing removed. The layout now derives
+  // from the split source's TOTAL footer row mass at store creation
+  // (~500k rows/shard, min 2 so multi-shard pruning stays exercised,
+  // capped at the session default) and is RECORDED in the store dir
+  // (`_nshards`), because the modulus is store METADATA: upsert and
+  // lookup on an existing store must use the count it was created
+  // with, whatever session reads it later. Absent marker = the
+  // historical 16 (pre-existing stores, direct-upsert specs).
+  private[graft] def storeShardsFor(totalRows: Option[Long], sessionMax: Int): Int =
+    totalRows match {
+      case None => nShards
+      case Some(r) =>
+        math.max(2L, math.min(sessionMax.toLong, (r + 499999L) / 500000L)).toInt
+    }
+
+  private val shardCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
+
+  /** Record a newly created store's shard count (idempotent). */
+  private def recordShards(dir: String, n: Int): Unit = {
+    new java.io.File(dir).mkdirs()
+    val f = new java.io.File(dir, "_nshards")
+    if (!f.exists())
+      java.nio.file.Files.writeString(f.toPath, n.toString)
+    shardCache.put(dir, Int.box(n))
+    ()
+  }
+
+  /** The store's shard modulus: the recorded layout, else the default. */
+  private[graft] def storeShards(dir: String): Int =
+    shardCache.computeIfAbsent(dir, p => {
+      val f = new java.io.File(p, "_nshards")
+      Int.box(
+        if (f.exists()) java.nio.file.Files.readString(f.toPath).trim.toInt
+        else nShards)
+    }).intValue()
+
+  private def shardOf(dir: String, c: Column) =
+    pmod(c, lit(storeShards(dir).toLong))
 
   private def deleteRec(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(); ()
@@ -141,7 +186,7 @@ object LiveStore {
       baseDirOf(dir).exists(_._1 >= batchId) // folded into a base already
     if (alreadyCommitted || batch.isEmpty) return
     publish(s,
-      EventSourcing.packedState(batch).withColumn("shard", shardOf(col("user_id"))),
+      EventSourcing.packedState(batch).withColumn("shard", shardOf(dir, col("user_id"))),
       dir, s"delta_b$batchId")
     // trigger on LIVE deltas only — retired ones awaiting their grace
     // deletion don't add read fan-in
@@ -211,7 +256,7 @@ object LiveStore {
   def lookup(s: SparkSession, dir: String, key: Long): DataFrame =
     EventSourcing.decodeState(merged(
       readPacked(s, dir).getOrElse(sys.error(s"live store at $dir has no committed data"))
-        .filter(col("shard") === lit(key % nShards) && col("user_id") === lit(key))))
+        .filter(col("shard") === lit(key % storeShards(dir)) && col("user_id") === lit(key))))
 
   /** Full decoded snapshot (the read-side view of the whole store):
     * merge-on-read in one hash aggregate, then decode. */
@@ -222,12 +267,17 @@ object LiveStore {
 
   private def runStoreTo(s: SparkSession, d: String, dir: String): Unit = {
     deleteRec(new java.io.File(dir))
+    shardCache.remove(dir)
     // build the source BEFORE withStreamShards: the source records its
     // measured per-batch row mass into the session conf, and the shard
     // sizing reads that conf at withStreamShards entry — constructing
     // the stream inside the body would size shards from whatever the
     // PREVIOUS op's source left behind
     val src = Streams.eventStream(s, d).toDF()
+    // pin the fresh store's shard layout from the source's measured
+    // total mass (the _nshards marker — see storeShardsFor)
+    recordShards(dir, storeShardsFor(Streams.eventSourceRows(s, d),
+      s.sessionState.conf.numShufflePartitions))
     Streams.withStreamShards(s) {
       val q = src.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>

@@ -288,6 +288,18 @@ object Streams extends OpFamily {
     math.max(byInput, byState).toInt
   }
 
+  /** TOTAL footer row mass of the default event split source (None on
+    * the broker transport, whose mass is unknown) — store-layout sizing
+    * reads this at store creation (LiveStore.runStoreTo). */
+  private[streaming] def eventSourceRows(s: SparkSession, d: String): Option[Long] =
+    if (s.conf.getOption("graft.stream.source").contains("kafka")) None
+    else {
+      val dir = splitSource(s, d)
+      val rows = massCache.computeIfAbsent(dir,
+        p => Long.box(Tables.rowCountFromStats(s, p).getOrElse(-1L))).longValue()
+      if (rows >= 0) Some(rows) else None
+    }
+
   // row-scale-state ops set this to their state-key estimate (the
   // split source's TOTAL footer row count — bounded metadata) right
   // before their stream runs; withStreamShards consumes AND clears it

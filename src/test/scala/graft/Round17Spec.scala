@@ -38,6 +38,23 @@ class Round17Spec extends SparkSpec {
     assert(Streams.stateShardsFor(Some(33000000L), 32, Some(1000000000L)) == 32)
   }
 
+  test("live-store shard layout derives from source mass and is store metadata") {
+    import graft.streaming.LiveStore
+    // sizing law: ~500k rows/shard, min 2, session cap; unknown mass
+    // keeps the historical 16 (direct-upsert stores, e.g. this spec's)
+    assert(LiveStore.storeShardsFor(None, 32) == 16)
+    assert(LiveStore.storeShardsFor(Some(100000L), 32) == 2)
+    assert(LiveStore.storeShardsFor(Some(1000001L), 32) == 3)
+    assert(LiveStore.storeShardsFor(Some(100000000L), 32) == 32)
+    // the modulus is STORE metadata: a recorded layout is read back by
+    // any later session; an unmarked store keeps the default
+    val root = java.nio.file.Files.createTempDirectory("graft_shards").toFile
+    assert(LiveStore.storeShards(root.getPath + "/unmarked") == 16)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root.getPath, "_nshards"), "5")
+    assert(LiveStore.storeShards(root.getPath) == 5)
+  }
+
   test("withStreamShards consumes the recorded source mass (one-shot)") {
     import graft.streaming.Streams
     val key = "spark.sql.shuffle.partitions"
