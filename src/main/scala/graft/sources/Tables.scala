@@ -237,10 +237,13 @@ object Tables {
     if (scheme == null || scheme == "file") {
       val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
       def rec(f: java.io.File): Unit =
-        Option(f.listFiles()).foreach(_.foreach { c =>
-          if (c.isDirectory) rec(c)
-          else if (!hidden(c.getName)) buf += ((c.getPath, c.length()))
-        })
+        if (f.isFile) { // a single-FILE table path lists itself
+          if (!hidden(f.getName)) buf += ((f.getPath, f.length()))
+        } else
+          Option(f.listFiles()).foreach(_.foreach { c =>
+            if (c.isDirectory) rec(c)
+            else if (!hidden(c.getName)) buf += ((c.getPath, c.length()))
+          })
       rec(new java.io.File(dir.stripPrefix("file:")))
       buf.toSeq
     } else

@@ -9,6 +9,10 @@ import org.apache.spark.sql.functions._
   * table, and the P23 compaction plan EXECUTED with a content-identity
   * oracle.
   */
+// Tagged Slow: excluded from the default `sbt test` (the driver's
+// wall-clock budget gate — r14's full suite was cut off mid-run);
+// the full set runs with `sbt -Dgraft.slowTests=true test`.
+@org.scalatest.tags.Slow
 class Round16Spec extends SparkSpec {
 
   // ---- bench epoch parser vs the real committed artifact ----
